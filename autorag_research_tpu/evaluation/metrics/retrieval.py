@@ -1,0 +1,168 @@
+"""Retrieval metrics with AND/OR group semantics and graded relevance.
+
+Exact behavioral parity with the reference
+``evaluation/metrics/retrieval.py:11-227``:
+
+- ``retrieval_gt`` is a 2-D list — outer = AND groups, inner = OR alternatives.
+- recall = fraction of groups hit; precision = fraction of retrieved ids that
+  hit any group; f1 harmonic of the two.
+- ndcg: a retrieved item contributes to DCG only when it is the FIRST to
+  satisfy a previously unsatisfied group; gain is ``2^rel - 1`` with graded
+  relevance from ``relevance_scores`` (default 1); IDCG from the best score
+  per group, sorted descending.
+- full_recall: binary, 1.0 iff every group is satisfied.
+- mrr: mean over groups of 1/rank of first hit (groups with no hit contribute
+  nothing to the sum but the denominator is the number of groups).
+- map: mean over groups of average precision against that group.
+
+Implemented over plain Python sets (metric inputs are <= top_k ids; this is
+not a hot path — the hot path is the device index).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from autorag_research_tpu.evaluation.metrics.util import metric
+from autorag_research_tpu.schema import MetricInput
+
+
+@metric(fields_to_check=["retrieval_gt"])
+def retrieval_recall(metric_input: MetricInput) -> float:
+    gt, pred = metric_input.retrieval_gt, metric_input.retrieved_ids
+    if pred is None or gt is None:
+        return 0.0
+    pred_set = set(pred)
+    hits = sum(1 for group in gt if pred_set & set(group))
+    return hits / len(gt) if gt else 0.0
+
+
+@metric(fields_to_check=["retrieval_gt"])
+def retrieval_precision(metric_input: MetricInput) -> float:
+    gt, pred = metric_input.retrieval_gt, metric_input.retrieved_ids
+    if pred is None or gt is None:
+        return 0.0
+    gt_sets = [set(g) for g in gt]
+    # NOTE: iterate over the *set* of predictions, as the reference does
+    # (``retrieval.py:64-67`` uses ``pred_set``), so duplicate retrieved ids
+    # count once in the numerator but the denominator is len(pred).
+    hits = sum(1 for pid in set(pred) if any(pid in s for s in gt_sets))
+    return hits / len(pred) if pred else 0.0
+
+
+@metric(fields_to_check=["retrieval_gt"])
+def retrieval_f1(metric_input: MetricInput) -> float:
+    r = retrieval_recall.__wrapped__(metric_input)
+    p = retrieval_precision.__wrapped__(metric_input)
+    if r + p == 0:
+        return 0.0
+    return 2 * r * p / (r + p)
+
+
+@metric(fields_to_check=["retrieval_gt"])
+def retrieval_ndcg(metric_input: MetricInput) -> float:
+    gt, pred = metric_input.retrieval_gt, metric_input.retrieved_ids
+    if pred is None or gt is None:
+        return 0.0
+
+    valid_groups = [g for g in gt if g and g != [""]]
+    if not valid_groups:
+        return 0.0
+
+    item_to_groups: dict[str, list[int]] = {}
+    for gi, group in enumerate(valid_groups):
+        for item in group:
+            if item:
+                item_to_groups.setdefault(item, []).append(gi)
+
+    gt_flat = set(itertools.chain.from_iterable(valid_groups))
+    relevance_map = metric_input.relevance_scores or dict.fromkeys(gt_flat, 1)
+
+    satisfied: set[int] = set()
+    dcg = 0.0
+    for rank, doc_id in enumerate(pred):
+        groups = item_to_groups.get(doc_id)
+        if not groups:
+            continue
+        new_groups = [g for g in groups if g not in satisfied]
+        if new_groups:
+            satisfied.update(new_groups)
+            dcg += (2 ** relevance_map.get(doc_id, 0) - 1) / math.log2(rank + 2)
+
+    best_per_group = [
+        max((relevance_map.get(item, 0) for item in group if item), default=0)
+        for group in valid_groups
+    ]
+    ideal = sorted(best_per_group, reverse=True)
+    idcg = sum((2**s - 1) / math.log2(i + 2) for i, s in enumerate(ideal))
+    return dcg / idcg if idcg > 0 else 0.0
+
+
+@metric(fields_to_check=["retrieval_gt"])
+def retrieval_full_recall(metric_input: MetricInput) -> float:
+    gt, pred = metric_input.retrieval_gt, metric_input.retrieved_ids
+    if pred is None or gt is None:
+        return 0.0
+    pred_set = set(pred)
+    return 1.0 if all(pred_set & set(group) for group in gt) else 0.0
+
+
+@metric(fields_to_check=["retrieval_gt"])
+def retrieval_mrr(metric_input: MetricInput) -> float:
+    gt, pred = metric_input.retrieval_gt, metric_input.retrieved_ids
+    if pred is None or gt is None:
+        return 0.0
+    rr_sum = 0.0
+    any_hit = False
+    for group in gt:
+        group_set = set(group)
+        for rank, pid in enumerate(pred):
+            if pid in group_set:
+                rr_sum += 1.0 / (rank + 1)
+                any_hit = True
+                break
+    return rr_sum / len(gt) if any_hit else 0.0
+
+
+@metric(fields_to_check=["retrieval_gt"])
+def retrieval_map(metric_input: MetricInput) -> float:
+    gt, pred = metric_input.retrieval_gt, metric_input.retrieved_ids
+    if pred is None or gt is None:
+        return 0.0
+    ap_values = []
+    for group in gt:
+        group_set = set(group)
+        hits = 0
+        precisions = []
+        for rank, pid in enumerate(pred):
+            if pid in group_set:
+                hits += 1
+                precisions.append(hits / (rank + 1))
+        ap_values.append(sum(precisions) / len(precisions) if precisions else 0.0)
+    return sum(ap_values) / len(gt) if ap_values else 0.0
+
+
+# ----------------------------------------------------------------- registry
+RETRIEVAL_METRICS: dict[str, Callable] = {
+    "recall": retrieval_recall,
+    "full_recall": retrieval_full_recall,
+    "precision": retrieval_precision,
+    "f1": retrieval_f1,
+    "ndcg": retrieval_ndcg,
+    "mrr": retrieval_mrr,
+    "map": retrieval_map,
+}
+
+
+@dataclass
+class RetrievalMetricSpec:
+    """Name + kwargs for a retrieval metric (configs resolve to this)."""
+
+    name: str
+    kwargs: dict | None = None
+
+    def func(self) -> Callable:
+        return RETRIEVAL_METRICS[self.name]
