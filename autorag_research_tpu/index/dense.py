@@ -1,0 +1,149 @@
+"""Dense single-vector index: corpus embeddings resident in TPU HBM.
+
+Replaces the reference's pgvector column + VectorChord scan
+(``orm/schema_factory.py:148-155``, ``orm/repository/base.py:404-426``).
+
+Score convention parity: the reference returns ``1 - cosine_distance`` =
+cosine similarity (``orm/service/retrieval_pipeline.py:516-524``). Vectors are
+L2-normalized at build/query time so the kernel's raw dot product *is* the
+cosine similarity; with ``metric="ip"`` raw inner product is returned instead.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autorag_research_tpu.exceptions import EmbeddingMissingError, IndexNotBuiltError
+from autorag_research_tpu.index.base import SearchHit
+from autorag_research_tpu.ops.dense import dense_topk
+from autorag_research_tpu.parallel.sharded import shard_corpus, sharded_dense_topk
+
+
+def l2_normalize(x: np.ndarray) -> np.ndarray:
+    """Row-normalize; zero rows stay zero (cosine undefined -> score 0)."""
+    x = np.asarray(x, dtype=np.float32)
+    norms = np.linalg.norm(x, axis=-1, keepdims=True)
+    return np.where(norms > 0, x / np.where(norms == 0, 1.0, norms), 0.0)
+
+
+class DenseIndex:
+    """Exact dense top-k over an [N, d] corpus array, optionally mesh-sharded."""
+
+    def __init__(
+        self,
+        ids: Sequence[Any],
+        embeddings: np.ndarray,
+        metric: str = "cosine",
+        dtype: str = "float32",
+    ):
+        if len(ids) != embeddings.shape[0]:
+            raise ValueError("ids/embeddings length mismatch")
+        if metric not in ("cosine", "ip"):
+            raise ValueError(f"unknown metric: {metric}")
+        self.ids = list(ids)
+        self.metric = metric
+        self.dtype = dtype
+        mat = np.asarray(embeddings, dtype=np.float32)
+        if metric == "cosine":
+            mat = l2_normalize(mat)
+        self._host = mat
+        self._device: jax.Array | None = None
+        self._mesh = None
+        self._n = mat.shape[0]
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def from_catalog(cls, catalog, table: str = "chunk", metric: str = "cosine", dtype: str = "float32"):
+        ids, mat = catalog.get_embeddings_matrix(table)
+        if not ids:
+            raise EmbeddingMissingError(f"no embedded rows in table '{table}'")
+        return cls(ids, mat, metric=metric, dtype=dtype)
+
+    @property
+    def n_docs(self) -> int:
+        return self._n
+
+    @property
+    def dim(self) -> int:
+        return self._host.shape[1]
+
+    def to_device(self, mesh=None) -> "DenseIndex":
+        """Materialize the corpus in device HBM — replicated on one device, or
+        row-sharded over ``mesh``'s corpus axis."""
+        arr = jnp.asarray(self._host, dtype=jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32)
+        if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+            self._device = shard_corpus(arr, mesh)
+            self._mesh = mesh
+        else:
+            self._device = jax.device_put(arr)
+            self._mesh = None
+        return self
+
+    def _ensure_device(self) -> jax.Array:
+        if self._device is None:
+            self.to_device()
+        assert self._device is not None
+        return self._device
+
+    # ----------------------------------------------------------------- search
+    def topk_rows(self, query_embeddings: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Batch search -> (scores [Q, k], corpus row numbers [Q, k])."""
+        if self._n == 0:
+            raise IndexNotBuiltError("index has no documents")
+        q = np.atleast_2d(np.asarray(query_embeddings, dtype=np.float32))
+        if self.metric == "cosine":
+            q = l2_normalize(q)
+        corpus = self._ensure_device()
+        qj = jnp.asarray(q, dtype=corpus.dtype)
+        if self._mesh is not None:
+            scores, rows = sharded_dense_topk(qj, corpus, k, self._n, self._mesh)
+        else:
+            scores, rows = dense_topk(qj, corpus, k)
+        return np.asarray(scores, dtype=np.float32), np.asarray(rows)
+
+    def search(self, query_embeddings: np.ndarray, k: int) -> list[list[SearchHit]]:
+        """Batch search returning doc ids + similarity scores (higher=better)."""
+        k_eff = min(k, self._n)
+        scores, rows = self.topk_rows(query_embeddings, k)
+        out = []
+        for qs, qr in zip(scores, rows):
+            out.append(
+                [SearchHit(self.ids[r], float(s)) for s, r in zip(qs[:k_eff], qr[:k_eff])]
+            )
+        return out
+
+    # ------------------------------------------------------------ persistence
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np.save(path / "embeddings.npy", self._host)
+        meta = {
+            "kind": "dense",
+            "metric": self.metric,
+            "dtype": self.dtype,
+            "n_docs": self._n,
+            "dim": self.dim,
+            "ids": self.ids,
+        }
+        (path / "meta.json").write_text(json.dumps(meta, default=str))
+
+    @classmethod
+    def load(cls, path: str | Path) -> "DenseIndex":
+        path = Path(path)
+        meta = json.loads((path / "meta.json").read_text())
+        mat = np.load(path / "embeddings.npy")
+        idx = cls.__new__(cls)
+        idx.ids = meta["ids"]
+        idx.metric = meta["metric"]
+        idx.dtype = meta.get("dtype", "float32")
+        idx._host = mat
+        idx._device = None
+        idx._mesh = None
+        idx._n = mat.shape[0]
+        return idx

@@ -1,0 +1,237 @@
+"""Dense exact similarity scoring + top-k: the VectorChord ``<=>`` replacement.
+
+The reference's dense hot path is one SQL statement per query —
+``SELECT id, embedding <=> :q AS distance ORDER BY distance LIMIT k`` executed
+by the VectorChord Rust extension inside Postgres
+(``orm/repository/base.py:404-426``). Here the corpus lives in TPU HBM as an
+``[N, d]`` array and a whole query batch is scored at once:
+
+- ``dense_topk_pallas``: fused Pallas kernel — tiled query x corpus matmul on
+  the MXU with a streaming on-chip top-k accumulator in VMEM, so the [Q, N]
+  score matrix is never materialized in HBM. Grid = (q_tiles, n_tiles),
+  n innermost; the running [BQ, K] accumulator merges each tile's scores by
+  the global ``(-score, doc_id)`` order (k iterations of max + tie-break-min +
+  mask, all VPU ops).
+- ``dense_topk_xla``: XLA fallback — lax.scan over corpus tiles with a
+  carry of the running top-k (lax.top_k per tile + deterministic 2-key merge).
+  Used on CPU meshes and as the parity oracle.
+
+Scores are raw dot products: with L2-normalized inputs this is cosine
+similarity = 1 - cosine distance, matching the reference's score convention
+(``orm/service/retrieval_pipeline.py:516-524``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from autorag_research_tpu.ops.topk import merge_topk, sort_topk
+
+# Python literals (not jnp scalars) so Pallas kernels see them as
+# compile-time constants rather than captured tracers.
+NEG_INF = -3.4e38  # large-finite to avoid inf arithmetic in VPU
+INT_MAX = 2**31 - 1
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# --------------------------------------------------------------------- XLA
+@functools.partial(jax.jit, static_argnames=("k", "tile_n"))
+def dense_topk_xla(
+    queries: jax.Array, corpus: jax.Array, k: int, tile_n: int = 131072
+) -> tuple[jax.Array, jax.Array]:
+    """Exact dense top-k via XLA: scan over corpus tiles, bounded memory.
+
+    queries: [Q, d], corpus: [N, d]. Returns (scores [Q, k], ids [Q, k])
+    ordered by (-score, id).
+    """
+    q = queries.shape[0]
+    n = corpus.shape[0]
+    k_eff = min(k, n)
+    tile_n = min(tile_n, _round_up(n, 128))
+    n_pad = _round_up(n, tile_n)
+    pad = n_pad - n
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+    tiles = corpus.reshape(n_pad // tile_n, tile_n, corpus.shape[1])
+
+    def body(carry, inp):
+        carry_s, carry_i = carry
+        tile, tile_idx = inp
+        scores = jnp.dot(
+            queries,
+            tile.T,
+            preferred_element_type=jnp.float32,
+            precision=_precision_for(queries.dtype),
+        )  # [Q, tile_n]
+        base = tile_idx * tile_n
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+        scores = jnp.where(col < n, scores, NEG_INF)
+        tile_s, tile_local = jax.lax.top_k(scores, k_eff)  # ties -> lower index
+        tile_i = tile_local + base
+        merged_s, merged_i = merge_topk(
+            jnp.stack([carry_s, tile_s], axis=1),
+            jnp.stack([carry_i, tile_i], axis=1),
+            k_eff,
+        )
+        return (merged_s, merged_i), None
+
+    init = (
+        jnp.full((q, k_eff), NEG_INF, jnp.float32),
+        jnp.full((q, k_eff), INT_MAX, jnp.int32),
+    )
+    (scores, ids), _ = jax.lax.scan(
+        body, init, (tiles, jnp.arange(tiles.shape[0], dtype=jnp.int32))
+    )
+    if k_eff < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return scores, ids
+
+
+# ------------------------------------------------------------------ Pallas
+def _extract_topk(cand_s, cand_i, k):
+    """k rounds of (max score, min id among ties) extraction — the on-chip
+    equivalent of sorting by (-score, id) and taking k. All VPU ops, no gather."""
+    out_s = []
+    out_i = []
+    for _ in range(k):
+        m = jnp.max(cand_s, axis=1)  # [BQ]
+        tie = cand_s == m[:, None]
+        chosen = jnp.min(jnp.where(tie, cand_i, INT_MAX), axis=1)  # [BQ]
+        out_s.append(m)
+        out_i.append(chosen)
+        cand_s = jnp.where(tie & (cand_i == chosen[:, None]), NEG_INF, cand_s)
+    return jnp.stack(out_s, axis=1), jnp.stack(out_i, axis=1)
+
+
+def _precision_for(dtype) -> jax.lax.Precision:
+    """HIGHEST (true f32 MXU passes) for f32 inputs — required for rank parity
+    with the reference's exact f32 scan; bf16 inputs use DEFAULT (Mosaic
+    rejects fp32 contract precision on bf16 operands)."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _dense_topk_kernel(q_ref, c_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k, n, block_n):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, INT_MAX)
+
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(q_ref.dtype),
+    )  # [BQ, BN]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block_n
+    scores = jnp.where(col < n, scores, NEG_INF)
+
+    tile_s, tile_i = _extract_topk(scores, col, k)
+    cand_s = jnp.concatenate([acc_s[:], tile_s], axis=1)
+    cand_i = jnp.concatenate([acc_i[:], tile_i], axis=1)
+    new_s, new_i = _extract_topk(cand_s, cand_i, k)
+    acc_s[:] = new_s
+    acc_i[:] = new_i
+
+    @pl.when(j == nj - 1)
+    def _write():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret")
+)
+def dense_topk_pallas(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    block_q: int = 128,
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused Pallas dense top-k. See module docstring.
+
+    queries [Q, d] and corpus [N, d] may be f32 or bf16; accumulation is f32.
+    Returns (scores [Q, k], ids [Q, k]) in global (-score, id) order.
+    """
+    q, d = queries.shape
+    n = corpus.shape[0]
+    k_eff = min(k, n)
+
+    # Pad shapes to hardware tiles: lanes (last dim) to 128, sublanes to 8.
+    d_pad = _round_up(d, 128)
+    bq = min(block_q, _round_up(q, 8))
+    q_pad = _round_up(q, bq)
+    bn = block_n
+    n_pad = _round_up(n, bn)
+    queries = jnp.pad(queries, ((0, q_pad - q), (0, d_pad - d)))
+    corpus = jnp.pad(corpus, ((0, n_pad - n), (0, d_pad - d)))
+
+    grid = (q_pad // bq, n_pad // bn)
+    kernel = functools.partial(_dense_topk_kernel, k=k_eff, n=n, block_n=bn)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k_eff), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k_eff), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, k_eff), jnp.float32),
+            pltpu.VMEM((bq, k_eff), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * d_pad,
+            bytes_accessed=(q_pad * d_pad + n_pad * d_pad) * queries.dtype.itemsize
+            + q_pad * k_eff * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, corpus)
+    out_s, out_i = out_s[:q], out_i[:q]
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return out_s, out_i
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def dense_topk(
+    queries: jax.Array, corpus: jax.Array, k: int, method: str = "auto"
+) -> tuple[jax.Array, jax.Array]:
+    """Dispatch: Pallas kernel on TPU, XLA scan elsewhere (CPU test meshes)."""
+    if method == "auto":
+        method = "pallas" if on_tpu() else "xla"
+    if method == "pallas":
+        return dense_topk_pallas(queries, corpus, k)
+    if method == "xla":
+        return dense_topk_xla(queries, corpus, k)
+    raise ValueError(f"unknown dense_topk method: {method}")

@@ -1,0 +1,91 @@
+"""Corpus-sharded retrieval: per-shard top-k + deterministic ICI merge.
+
+This is the framework's "distributed communication backend" (the reference has
+none — SURVEY.md §2.10/§5): each device scores its corpus shard with the dense
+kernel, converts local row indices to global doc rows, then the per-shard
+candidate lists are ``all_gather``-ed over the ``corpus`` mesh axis and merged
+by the global ``(-score, doc_id)`` order. The merge is shard-count invariant
+(tested against the single-device kernel), which is what makes sharded results
+rank-identical to the reference's single-scan ``ORDER BY distance``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, dense_topk_pallas, dense_topk_xla, on_tpu
+from autorag_research_tpu.ops.topk import merge_topk
+from autorag_research_tpu.parallel.mesh import CORPUS_AXIS
+
+
+def _pad_rows(arr: jax.Array, multiple: int) -> jax.Array:
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        arr = jnp.pad(arr, ((0, pad), (0, 0)))
+    return arr
+
+
+def shard_corpus(corpus: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a [N, d] corpus row-sharded over the mesh's corpus axis
+    (zero-padded to a multiple of the axis size)."""
+    n_shards = mesh.shape[CORPUS_AXIS]
+    corpus = _pad_rows(corpus, n_shards)
+    sharding = NamedSharding(mesh, P(CORPUS_AXIS, None))
+    return jax.device_put(corpus, sharding)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_total", "mesh", "method"))
+def sharded_dense_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    n_total: int,
+    mesh: Mesh,
+    method: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Global exact top-k over a corpus sharded on the ``corpus`` mesh axis.
+
+    queries: [Q, d] (replicated); corpus: [N_pad, d] sharded (N_pad divisible
+    by the axis size; rows >= n_total are padding). Returns replicated
+    (scores [Q, k], doc_rows [Q, k]).
+    """
+    if method == "auto":
+        method = "pallas" if on_tpu() else "xla"
+    kernel = dense_topk_pallas if method == "pallas" else dense_topk_xla
+    n_shards = mesh.shape[CORPUS_AXIS]
+    shard_rows = corpus.shape[0] // n_shards
+    k_eff = min(k, n_total)
+
+    def local_search(q, c_shard):
+        # c_shard: [shard_rows, d] — this device's slice.
+        scores, local_ids = kernel(q, c_shard, k_eff)
+        offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
+        gids = local_ids + offset
+        # mask out padding rows and k>shard overfetch
+        valid = (gids < n_total) & (local_ids < shard_rows)
+        scores = jnp.where(valid, scores, NEG_INF)
+        gids = jnp.where(valid, gids, INT_MAX)
+        all_s = jax.lax.all_gather(scores, CORPUS_AXIS)  # [P, Q, k]
+        all_i = jax.lax.all_gather(gids, CORPUS_AXIS)
+        return merge_topk(
+            jnp.swapaxes(all_s, 0, 1), jnp.swapaxes(all_i, 0, 1), k_eff
+        )
+
+    in_specs = (P(None, None), P(CORPUS_AXIS, None))
+    out_specs = (P(None, None), P(None, None))
+    # check_vma off: the scan carry inside the local kernel starts from
+    # replicated constants and becomes corpus-varying, which the varying-
+    # manual-axes checker rejects; the final all_gather + merge makes the
+    # outputs genuinely replicated.
+    scores, ids = jax.shard_map(
+        local_search, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )(queries, corpus)
+    if k_eff < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return scores, ids

@@ -1,0 +1,99 @@
+"""DenseIndex + sharded search tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from autorag_research_tpu.index.dense import DenseIndex, l2_normalize
+from autorag_research_tpu.parallel.mesh import corpus_mesh
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(100, 32)).astype(np.float32)
+    ids = [f"doc-{i}" for i in range(100)]
+    return ids, emb
+
+
+def brute_cosine(q, c, k):
+    qn, cn = l2_normalize(q), l2_normalize(c)
+    scores = qn @ cn.T
+    order = np.lexsort((np.arange(c.shape[0])[None].repeat(len(q), 0), -scores), axis=1)
+    return order[:, :k]
+
+
+def test_search_matches_bruteforce(corpus):
+    ids, emb = corpus
+    idx = DenseIndex(ids, emb)
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(5, 32)).astype(np.float32)
+    hits = idx.search(q, 10)
+    expected = brute_cosine(q, emb, 10)
+    for row, exp in zip(hits, expected):
+        assert [h.doc_id for h in row] == [ids[e] for e in exp]
+        # cosine similarity in [-1, 1]
+        assert all(-1.001 <= h.score <= 1.001 for h in row)
+        assert row[0].score >= row[-1].score
+
+
+def test_sharded_matches_single_device(corpus):
+    ids, emb = corpus
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+
+    single = DenseIndex(ids, emb).search(q, 10)
+    mesh = corpus_mesh(n_corpus=8)
+    sharded = DenseIndex(ids, emb).to_device(mesh).search(q, 10)
+    for a, b in zip(single, sharded):
+        assert [h.doc_id for h in a] == [h.doc_id for h in b]
+        np.testing.assert_allclose(
+            [h.score for h in a], [h.score for h in b], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_shard_count_invariance(corpus):
+    ids, emb = corpus
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(3, 32)).astype(np.float32)
+    results = []
+    for p in (2, 4, 8):
+        mesh = corpus_mesh(n_corpus=p)
+        hits = DenseIndex(ids, emb).to_device(mesh).search(q, 7)
+        results.append([[h.doc_id for h in row] for row in hits])
+    assert results[0] == results[1] == results[2]
+
+
+def test_k_exceeds_corpus(corpus):
+    ids, emb = corpus
+    idx = DenseIndex(ids[:3], emb[:3])
+    hits = idx.search(emb[:1], 10)
+    assert len(hits[0]) == 3
+
+
+def test_zero_vector_query(corpus):
+    ids, emb = corpus
+    idx = DenseIndex(ids, emb)
+    hits = idx.search(np.zeros((1, 32), np.float32), 5)
+    assert all(h.score == 0.0 for h in hits[0])
+
+
+def test_save_load_roundtrip(tmp_path, corpus):
+    ids, emb = corpus
+    idx = DenseIndex(ids, emb)
+    rng = np.random.default_rng(4)
+    q = rng.normal(size=(2, 32)).astype(np.float32)
+    before = idx.search(q, 5)
+    idx.save(tmp_path / "dense_idx")
+    idx2 = DenseIndex.load(tmp_path / "dense_idx")
+    after = idx2.search(q, 5)
+    assert [[h.doc_id for h in r] for r in before] == [[h.doc_id for h in r] for r in after]
+
+
+def test_from_catalog(catalog):
+    idx = DenseIndex.from_catalog(catalog)
+    assert idx.n_docs == 5 and idx.dim == 8
+    # query 1's embedding == chunk 1's embedding -> top hit must be chunk 1
+    qemb = catalog.get_embedding("query", 1)
+    hits = idx.search(qemb[None, :], 3)
+    assert hits[0][0].doc_id == 1
+    assert hits[0][0].score == pytest.approx(1.0, abs=1e-5)

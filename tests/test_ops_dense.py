@@ -1,0 +1,110 @@
+"""Dense top-k kernel correctness vs a numpy oracle, incl. determinism."""
+
+import numpy as np
+import pytest
+
+from autorag_research_tpu.ops.dense import dense_topk_pallas, dense_topk_xla
+from autorag_research_tpu.ops.topk import merge_topk, sort_topk
+
+
+def numpy_topk(queries, corpus, k):
+    # Score with the same backend/precision as the kernels, then select with a
+    # numpy lexsort oracle — this isolates the selection logic under test from
+    # accumulation-order float differences that can swap near-tied ranks.
+    import jax
+    import jax.numpy as jnp
+
+    scores = np.asarray(
+        jnp.dot(jnp.asarray(queries), jnp.asarray(corpus).T, precision=jax.lax.Precision.HIGHEST)
+    )
+    order = np.lexsort(
+        (np.arange(corpus.shape[0])[None, :].repeat(len(queries), 0), -scores), axis=1
+    )
+    ids = order[:, :k]
+    return np.take_along_axis(scores, ids, axis=1), ids
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(7, 48)).astype(np.float32)
+    c = rng.normal(size=(333, 48)).astype(np.float32)
+    return q, c
+
+
+def test_xla_matches_numpy(data):
+    q, c = data
+    s, i = dense_topk_xla(q, c, 10, tile_n=128)
+    ns, ni = numpy_topk(q, c, 10)
+    np.testing.assert_array_equal(np.asarray(i), ni)
+    np.testing.assert_allclose(np.asarray(s), ns, rtol=1e-5)
+
+
+def test_pallas_matches_numpy_interpret(data):
+    q, c = data
+    s, i = dense_topk_pallas(q, c, 10, block_q=8, block_n=128, interpret=True)
+    ns, ni = numpy_topk(q, c, 10)
+    np.testing.assert_array_equal(np.asarray(i), ni)
+    np.testing.assert_allclose(np.asarray(s), ns, rtol=1e-5)
+
+
+def test_tie_breaking_prefers_lower_id():
+    # duplicate rows -> identical scores; ids must come back ascending
+    c = np.tile(np.ones((1, 16), np.float32), (50, 1))
+    q = np.ones((2, 16), np.float32)
+    _, i_xla = dense_topk_xla(q, c, 5, tile_n=128)
+    _, i_pal = dense_topk_pallas(q, c, 5, block_q=8, block_n=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_xla), [[0, 1, 2, 3, 4]] * 2)
+    np.testing.assert_array_equal(np.asarray(i_pal), [[0, 1, 2, 3, 4]] * 2)
+
+
+def test_tile_boundary_ties():
+    # equal scores straddling tile boundaries must still order by id
+    rng = np.random.default_rng(1)
+    c = rng.normal(size=(40, 8)).astype(np.float32)
+    c[5] = c[37]  # duplicate across different tiles (block_n=16)
+    q = c[37][None, :]
+    _, ids = dense_topk_xla(q, c, 3, tile_n=128)
+    assert 5 in np.asarray(ids)[0] and 37 in np.asarray(ids)[0]
+    s, _ = dense_topk_xla(q, c, 3, tile_n=128)
+    arr = np.asarray(ids)[0]
+    assert list(arr[:2]) == [5, 37]  # same score, lower id first
+
+
+def test_k_larger_than_n():
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(3, 8)).astype(np.float32)
+    c = rng.normal(size=(4, 8)).astype(np.float32)
+    s, i = dense_topk_xla(q, c, 10)
+    assert s.shape == (3, 10)
+    # first 4 valid, rest padded
+    ns, ni = numpy_topk(q, c, 4)
+    np.testing.assert_array_equal(np.asarray(i)[:, :4], ni)
+
+
+def test_merge_topk_partition_invariance(data):
+    q, c = data
+    # split corpus in 3 uneven shards, compute per-shard topk, merge
+    import jax.numpy as jnp
+
+    splits = [0, 100, 150, 333]
+    parts_s, parts_i = [], []
+    for a, b in zip(splits[:-1], splits[1:]):
+        s, i = dense_topk_xla(q, c[a:b], 10, tile_n=128)
+        parts_s.append(np.asarray(s))
+        parts_i.append(np.asarray(i) + a)
+    ms, mi = merge_topk(
+        jnp.stack(parts_s, axis=1), jnp.stack(parts_i, axis=1), 10
+    )
+    ns, ni = numpy_topk(q, c, 10)
+    np.testing.assert_array_equal(np.asarray(mi), ni)
+    np.testing.assert_allclose(np.asarray(ms), ns, rtol=1e-5)
+
+
+def test_sort_topk_deterministic():
+    import jax.numpy as jnp
+
+    scores = jnp.array([[1.0, 2.0, 2.0, 0.5]])
+    ids = jnp.array([[7, 9, 3, 1]])
+    s, i = sort_topk(scores, ids, 3)
+    np.testing.assert_array_equal(np.asarray(i), [[3, 9, 7]])
