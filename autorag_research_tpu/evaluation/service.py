@@ -1,0 +1,245 @@
+"""Evaluation engine: metric-agnostic scoring over persisted pipeline results.
+
+Behavioral parity with the reference evaluation services
+(``orm/service/base_evaluation.py:120-513``, ``retrieval_evaluation.py:161-217``,
+``generation_evaluation.py:104-209``):
+
+- granularity ``"query"``: paginate queries, skip already-evaluated
+  (pipeline, metric, query) triples, score incrementally, persist per-query
+  ``EvaluationResult`` rows;
+- granularity ``"dataset"``: delete existing rows for the (pipeline, metric),
+  collect ALL inputs, score in one call (for corpus-level metrics);
+- retrieval inputs: retrieved ids from both result tables, prefixed
+  ``chunk_``/``image_chunk_``, sorted by rel_score desc; AND/OR ground truth +
+  graded relevance from relation rows;
+- generation inputs: generated text + generation_gt + retrieved contents
+  resolved through the evidence-metadata contract
+  (``context_chunk_ids`` canonical, legacy fallbacks, then persisted
+  retrieval rows).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import Any
+
+from autorag_research_tpu.schema import (
+    GENERATION_CONTEXT_CHUNK_ID_KEYS,
+    GENERATION_LEGACY_RETRIEVED_CHUNK_ID_KEYS,
+    MetricInput,
+)
+from autorag_research_tpu.store.catalog import Catalog
+from autorag_research_tpu.store.gt import build_retrieval_gt_from_relations
+
+logger = logging.getLogger("AutoRAG-Research-TPU")
+
+
+@dataclass
+class EvaluationSummary:
+    metric_id: int
+    count: int
+    average: float | None
+
+
+class BaseEvaluationService:
+    metric_type = "unknown"
+
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+
+    # -------------------------------------------------------------- interface
+    def build_metric_input(self, query_row, pipeline_id: int) -> MetricInput:
+        raise NotImplementedError
+
+    def evaluate(
+        self,
+        pipeline_id: int,
+        metric_name: str,
+        metric_func: Callable[[list[MetricInput]], list[float | None]],
+        batch_size: int = 128,
+        granularity: str = "query",
+        query_ids: list[Any] | None = None,
+    ) -> EvaluationSummary:
+        metric_id = self.catalog.get_or_create_metric(metric_name, self.metric_type)
+        if granularity == "dataset":
+            return self._evaluate_dataset(pipeline_id, metric_id, metric_func, query_ids)
+        return self._evaluate_per_query(
+            pipeline_id, metric_id, metric_func, batch_size, query_ids
+        )
+
+    # --------------------------------------------------------------- engines
+    def _iter_query_rows(self, batch_size: int, query_ids):
+        offset = 0
+        while True:
+            rows = self.catalog.get_queries(limit=batch_size, offset=offset)
+            if not rows:
+                return
+            offset += len(rows)
+            if query_ids is not None:
+                wanted = set(query_ids)
+                rows = [r for r in rows if r["id"] in wanted]
+            if rows:
+                yield rows
+
+    def _evaluate_per_query(
+        self, pipeline_id, metric_id, metric_func, batch_size, query_ids
+    ) -> EvaluationSummary:
+        done = self.catalog.get_evaluated_query_ids(pipeline_id, metric_id)
+        for rows in self._iter_query_rows(batch_size, query_ids):
+            pending = [r for r in rows if r["id"] not in done]
+            if not pending:
+                continue
+            inputs = [self.build_metric_input(r, pipeline_id) for r in pending]
+            values = metric_func(inputs)
+            self.catalog.add_evaluation_results(
+                pipeline_id,
+                metric_id,
+                [
+                    (r["id"], float(v) if v is not None else None)
+                    for r, v in zip(pending, values)
+                ],
+            )
+        return self._summarize(pipeline_id, metric_id)
+
+    def _evaluate_dataset(
+        self, pipeline_id, metric_id, metric_func, query_ids
+    ) -> EvaluationSummary:
+        # whole-set metrics are delete-and-recompute (reference
+        # ``base_evaluation.py:418-456``)
+        self.catalog.delete_evaluation_results(pipeline_id, metric_id)
+        all_rows: list[Any] = []
+        for rows in self._iter_query_rows(512, query_ids):
+            all_rows.extend(rows)
+        if not all_rows:
+            return EvaluationSummary(metric_id, 0, None)
+        inputs = [self.build_metric_input(r, pipeline_id) for r in all_rows]
+        values = metric_func(inputs)
+        self.catalog.add_evaluation_results(
+            pipeline_id,
+            metric_id,
+            [
+                (r["id"], float(v) if v is not None else None)
+                for r, v in zip(all_rows, values)
+            ],
+        )
+        return self._summarize(pipeline_id, metric_id)
+
+    def _summarize(self, pipeline_id, metric_id) -> EvaluationSummary:
+        values = self.catalog.get_evaluation_values(pipeline_id, metric_id)
+        avg = sum(values) / len(values) if values else None
+        if avg is not None:
+            self.catalog.upsert_summary(pipeline_id, metric_id, avg, len(values))
+        return EvaluationSummary(metric_id, len(values), avg)
+
+    def verify_completion(self, pipeline_id, metric_id, query_ids=None) -> bool:
+        expected = set(query_ids) if query_ids is not None else set(self.catalog.get_all_query_ids())
+        return expected <= self.catalog.get_evaluated_query_ids(pipeline_id, metric_id)
+
+    # ------------------------------------------------------------ shared bits
+    def _retrieved_prefixed(self, query_id, pipeline_id) -> list[str]:
+        """Both result tables, prefixed, globally sorted by rel_score desc
+        (reference ``retrieval_evaluation.py:197-205``)."""
+        merged = [
+            (float(r["rel_score"]) if r["rel_score"] is not None else 0.0, f"chunk_{r['doc_id']}")
+            for r in self.catalog.get_retrieved(query_id, pipeline_id, "chunk")
+        ] + [
+            (float(r["rel_score"]) if r["rel_score"] is not None else 0.0, f"image_chunk_{r['doc_id']}")
+            for r in self.catalog.get_retrieved(query_id, pipeline_id, "image_chunk")
+        ]
+        merged.sort(key=lambda t: -t[0])
+        return [pid for _, pid in merged]
+
+    def _gt_for_query(self, query_id):
+        rels = [dict(r) for r in self.catalog.get_relations_by_query(query_id)]
+        return build_retrieval_gt_from_relations(rels)
+
+
+class RetrievalEvaluationService(BaseEvaluationService):
+    metric_type = "retrieval"
+
+    def build_metric_input(self, query_row, pipeline_id: int) -> MetricInput:
+        gt, scores = self._gt_for_query(query_row["id"])
+        return MetricInput(
+            query=query_row["contents"],
+            retrieval_gt=gt or None,
+            relevance_scores=scores or None,
+            retrieved_ids=self._retrieved_prefixed(query_row["id"], pipeline_id) or None,
+        )
+
+
+class GenerationEvaluationService(BaseEvaluationService):
+    metric_type = "generation"
+
+    def build_metric_input(self, query_row, pipeline_id: int) -> MetricInput:
+        qid = query_row["id"]
+        res = self.catalog.get_executor_result(qid, pipeline_id)
+        generated = res["generation_result"] if res else None
+        metadata = {}
+        if res and res["result_metadata"]:
+            try:
+                metadata = json.loads(res["result_metadata"])
+            except (TypeError, ValueError):
+                metadata = {}
+
+        retrieved_contents = self._resolve_evidence_contents(qid, pipeline_id, metadata)
+        gt, scores = self._gt_for_query(qid)
+        gt_contents = self._gt_contents(gt)
+        generation_gt = None
+        if query_row["generation_gt"]:
+            try:
+                generation_gt = json.loads(query_row["generation_gt"])
+            except (TypeError, ValueError):
+                generation_gt = [query_row["generation_gt"]]
+        return MetricInput(
+            query=query_row["contents"],
+            generated_texts=generated,
+            generation_gt=generation_gt or None,
+            retrieved_contents=retrieved_contents or None,
+            retrieval_gt=gt or None,
+            relevance_scores=scores or None,
+            retrieval_gt_contents=gt_contents or None,
+        )
+
+    def _resolve_evidence_contents(self, qid, pipeline_id, metadata: dict) -> list[str]:
+        """Evidence resolution order (reference
+        ``generation_evaluation.py:138-199``): canonical/alias metadata keys ->
+        persisted retrieval rows -> legacy metadata keys."""
+        for key in GENERATION_CONTEXT_CHUNK_ID_KEYS:
+            ids = metadata.get(key)
+            if ids:
+                return self._contents_for(ids)
+        rows = self.catalog.get_retrieved(qid, pipeline_id, "chunk")
+        if rows:
+            return self._contents_for([r["doc_id"] for r in rows])
+        for key in GENERATION_LEGACY_RETRIEVED_CHUNK_ID_KEYS:
+            ids = metadata.get(key)
+            if ids:
+                return self._contents_for(ids)
+        return []
+
+    def _contents_for(self, chunk_ids) -> list[str]:
+        lookup = self.catalog.get_chunk_contents(list(chunk_ids))
+        return [lookup[cid] for cid in chunk_ids if cid in lookup]
+
+    def _gt_contents(self, gt: list[list[str]]) -> list[list[str]]:
+        """Resolve text contents per GT group; image ids have no text and are
+        skipped (grouping mirrors ``generation_evaluation.py:181-189``)."""
+        out = []
+        for group in gt:
+            chunk_ids = [pid.removeprefix("chunk_") for pid in group if pid.startswith("chunk_")]
+            # catalog ids may be ints; try both forms
+            resolved = []
+            for cid in chunk_ids:
+                lookup = self.catalog.get_chunk_contents([cid])
+                if not lookup:
+                    try:
+                        lookup = self.catalog.get_chunk_contents([int(cid)])
+                    except (TypeError, ValueError):
+                        lookup = {}
+                resolved.extend(lookup.values())
+            if resolved:
+                out.append(resolved)
+        return out

@@ -1,0 +1,158 @@
+"""Dense vector search pipeline (single-vector cosine / multi-vector MaxSim).
+
+Capability parity with the reference ``pipelines/retrieval/vector_search.py:74-191``
+(VectorChord ``<=>`` cosine and ``@#`` MaxSim), re-based on the device index:
+
+- ``search_mode="single"``: cosine top-k over the DenseIndex; score =
+  cosine similarity (reference's ``1 - distance``,
+  ``orm/service/retrieval_pipeline.py:516-524``).
+- ``search_mode="multi"``: MaxSim over the MultiVectorIndex; score =
+  MaxSim / n_query_vectors (reference ``:501-514``).
+
+The batch path scores every pending query in one kernel launch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Literal
+
+import numpy as np
+
+from autorag_research_tpu.config import BasePipelineConfig
+
+from autorag_research_tpu.exceptions import EmbeddingMissingError
+from autorag_research_tpu.index import registry
+from autorag_research_tpu.index.dense import DenseIndex
+from autorag_research_tpu.pipelines.retrieval.base import BaseRetrievalPipeline
+
+
+class VectorSearchPipeline(BaseRetrievalPipeline):
+    retrieval_unit = "chunk"
+
+    def __init__(
+        self,
+        catalog,
+        name: str = "vector_search",
+        search_mode: Literal["single", "multi"] = "single",
+        embedding_model=None,
+        mesh=None,
+        table: str = "chunk",
+    ):
+        self.search_mode = search_mode
+        self.embedding_model = embedding_model
+        self.mesh = mesh
+        self.table = table
+        super().__init__(catalog, name)
+
+    def _get_pipeline_config(self) -> dict[str, Any]:
+        return {
+            "type": "vector_search",
+            "search_mode": self.search_mode,
+            "retrieval_unit": self.retrieval_unit,
+            "table": self.table,
+        }
+
+    # ------------------------------------------------------------------ index
+    def _index(self):
+        if self.search_mode == "multi":
+            from autorag_research_tpu.index.multi_vector import MultiVectorIndex
+
+            idx = registry.get_or_build(
+                self.catalog,
+                "multi_vector",
+                self.table,
+                builder=lambda: MultiVectorIndex.from_catalog(self.catalog, self.table),
+            )
+        else:
+            idx = registry.get_or_build(
+                self.catalog,
+                "dense",
+                self.table,
+                builder=lambda: DenseIndex.from_catalog(self.catalog, self.table),
+            )
+        if self.mesh is not None and getattr(idx, "_mesh", None) is None:
+            idx.to_device(self.mesh)
+        return idx
+
+    # ----------------------------------------------------------------- search
+    def _query_embeddings(self, query_ids: list[Any]):
+        multi = self.search_mode == "multi"
+        embs = []
+        for qid in query_ids:
+            e = self.catalog.get_embedding("query", qid, multi=multi)
+            if e is None:
+                raise EmbeddingMissingError(
+                    f"query {qid} has no {'multi-vector ' if multi else ''}embedding"
+                )
+            embs.append(e)
+        return embs
+
+    def search_by_embedding(self, embedding, top_k: int) -> list[dict[str, Any]]:
+        """Direct dense search from a raw embedding (HyDE path — reference
+        ``vector_search_by_embedding``, ``orm/service/retrieval_pipeline.py:526+``)."""
+        idx = self._index()
+        if self.search_mode == "multi":
+            hits = idx.search([np.atleast_2d(embedding)], top_k)[0]
+        else:
+            hits = idx.search(np.atleast_2d(embedding), top_k)[0]
+        return [h.as_dict() for h in hits]
+
+    def _retrieve_batch_by_ids(
+        self, query_ids, top_k, max_concurrency=16, max_retries=3, retry_delay=1.0
+    ):
+        idx = self._index()
+        out: dict[Any, Any] = {}
+        valid_ids, embs = [], []
+        for qid in query_ids:
+            try:
+                e = self._query_embeddings([qid])[0]
+                valid_ids.append(qid)
+                embs.append(e)
+            except EmbeddingMissingError as exc:
+                out[qid] = exc
+        if valid_ids:
+            if self.search_mode == "multi":
+                batches = idx.search(embs, top_k)
+            else:
+                batches = idx.search(np.stack(embs), top_k)
+            for qid, hits in zip(valid_ids, batches):
+                out[qid] = [h.as_dict() for h in hits]
+        return out
+
+    async def _retrieve_by_id(self, query_id, top_k):
+        res = self._retrieve_batch_by_ids([query_id], top_k)[query_id]
+        if isinstance(res, BaseException):
+            raise res
+        return res
+
+    async def _retrieve_by_text(self, query_text, top_k):
+        if self.embedding_model is None:
+            raise EmbeddingMissingError(
+                "no embedding model configured for text retrieval"
+            )
+        if self.search_mode == "multi":
+            mat = (await self.embedding_model.aembed_texts_multi([query_text]))[0]
+            return self.search_by_embedding(mat, top_k)
+        vec = await self.embedding_model.aembed_query(query_text)
+        return self.search_by_embedding(vec, top_k)
+
+
+@dataclass(kw_only=True)
+class VectorSearchConfig(BasePipelineConfig):
+    config_type = "vector_search"
+    kind = "retrieval"
+
+    search_mode: str = "single"
+    embedding_model: Any = None
+    table: str = "chunk"
+
+    def build(self, catalog, context):
+        return VectorSearchPipeline(
+            catalog,
+            name=self.name,
+            search_mode=self.search_mode,  # type: ignore[arg-type]
+            embedding_model=context.load_embedding(self.embedding_model),
+            mesh=context.mesh,
+            table=self.table,
+        )
