@@ -1,0 +1,229 @@
+"""BM25 sparse scoring on TPU: the VectorChord-BM25 ``<&>`` replacement.
+
+The reference scores BM25 inside Postgres via the Rust vchord_bm25 extension
+(``orm/repository/chunk.py:185-247``). CSR gather/scatter is TPU-hostile, so
+the device layout here is *slot-padded*: each document's (unique-term-id,
+precomputed-BM25-term-weight) pairs occupy ``L`` padded slots -> two dense
+``[N, L]`` arrays. A query is ``T`` (term-id, idf*qtf weight) pairs. Then
+
+    score[b, n] = sum_l w[n, l] * sum_t (tid[n, l] == qid[b, t]) * qw[b, t]
+
+is pure dense VPU compare/multiply/accumulate work with no gathers, fused with
+the same streaming top-k accumulator as the dense kernel. Doc-side weights
+``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` and query-side Lucene-style
+``idf = ln(1 + (N-df+0.5)/(df+0.5))`` are precomputed at index build.
+
+Pad conventions: empty doc slots have tid = -1, weight = 0; empty query slots
+have qid = -2 (so pads never match each other).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, _round_up
+from autorag_research_tpu.ops.topk import merge_topk
+
+DOC_PAD = -1
+QUERY_PAD = -2
+
+
+# ---------------------------------------------------------------------- XLA
+@functools.partial(jax.jit, static_argnames=("k", "tile_n"))
+def bm25_topk_xla(
+    q_ids: jax.Array,
+    q_weights: jax.Array,
+    doc_ids: jax.Array,
+    doc_weights: jax.Array,
+    k: int,
+    tile_n: int = 16384,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact BM25 top-k. q_ids/q_weights: [B, T]; doc_ids/doc_weights: [N, L].
+
+    Returns (scores [B, k], doc rows [B, k]) in (-score, id) order.
+    """
+    bsz = q_ids.shape[0]
+    n = doc_ids.shape[0]
+    k_eff = min(k, n)
+    tile_n = min(tile_n, _round_up(n, 128))
+    n_pad = _round_up(n, tile_n)
+    pad = n_pad - n
+    if pad:
+        doc_ids = jnp.pad(doc_ids, ((0, pad), (0, 0)), constant_values=DOC_PAD)
+        doc_weights = jnp.pad(doc_weights, ((0, pad), (0, 0)))
+    id_tiles = doc_ids.reshape(n_pad // tile_n, tile_n, -1)
+    w_tiles = doc_weights.reshape(n_pad // tile_n, tile_n, -1)
+
+    def tile_scores(tid, tw):
+        # per-query einsum over the [tile_n, L, T] match tensor, scanned over
+        # queries to bound memory
+        def one(q):
+            qid, qw = q
+            m = (tid[:, :, None] == qid[None, None, :]).astype(tw.dtype)
+            return jnp.einsum("nlt,nl,t->n", m, tw, qw)
+
+        return jax.lax.map(one, (q_ids, q_weights))  # [B, tile_n]
+
+    def body(carry, inp):
+        carry_s, carry_i = carry
+        (tid, tw), tile_idx = inp
+        scores = tile_scores(tid, tw).astype(jnp.float32)
+        base = tile_idx * tile_n
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+        scores = jnp.where(col < n, scores, NEG_INF)
+        tile_s, tile_local = jax.lax.top_k(scores, k_eff)
+        tile_i = tile_local + base
+        merged = merge_topk(
+            jnp.stack([carry_s, tile_s], axis=1),
+            jnp.stack([carry_i, tile_i], axis=1),
+            k_eff,
+        )
+        return merged, None
+
+    init = (
+        jnp.full((bsz, k_eff), NEG_INF, jnp.float32),
+        jnp.full((bsz, k_eff), INT_MAX, jnp.int32),
+    )
+    (scores, ids), _ = jax.lax.scan(
+        body,
+        init,
+        ((id_tiles, w_tiles), jnp.arange(id_tiles.shape[0], dtype=jnp.int32)),
+    )
+    if k_eff < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return scores, ids
+
+
+# ------------------------------------------------------------------ Pallas
+def _bm25_kernel(
+    qid_ref, qw_ref, tid_ref, tw_ref, out_s_ref, out_i_ref, acc_s, acc_i,
+    *, k, n, block_n, n_query_terms,
+):
+    from autorag_research_tpu.ops.dense import _extract_topk
+
+    j = pl.program_id(1)  # doc-tile index (innermost)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, INT_MAX)
+
+    tid = tid_ref[:]  # [BN, L]
+    tw = tw_ref[:]  # [BN, L]
+    bq = qid_ref.shape[0]  # small query tile (8)
+
+    def term_body(t, scores):
+        # all bq queries' t-th term against every doc slot:
+        # m [bq, BN, L] -> contract L -> contrib [bq, BN]
+        qid_t = qid_ref[:, t]  # [bq]
+        qw_t = qw_ref[:, t]  # [bq]
+        m = (tid[None, :, :] == qid_t[:, None, None]).astype(tw.dtype)
+        contrib = jnp.sum(m * tw[None, :, :], axis=2)
+        return scores + contrib * qw_t[:, None]
+
+    scores = jax.lax.fori_loop(
+        0, n_query_terms, term_body, jnp.zeros((bq, tid.shape[0]), jnp.float32)
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block_n
+    scores = jnp.where(col < n, scores, NEG_INF)
+
+    tile_s, tile_i = _extract_topk(scores, col, k)
+    new_s, new_i = _extract_topk(
+        jnp.concatenate([acc_s[:], tile_s], axis=1),
+        jnp.concatenate([acc_i[:], tile_i], axis=1),
+        k,
+    )
+    acc_s[:] = new_s
+    acc_i[:] = new_i
+
+    @pl.when(j == nj - 1)
+    def _write():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_q", "block_n", "interpret"))
+def bm25_topk_pallas(
+    q_ids: jax.Array,
+    q_weights: jax.Array,
+    doc_ids: jax.Array,
+    doc_weights: jax.Array,
+    k: int,
+    block_q: int = 8,
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused slot-match BM25 + streaming top-k Pallas kernel.
+
+    Grid is (query_tiles, doc_tiles) with small query tiles (default 8) so the
+    per-term [bq, BN, L] match tensor stays within VMEM.
+    """
+    bsz, n_terms = q_ids.shape
+    n, slots = doc_ids.shape
+    k_eff = min(k, n)
+
+    slots_pad = _round_up(slots, 128)
+    bq = min(block_q, _round_up(bsz, 8))
+    bsz_pad = _round_up(bsz, bq)
+    n_pad = _round_up(n, block_n)
+    doc_ids = jnp.pad(
+        doc_ids, ((0, n_pad - n), (0, slots_pad - slots)), constant_values=DOC_PAD
+    )
+    doc_weights = jnp.pad(doc_weights, ((0, n_pad - n), (0, slots_pad - slots)))
+    terms_pad = _round_up(n_terms, 128)
+    q_ids = jnp.pad(
+        q_ids, ((0, bsz_pad - bsz), (0, terms_pad - n_terms)), constant_values=QUERY_PAD
+    )
+    q_weights = jnp.pad(q_weights, ((0, bsz_pad - bsz), (0, terms_pad - n_terms)))
+
+    grid = (bsz_pad // bq, n_pad // block_n)
+    kernel = functools.partial(
+        _bm25_kernel, k=k_eff, n=n, block_n=block_n, n_query_terms=n_terms
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, terms_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, terms_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, slots_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, slots_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz_pad, k_eff), jnp.float32),
+            jax.ShapeDtypeStruct((bsz_pad, k_eff), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, k_eff), jnp.float32),
+            pltpu.VMEM((bq, k_eff), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_ids, q_weights, doc_ids, doc_weights)
+    out_s, out_i = out_s[:bsz], out_i[:bsz]
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return out_s, out_i
+
+
+def bm25_topk(q_ids, q_weights, doc_ids, doc_weights, k, method: str = "auto"):
+    from autorag_research_tpu.ops.dense import on_tpu
+
+    if method == "auto":
+        method = "pallas" if on_tpu() else "xla"
+    if method == "pallas":
+        return bm25_topk_pallas(q_ids, q_weights, doc_ids, doc_weights, k)
+    if method == "xla":
+        return bm25_topk_xla(q_ids, q_weights, doc_ids, doc_weights, k)
+    raise ValueError(f"unknown bm25_topk method: {method}")

@@ -1,0 +1,159 @@
+"""BM25: tokenizers, index build math, kernel-vs-oracle parity, pipeline."""
+
+import numpy as np
+import pytest
+
+from autorag_research_tpu.index.sparse import SparseIndex
+from autorag_research_tpu.index.tokenize import get_tokenizer
+from autorag_research_tpu.ops.sparse import bm25_topk_pallas, bm25_topk_xla
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a fast auburn fox leaped over a sleepy canine",
+    "postgres is a relational database system",
+    "tpu systolic arrays multiply matrices quickly",
+    "the dog sleeps all day long",
+    "foxes are quick and dogs are lazy",
+    "vector similarity search with embeddings",
+    "bm25 ranks documents by term frequency and rarity",
+]
+IDS = [f"d{i}" for i in range(len(DOCS))]
+
+
+@pytest.fixture(scope="module")
+def index():
+    return SparseIndex(IDS, DOCS, tokenizer="simple")
+
+
+class TestTokenizers:
+    def test_simple(self):
+        tok = get_tokenizer("simple")
+        assert tok.tokenize("Hello, World! 123") == ["hello", "world", "123"]
+
+    def test_english_stopwords_and_stem(self):
+        tok = get_tokenizer("english")
+        out = tok.tokenize("The foxes are running")
+        assert "the" not in out and "are" not in out
+        assert "fox" in out and "run" in out
+
+    def test_wiki_alias(self):
+        assert get_tokenizer("wiki_tocken").tokenize("a b") == ["a", "b"]
+
+    def test_unknown_raises(self):
+        from autorag_research_tpu.exceptions import TokenizerError
+
+        with pytest.raises(TokenizerError):
+            get_tokenizer("nope")
+
+
+class TestBuild:
+    def test_stats(self, index):
+        assert index.n_docs == 8
+        assert index.avgdl == pytest.approx(
+            np.mean([len(d.split()) for d in DOCS]), abs=0.5
+        )
+        # 'the' appears in docs 0, 4, 5? -> df check
+        the_id = index.vocab["the"]
+        assert index.doc_freq[the_id] == sum("the" in d.split() for d in DOCS)
+
+    def test_idf_monotone(self, index):
+        # rare term has higher idf than common term
+        rare = index.vocab["postgres"]
+        common = index.vocab["the"]
+        assert index.idf(rare) > index.idf(common)
+
+    def test_weights_classic_bm25(self):
+        idx = SparseIndex(["a", "b"], ["x x y", "y z z z"], tokenizer="simple")
+        # doc a: tf(x)=2, dl=3, avgdl=3.5
+        k1, b = 1.2, 0.75
+        norm = k1 * (1 - b + b * 3 / 3.5)
+        expected = 2 * (k1 + 1) / (2 + norm)
+        x_id = idx.vocab["x"]
+        slot = list(idx._slot_ids[0]).index(x_id)
+        assert idx._slot_weights[0][slot] == pytest.approx(expected, rel=1e-6)
+
+
+class TestKernelParity:
+    def oracle_topk(self, index, queries, k):
+        scores = index.score_host(queries)
+        order = np.lexsort(
+            (np.arange(index.n_docs)[None].repeat(len(queries), 0), -scores), axis=1
+        )
+        return scores, order[:, :k]
+
+    @pytest.mark.parametrize("fn_name", ["xla", "pallas"])
+    def test_matches_host_oracle(self, index, fn_name):
+        import jax.numpy as jnp
+
+        queries = ["quick fox", "lazy dog sleeping", "database search", "zzz unknown"]
+        k = 4
+        q_ids, q_w = index.encode_queries(queries)
+        args = (
+            jnp.asarray(q_ids), jnp.asarray(q_w),
+            jnp.asarray(index._slot_ids), jnp.asarray(index._slot_weights),
+        )
+        if fn_name == "xla":
+            s, rows = bm25_topk_xla(*args, k=k, tile_n=128)
+        else:
+            s, rows = bm25_topk_pallas(*args, k=k, block_q=8, block_n=128, interpret=True)
+        host_scores, host_rows = self.oracle_topk(index, queries, k)
+        s, rows = np.asarray(s), np.asarray(rows)
+        for b in range(len(queries)):
+            # compare only strictly-positive hits (zero scores tie arbitrarily
+            # between kernel NEG_INF masking and host zeros)
+            pos = host_scores[b][host_rows[b]] > 0
+            np.testing.assert_array_equal(rows[b][: pos.sum()], host_rows[b][pos])
+            np.testing.assert_allclose(
+                s[b][: pos.sum()], host_scores[b][host_rows[b]][pos], rtol=1e-5
+            )
+
+    def test_no_match_query(self, index):
+        hits = index.search(["xylophone zebra"], 5, method="xla")
+        assert hits[0] == []
+
+
+class TestSearchAndPersistence:
+    def test_relevance_ordering(self, index):
+        hits = index.search(["quick brown fox"], 3, method="xla")[0]
+        assert hits[0].doc_id == "d0"  # exact-phrase doc wins
+        assert all(h.score > 0 for h in hits)
+
+    def test_save_load(self, tmp_path, index):
+        before = index.search(["lazy dog"], 3, method="xla")
+        index.save(tmp_path / "bm25")
+        idx2 = SparseIndex.load(tmp_path / "bm25")
+        after = idx2.search(["lazy dog"], 3, method="xla")
+        assert [(h.doc_id, round(h.score, 5)) for h in before[0]] == [
+            (h.doc_id, round(h.score, 5)) for h in after[0]
+        ]
+
+
+class TestPipeline:
+    def test_bm25_pipeline_end_to_end(self, tmp_path):
+        from autorag_research_tpu.config import BaseMetricConfig, ExecutorConfig
+        from autorag_research_tpu.executor import Executor
+        from autorag_research_tpu.index import registry
+        from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Config
+        from autorag_research_tpu.store.catalog import Catalog
+        from autorag_research_tpu.store.gt import or_all
+
+        registry.invalidate()
+        cat = Catalog(tmp_path / "bm25.db")
+        cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(DOCS)])
+        cat.add_queries(
+            [
+                {"id": 0, "contents": "quick brown fox"},
+                {"id": 1, "contents": "relational database"},
+            ]
+        )
+        cat.add_retrieval_gt(0, or_all([0, 5]))
+        cat.add_retrieval_gt(1, 2)
+        cfg = ExecutorConfig(
+            pipelines=[BM25Config(name="bm25", top_k=3)],
+            metrics=[BaseMetricConfig(name="recall")],
+            health_check=False,
+        )
+        result = Executor(cat, cfg).run()
+        assert result.success, result.report()
+        assert result.pipelines[0].metrics[0].average == 1.0
+        registry.invalidate()
