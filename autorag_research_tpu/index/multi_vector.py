@@ -1,0 +1,171 @@
+"""Multi-vector (late interaction) index: ragged token embeddings in HBM.
+
+Replaces the reference's ``embeddings VECTOR(dim)[]`` columns + VectorChord
+``@#`` MaxSim scans (``orm/schema_factory.py:152-155``,
+``orm/repository/base.py:487-571``). Ragged [T_i, d] per-doc matrices are
+padded to ``[N, Tmax, d]`` with a token-count vector for masking.
+
+Score convention parity: ``search`` returns MaxSim / n_query_vectors
+(the reference's ``-distance / n_query_vectors``,
+``orm/service/retrieval_pipeline.py:501-514``).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autorag_research_tpu.exceptions import EmbeddingMissingError, IndexNotBuiltError
+from autorag_research_tpu.index.base import SearchHit
+from autorag_research_tpu.index.dense import l2_normalize
+from autorag_research_tpu.ops.maxsim import maxsim_topk
+
+
+def pad_ragged(mats: Sequence[np.ndarray], max_tokens: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """list of [T_i, d] -> (padded [N, Tmax, d], lens [N])."""
+    if not mats:
+        return np.zeros((0, 1, 0), np.float32), np.zeros((0,), np.int32)
+    tmax = max_tokens or max(m.shape[0] for m in mats)
+    d = mats[0].shape[1]
+    out = np.zeros((len(mats), tmax, d), dtype=np.float32)
+    lens = np.zeros(len(mats), dtype=np.int32)
+    for i, m in enumerate(mats):
+        t = min(m.shape[0], tmax)
+        out[i, :t] = m[:t]
+        lens[i] = t
+    return out, lens
+
+
+class MultiVectorIndex:
+    def __init__(
+        self,
+        ids: Sequence[Any],
+        doc_matrices: Sequence[np.ndarray],
+        normalize: bool = True,
+        max_tokens: int | None = None,
+    ):
+        if len(ids) != len(doc_matrices):
+            raise ValueError("ids/doc_matrices length mismatch")
+        self.ids = list(ids)
+        self.normalize = normalize
+        mats = [
+            l2_normalize(np.asarray(m, np.float32)) if normalize else np.asarray(m, np.float32)
+            for m in doc_matrices
+        ]
+        self._docs, self._lens = pad_ragged(mats, max_tokens)
+        self._n = len(self.ids)
+        self._device: tuple[jax.Array, jax.Array] | None = None
+
+    @classmethod
+    def from_catalog(cls, catalog, table: str = "chunk", **kwargs) -> "MultiVectorIndex":
+        ids, mats = catalog.get_embeddings_matrix(table, multi=True)
+        if not ids:
+            raise EmbeddingMissingError(f"no multi-vector rows in table '{table}'")
+        return cls(ids, mats, **kwargs)
+
+    @property
+    def n_docs(self) -> int:
+        return self._n
+
+    @property
+    def dim(self) -> int:
+        return self._docs.shape[2]
+
+    @property
+    def max_doc_tokens(self) -> int:
+        return self._docs.shape[1]
+
+    def to_device(self, mesh=None) -> "MultiVectorIndex":
+        docs = jnp.asarray(self._docs)
+        lens = jnp.asarray(self._lens)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from autorag_research_tpu.parallel.mesh import CORPUS_AXIS
+
+            n_shards = mesh.shape[CORPUS_AXIS]
+            pad = (-self._n) % n_shards
+            if pad:
+                docs = jnp.pad(docs, ((0, pad), (0, 0), (0, 0)))
+                lens = jnp.pad(lens, (0, pad))
+            docs = jax.device_put(docs, NamedSharding(mesh, P(CORPUS_AXIS, None, None)))
+            lens = jax.device_put(lens, NamedSharding(mesh, P(CORPUS_AXIS)))
+            self._mesh = mesh
+        else:
+            docs = jax.device_put(docs)
+            lens = jax.device_put(lens)
+            self._mesh = None
+        self._device = (docs, lens)
+        return self
+
+    def search(
+        self, query_matrices: Sequence[np.ndarray], k: int, method: str = "auto"
+    ) -> list[list[SearchHit]]:
+        """query_matrices: list of [Tq_i, d]. Scores = MaxSim / Tq_i."""
+        if self._n == 0:
+            raise IndexNotBuiltError("index has no documents")
+        if self._device is None:
+            self.to_device()
+        mats = [
+            l2_normalize(np.atleast_2d(np.asarray(m, np.float32)))
+            if self.normalize
+            else np.atleast_2d(np.asarray(m, np.float32))
+            for m in query_matrices
+        ]
+        q, q_lens = pad_ragged(mats)
+        docs, lens = self._device  # type: ignore[misc]
+        if getattr(self, "_mesh", None) is not None:
+            from autorag_research_tpu.parallel.sharded import sharded_maxsim_topk
+
+            scores, rows = sharded_maxsim_topk(
+                jnp.asarray(q), jnp.asarray(q_lens), docs, lens, k, self._n, self._mesh
+            )
+        else:
+            scores, rows = maxsim_topk(
+                jnp.asarray(q), jnp.asarray(q_lens), docs, lens, k, method=method
+            )
+        scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        k_eff = min(k, self._n)
+        out = []
+        for qi, (qs, qr) in enumerate(zip(scores, rows)):
+            nq = max(int(q_lens[qi]), 1)
+            out.append(
+                [
+                    SearchHit(self.ids[int(r)], float(s) / nq)
+                    for s, r in zip(qs[:k_eff], qr[:k_eff])
+                    if r < self._n
+                ]
+            )
+        return out
+
+    # ------------------------------------------------------------ persistence
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(path / "mv.npz", docs=self._docs, lens=self._lens)
+        (path / "meta.json").write_text(
+            json.dumps(
+                {"kind": "multi_vector", "normalize": self.normalize, "ids": self.ids},
+                default=str,
+            )
+        )
+
+    @classmethod
+    def load(cls, path: str | Path) -> "MultiVectorIndex":
+        path = Path(path)
+        meta = json.loads((path / "meta.json").read_text())
+        arrays = np.load(path / "mv.npz")
+        idx = cls.__new__(cls)
+        idx.ids = meta["ids"]
+        idx.normalize = meta["normalize"]
+        idx._docs = arrays["docs"]
+        idx._lens = arrays["lens"]
+        idx._n = len(idx.ids)
+        idx._device = None
+        return idx

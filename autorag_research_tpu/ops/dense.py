@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from autorag_research_tpu.ops.topk import merge_topk, sort_topk
+from autorag_research_tpu.ops.topk import sort_topk
 
 # Python literals (not jnp scalars) so Pallas kernels see them as
 # compile-time constants rather than captured tracers.
@@ -74,11 +74,12 @@ def dense_topk_xla(
         base = tile_idx * tile_n
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
         scores = jnp.where(col < n, scores, NEG_INF)
-        tile_s, tile_local = jax.lax.top_k(scores, k_eff)  # ties -> lower index
+        tile_k = min(k_eff, tile_n)
+        tile_s, tile_local = jax.lax.top_k(scores, tile_k)  # ties -> lower index
         tile_i = tile_local + base
-        merged_s, merged_i = merge_topk(
-            jnp.stack([carry_s, tile_s], axis=1),
-            jnp.stack([carry_i, tile_i], axis=1),
+        merged_s, merged_i = sort_topk(
+            jnp.concatenate([carry_s, tile_s], axis=1),
+            jnp.concatenate([carry_i, tile_i], axis=1),
             k_eff,
         )
         return (merged_s, merged_i), None
@@ -179,7 +180,9 @@ def dense_topk_pallas(
     d_pad = _round_up(d, 128)
     bq = min(block_q, _round_up(q, 8))
     q_pad = _round_up(q, bq)
-    bn = block_n
+    # a tile must hold >= k candidates or the NEG_INF-tie extraction emits
+    # duplicate ids
+    bn = max(block_n, _round_up(k_eff, 128))
     n_pad = _round_up(n, bn)
     queries = jnp.pad(queries, ((0, q_pad - q), (0, d_pad - d)))
     corpus = jnp.pad(corpus, ((0, n_pad - n), (0, d_pad - d)))

@@ -1,0 +1,267 @@
+"""Multi-vector MaxSim (late interaction) scoring: the VectorChord ``@#``
+operator replacement.
+
+The reference's multi-vector hot path is one SQL statement per query —
+``embeddings @# ARRAY[...]::vector[] AS distance ORDER BY distance LIMIT k``
+over ``VECTOR(dim)[]`` columns (``orm/repository/base.py:487-571``), i.e.
+ColBERT/ColPali-style ``score(q, D) = sum_t max_s q_t . d_s``.
+
+Device layout: documents padded to ``[N, Td, d]`` with a token-count array
+``[N]``; queries padded to ``[B, Tq, d]`` with counts ``[B]``. The kernel
+flattens token axes into the matmul —
+
+    S[(b t), (n s)] = Q[(b t), d] @ D[(n s), d]^T        (MXU)
+    maxsim[b, n]    = sum_t max_s S                       (VPU, masked)
+
+- ``maxsim_topk_pallas``: fused Pallas kernel; the [B*Tq, BN*Td] score tile
+  lives only in VMEM, with the same streaming top-k accumulator as the dense
+  kernel.
+- ``maxsim_topk_xla``: lax.scan over doc tiles (oracle + CPU path).
+
+Raw scores are the MaxSim sums; the caller normalizes by the query's token
+count for the reference's similarity convention
+(``orm/service/retrieval_pipeline.py:501-514``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, _extract_topk, _precision_for, _round_up
+from autorag_research_tpu.ops.topk import sort_topk
+
+
+# ---------------------------------------------------------------------- XLA
+@functools.partial(jax.jit, static_argnames=("k", "tile_n"))
+def maxsim_topk_xla(
+    queries: jax.Array,  # [B, Tq, d]
+    query_lens: jax.Array,  # [B]
+    docs: jax.Array,  # [N, Td, d]
+    doc_lens: jax.Array,  # [N]
+    k: int,
+    tile_n: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    b, tq, d = queries.shape
+    n, td, _ = docs.shape
+    k_eff = min(k, n)
+    tile_n = min(tile_n, _round_up(n, 8))
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        docs = jnp.pad(docs, ((0, n_pad - n), (0, 0), (0, 0)))
+        doc_lens = jnp.pad(doc_lens, (0, n_pad - n))
+    doc_tiles = docs.reshape(n_pad // tile_n, tile_n, td, d)
+    len_tiles = doc_lens.reshape(n_pad // tile_n, tile_n)
+
+    q_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, tq), 1) < query_lens[:, None]
+    )  # [B, Tq]
+
+    def body(carry, inp):
+        carry_s, carry_i = carry
+        (tile, lens), tile_idx = inp
+        # S: [B, Tq, tile_n, Td]
+        s = jnp.einsum(
+            "btd,nsd->btns",
+            queries,
+            tile,
+            precision=_precision_for(queries.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        s_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile.shape[0], td), 1) < lens[:, None]
+        )  # [tile_n, Td]
+        s = jnp.where(s_mask[None, None, :, :], s, NEG_INF)
+        per_token = jnp.max(s, axis=3)  # [B, Tq, tile_n]
+        per_token = jnp.where(q_mask[:, :, None], per_token, 0.0)
+        scores = jnp.sum(per_token, axis=1)  # [B, tile_n]
+        base = tile_idx * tile_n
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+        valid = (col < n) & (lens[None, :] > 0)
+        scores = jnp.where(valid, scores, NEG_INF)
+        tile_k = min(k_eff, tile_n)
+        tile_s, tile_local = jax.lax.top_k(scores, tile_k)
+        merged = sort_topk(
+            jnp.concatenate([carry_s, tile_s], axis=1),
+            jnp.concatenate([carry_i, tile_local + base], axis=1),
+            k_eff,
+        )
+        return merged, None
+
+    init = (
+        jnp.full((b, k_eff), NEG_INF, jnp.float32),
+        jnp.full((b, k_eff), INT_MAX, jnp.int32),
+    )
+    (scores, ids), _ = jax.lax.scan(
+        body,
+        init,
+        ((doc_tiles, len_tiles), jnp.arange(doc_tiles.shape[0], dtype=jnp.int32)),
+    )
+    if k_eff < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return scores, ids
+
+
+# ------------------------------------------------------------------ Pallas
+def _maxsim_kernel(
+    q_ref,        # [BQ*Tq, d] — pad query-token rows are zero vectors
+    d_ref,        # [BN*Td, d]
+    dbias_ref,    # [BN, Td] f32 — 0 for real doc tokens, NEG_INF for pads
+    out_s_ref,    # [BQ, K]
+    out_i_ref,
+    acc_s,
+    acc_i,
+    *, k, n, block_n, bq, tq, td,
+):
+    # Masking strategy (Mosaic-friendly, no bool rank-changing reshapes):
+    # - pad QUERY token rows are zero vectors, so max_s(0 . d + bias) = 0 and
+    #   they add nothing to the per-query sum;
+    # - pad DOC tokens carry a NEG_INF additive bias before the max;
+    # - fully-empty docs become -inf through every query token and fall out.
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, INT_MAX)
+
+    s = jax.lax.dot_general(
+        q_ref[:],
+        d_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(q_ref.dtype),
+    )  # [(BQ*Tq), (BN*Td)]
+
+    rows = bq * tq
+    s = s.reshape(rows, block_n, td) + dbias_ref[:][None, :, :]
+    per_token = jnp.max(s, axis=2)  # [(BQ*Tq), BN]
+    # sum over the Tq query tokens of each query: [(BQ*Tq), BN] -> [BQ, BN].
+    # Expressed as a 0/1 grouping matmul (2-D, MXU) — small 3-D reductions
+    # hit Mosaic relayout failures.
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (bq, rows), 1)
+    owner = jax.lax.broadcasted_iota(jnp.int32, (bq, rows), 0)
+    group = (row_of // tq == owner).astype(per_token.dtype)
+    scores = jax.lax.dot_general(
+        group,
+        per_token,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # exact f32 sum of per-token maxes
+    )
+
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block_n
+    scores = jnp.where(col < n, scores, NEG_INF)
+
+    tile_s, tile_i = _extract_topk(scores, col, k)
+    new_s, new_i = _extract_topk(
+        jnp.concatenate([acc_s[:], tile_s], axis=1),
+        jnp.concatenate([acc_i[:], tile_i], axis=1),
+        k,
+    )
+    acc_s[:] = new_s
+    acc_i[:] = new_i
+
+    @pl.when(j == nj - 1)
+    def _write():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret")
+)
+def maxsim_topk_pallas(
+    queries: jax.Array,  # [B, Tq, d]
+    query_lens: jax.Array,
+    docs: jax.Array,  # [N, Td, d]
+    doc_lens: jax.Array,
+    k: int,
+    block_q: int = 8,
+    block_n: int = 8,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    b, tq, d = queries.shape
+    n, td, _ = docs.shape
+    k_eff = min(k, n)
+
+    d_pad = _round_up(d, 128)
+    td_pad = _round_up(td, 128)
+    tq_pad = _round_up(tq, 8)
+    bq = min(block_q, b)
+    b_pad = _round_up(b, bq)
+    block_n = max(block_n, _round_up(k_eff, 8))  # tile must hold >= k
+    n_pad = _round_up(n, block_n)
+
+    queries = jnp.pad(
+        queries, ((0, b_pad - b), (0, tq_pad - tq), (0, d_pad - d))
+    ).reshape(b_pad * tq_pad, d_pad)
+    docs = jnp.pad(
+        docs, ((0, n_pad - n), (0, td_pad - td), (0, d_pad - d))
+    ).reshape(n_pad * td_pad, d_pad)
+    query_lens = jnp.pad(query_lens, (0, b_pad - b)).astype(jnp.int32)
+    doc_lens = jnp.pad(doc_lens, (0, n_pad - n)).astype(jnp.int32)
+
+    # Zero pad-query-token rows (true by construction of jnp.pad above, but
+    # re-assert in case callers pass garbage beyond query_lens).
+    q_tok = jax.lax.broadcasted_iota(jnp.int32, (b_pad, tq_pad), 1)
+    qmask = (q_tok < query_lens[:, None]).astype(queries.dtype)
+    queries = queries * qmask.reshape(b_pad * tq_pad, 1)
+    # dbias [N, Td]: 0.0 for real doc tokens, NEG_INF for pads.
+    d_tok = jax.lax.broadcasted_iota(jnp.int32, (n_pad, td_pad), 1)
+    dbias = jnp.where(d_tok < doc_lens[:, None], 0.0, NEG_INF).astype(jnp.float32)
+
+    grid = (b_pad // bq, n_pad // block_n)
+    kernel = functools.partial(
+        _maxsim_kernel, k=k_eff, n=n, block_n=block_n, bq=bq, tq=tq_pad, td=td_pad
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq * tq_pad, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n * td_pad, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, td_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k_eff), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k_eff), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, k_eff), jnp.float32),
+            pltpu.VMEM((bq, k_eff), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * tq_pad * n_pad * td_pad * d_pad,
+            bytes_accessed=(b_pad * tq_pad + n_pad * td_pad) * d_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, docs, dbias)
+    out_s, out_i = out_s[:b], out_i[:b]
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return out_s, out_i
+
+
+def maxsim_topk(queries, query_lens, docs, doc_lens, k, method: str = "auto"):
+    from autorag_research_tpu.ops.dense import on_tpu
+
+    if method == "auto":
+        method = "pallas" if on_tpu() else "xla"
+    if method == "pallas":
+        return maxsim_topk_pallas(queries, query_lens, docs, doc_lens, k)
+    if method == "xla":
+        return maxsim_topk_xla(queries, query_lens, docs, doc_lens, k)
+    raise ValueError(f"unknown maxsim method: {method}")

@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, _round_up
-from autorag_research_tpu.ops.topk import merge_topk
+from autorag_research_tpu.ops.topk import sort_topk
 
 DOC_PAD = -1
 QUERY_PAD = -2
@@ -76,11 +76,12 @@ def bm25_topk_xla(
         base = tile_idx * tile_n
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
         scores = jnp.where(col < n, scores, NEG_INF)
-        tile_s, tile_local = jax.lax.top_k(scores, k_eff)
+        tile_k = min(k_eff, tile_n)
+        tile_s, tile_local = jax.lax.top_k(scores, tile_k)
         tile_i = tile_local + base
-        merged = merge_topk(
-            jnp.stack([carry_s, tile_s], axis=1),
-            jnp.stack([carry_i, tile_i], axis=1),
+        merged = sort_topk(
+            jnp.concatenate([carry_s, tile_s], axis=1),
+            jnp.concatenate([carry_i, tile_i], axis=1),
             k_eff,
         )
         return merged, None
@@ -172,6 +173,7 @@ def bm25_topk_pallas(
     slots_pad = _round_up(slots, 128)
     bq = min(block_q, _round_up(bsz, 8))
     bsz_pad = _round_up(bsz, bq)
+    block_n = max(block_n, _round_up(k_eff, 128))  # tile must hold >= k
     n_pad = _round_up(n, block_n)
     doc_ids = jnp.pad(
         doc_ids, ((0, n_pad - n), (0, slots_pad - slots)), constant_values=DOC_PAD

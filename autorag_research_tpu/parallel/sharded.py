@@ -89,3 +89,50 @@ def sharded_dense_topk(
         scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
     return scores, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_total", "mesh", "method"))
+def sharded_maxsim_topk(
+    queries: jax.Array,  # [B, Tq, d] replicated
+    query_lens: jax.Array,  # [B]
+    docs: jax.Array,  # [N_pad, Td, d] sharded on corpus axis
+    doc_lens: jax.Array,  # [N_pad] sharded
+    k: int,
+    n_total: int,
+    mesh: Mesh,
+    method: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Global MaxSim top-k over a corpus-sharded multi-vector index; same
+    per-shard + all_gather merge pattern as :func:`sharded_dense_topk`
+    (padding docs carry doc_lens == 0 and are masked by the local kernel)."""
+    from autorag_research_tpu.ops.maxsim import maxsim_topk_pallas, maxsim_topk_xla
+
+    if method == "auto":
+        method = "pallas" if on_tpu() else "xla"
+    kernel = maxsim_topk_pallas if method == "pallas" else maxsim_topk_xla
+    n_shards = mesh.shape[CORPUS_AXIS]
+    shard_rows = docs.shape[0] // n_shards
+    k_eff = min(k, n_total)
+
+    def local_search(q, qlens, d_shard, dlens_shard):
+        scores, local_ids = kernel(q, qlens, d_shard, dlens_shard, k_eff)
+        offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
+        gids = local_ids + offset
+        valid = (gids < n_total) & (local_ids < shard_rows)
+        scores = jnp.where(valid, scores, NEG_INF)
+        gids = jnp.where(valid, gids, INT_MAX)
+        all_s = jax.lax.all_gather(scores, CORPUS_AXIS)
+        all_i = jax.lax.all_gather(gids, CORPUS_AXIS)
+        return merge_topk(jnp.swapaxes(all_s, 0, 1), jnp.swapaxes(all_i, 0, 1), k_eff)
+
+    scores, ids = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(None, None, None), P(None), P(CORPUS_AXIS, None, None), P(CORPUS_AXIS)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(queries, query_lens, docs, doc_lens)
+    if k_eff < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return scores, ids

@@ -1,0 +1,144 @@
+"""MaxSim kernels vs numpy oracle; MultiVectorIndex; multi-mode pipeline."""
+
+import numpy as np
+import pytest
+
+from autorag_research_tpu.index.dense import l2_normalize
+from autorag_research_tpu.index.multi_vector import MultiVectorIndex, pad_ragged
+from autorag_research_tpu.ops.maxsim import maxsim_topk_pallas, maxsim_topk_xla
+
+
+def numpy_maxsim(queries, q_lens, docs, d_lens):
+    """Oracle: [B, N] raw maxsim scores with masking."""
+    b, tq, _ = queries.shape
+    n, td, _ = docs.shape
+    out = np.zeros((b, n), np.float32)
+    for bi in range(b):
+        for ni in range(n):
+            if d_lens[ni] == 0:
+                out[bi, ni] = -np.inf
+                continue
+            s = queries[bi, : q_lens[bi]] @ docs[ni, : d_lens[ni]].T
+            out[bi, ni] = s.max(axis=1).sum() if s.size else 0.0
+    return out
+
+
+@pytest.fixture(scope="module")
+def ragged_data():
+    rng = np.random.default_rng(5)
+    docs = [rng.normal(size=(rng.integers(2, 9), 16)).astype(np.float32) for _ in range(37)]
+    queries = [rng.normal(size=(rng.integers(2, 6), 16)).astype(np.float32) for _ in range(5)]
+    return queries, docs
+
+
+def _padded(queries, docs):
+    q, ql = pad_ragged(queries)
+    d, dl = pad_ragged(docs)
+    return q, ql, d, dl
+
+
+@pytest.mark.parametrize("method", ["xla", "pallas"])
+def test_kernel_matches_oracle(ragged_data, method):
+    import jax.numpy as jnp
+
+    queries, docs = ragged_data
+    q, ql, d, dl = _padded(queries, docs)
+    oracle = numpy_maxsim(q, ql, d, dl)
+    order = np.lexsort((np.arange(len(docs))[None].repeat(len(queries), 0), -oracle), axis=1)[:, :5]
+    if method == "xla":
+        s, ids = maxsim_topk_xla(jnp.asarray(q), jnp.asarray(ql), jnp.asarray(d), jnp.asarray(dl), 5, tile_n=8)
+    else:
+        s, ids = maxsim_topk_pallas(
+            jnp.asarray(q), jnp.asarray(ql), jnp.asarray(d), jnp.asarray(dl), 5,
+            block_q=8, block_n=8, interpret=True,
+        )
+    np.testing.assert_array_equal(np.asarray(ids), order)
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(oracle, order, axis=1), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_empty_doc_masked(ragged_data):
+    import jax.numpy as jnp
+
+    queries, docs = ragged_data
+    q, ql, d, dl = _padded(queries, docs)
+    dl = dl.copy()
+    dl[3] = 0  # empty doc must never be retrieved
+    s, ids = maxsim_topk_xla(jnp.asarray(q), jnp.asarray(ql), jnp.asarray(d), jnp.asarray(dl), 37, tile_n=8)
+    assert not (np.asarray(ids)[:, :36] == 3).any()
+
+
+class TestMultiVectorIndex:
+    def test_score_normalization_convention(self, ragged_data):
+        queries, docs = ragged_data
+        idx = MultiVectorIndex([f"d{i}" for i in range(len(docs))], docs)
+        hits = idx.search(queries[:2], 3, method="xla")
+        # normalized vectors + /n_query_vectors -> scores in [-1, 1]
+        for row in hits:
+            for h in row:
+                assert -1.001 <= h.score <= 1.001
+
+    def test_identical_doc_query_is_top(self):
+        rng = np.random.default_rng(0)
+        docs = [rng.normal(size=(4, 8)).astype(np.float32) for _ in range(10)]
+        idx = MultiVectorIndex([f"d{i}" for i in range(10)], docs)
+        hits = idx.search([docs[7]], 3, method="xla")
+        assert hits[0][0].doc_id == "d7"
+        assert hits[0][0].score == pytest.approx(1.0, abs=1e-5)
+
+    def test_save_load(self, tmp_path, ragged_data):
+        queries, docs = ragged_data
+        idx = MultiVectorIndex([f"d{i}" for i in range(len(docs))], docs)
+        before = idx.search(queries[:1], 4, method="xla")
+        idx.save(tmp_path / "mv")
+        idx2 = MultiVectorIndex.load(tmp_path / "mv")
+        after = idx2.search(queries[:1], 4, method="xla")
+        assert [h.doc_id for h in before[0]] == [h.doc_id for h in after[0]]
+
+    def test_sharded_matches_single(self, ragged_data):
+        from autorag_research_tpu.parallel.mesh import corpus_mesh
+
+        queries, docs = ragged_data
+        ids = [f"d{i}" for i in range(len(docs))]
+        single = MultiVectorIndex(ids, docs).search(queries[:3], 5, method="xla")
+        mesh = corpus_mesh(n_corpus=8)
+        sharded = MultiVectorIndex(ids, docs).to_device(mesh).search(queries[:3], 5)
+        for a, b in zip(single, sharded):
+            assert [h.doc_id for h in a] == [h.doc_id for h in b]
+            np.testing.assert_allclose(
+                [h.score for h in a], [h.score for h in b], rtol=1e-4
+            )
+
+    def test_max_tokens_cap(self, ragged_data):
+        _, docs = ragged_data
+        idx = MultiVectorIndex([f"d{i}" for i in range(len(docs))], docs, max_tokens=3)
+        assert idx.max_doc_tokens == 3
+
+
+def test_multi_mode_pipeline(tmp_path):
+    from autorag_research_tpu.config import BaseMetricConfig, ExecutorConfig
+    from autorag_research_tpu.embeddings import MockMultiVectorEmbedding
+    from autorag_research_tpu.executor import Executor
+    from autorag_research_tpu.index import registry
+    from autorag_research_tpu.pipelines.retrieval.vector_search import VectorSearchConfig
+    from autorag_research_tpu.store.catalog import Catalog
+
+    registry.invalidate()
+    emb = MockMultiVectorEmbedding(dim=16)
+    docs = ["alpha beta", "gamma delta epsilon", "zeta eta"]
+    cat = Catalog(tmp_path / "mv.db", embedding_dim=16)
+    cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(docs)])
+    cat.set_multi_embeddings("chunk", [(i, emb.embed_query_multi(d)) for i, d in enumerate(docs)])
+    cat.add_queries([{"id": 0, "contents": "gamma delta"}])
+    cat.set_multi_embeddings("query", [(0, emb.embed_query_multi("gamma delta epsilon"))])
+    cat.add_retrieval_gt(0, 1)
+    cfg = ExecutorConfig(
+        pipelines=[VectorSearchConfig(name="mv", search_mode="multi", top_k=2)],
+        metrics=[BaseMetricConfig(name="recall")],
+        health_check=False,
+    )
+    result = Executor(cat, cfg).run()
+    assert result.success, result.report()
+    assert result.pipelines[0].metrics[0].average == 1.0
+    registry.invalidate()
