@@ -1,0 +1,95 @@
+"""Headline benchmark: dense exact top-k retrieval QPS on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Method: BEIR-scale synthetic corpus (500k docs x 768-dim f32, L2-normalized —
+the reference's pgvector layout is f32; exact scan, not ANN), query batches of
+256, sustained throughput measured with the repeat loop *inside* one jit call
+(per-call tunnel latency would otherwise dominate; see SKILL notes).
+
+vs_baseline: the reference executes one exact scan per query inside Postgres
+(`ORDER BY embedding <=> q LIMIT k`, orm/repository/base.py:404-426). As the
+reference publishes no numbers (BASELINE.md), the baseline is *measured here*:
+the same exact top-k computed per query on this host's CPU with numpy — an
+upper bound on single-process CPU exact-scan QPS, which is the reference's
+algorithmic shape. vs_baseline = tpu_qps / cpu_qps.
+
+Details go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def cpu_baseline_qps(corpus: np.ndarray, queries: np.ndarray, k: int) -> float:
+    """Reference-shaped cost: one exact scan + top-k per query on CPU."""
+    n_queries = min(8, len(queries))
+    t0 = time.perf_counter()
+    for q in queries[:n_queries]:
+        scores = corpus @ q
+        idx = np.argpartition(-scores, k)[:k]
+        idx[np.argsort(-scores[idx])]
+    dt = time.perf_counter() - t0
+    return n_queries / dt
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.dense import dense_topk_pallas
+
+    N, d, B, K, REPS = 500_000, 768, 256, 10, 20
+    rng = np.random.default_rng(0)
+    log(f"building corpus {N}x{d} f32 ...")
+    corpus = rng.normal(size=(N, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.normal(size=(REPS, B, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+
+    log("measuring CPU exact-scan baseline ...")
+    baseline_qps = cpu_baseline_qps(corpus, queries[0], K)
+    log(f"cpu exact-scan baseline: {baseline_qps:.1f} QPS")
+
+    log("transferring to TPU + compiling ...")
+    cj = jax.device_put(jnp.asarray(corpus))
+    qj = jax.device_put(jnp.asarray(queries))
+
+    @jax.jit
+    def run(qs, c):
+        s, i = jax.lax.map(lambda q: dense_topk_pallas(q, c, K, block_q=256), qs)
+        return s.sum(), i
+
+    tot, ids = run(qj, cj)
+    float(tot)  # force full execution (block_until_ready is lazy over the tunnel)
+    t0 = time.perf_counter()
+    tot, ids = run(qj, cj)
+    float(tot)
+    dt = (time.perf_counter() - t0) / REPS
+    qps = B / dt
+    tflops = 2 * B * N * d / dt / 1e12
+    log(
+        f"tpu dense exact top-{K}: {dt * 1e3:.2f} ms / {B}-query batch, "
+        f"{qps:,.0f} QPS, {tflops:.1f} TFLOP/s (f32 HIGHEST)"
+    )
+    result = {
+        "metric": f"dense_exact_top{K}_qps_{N // 1000}k_x{d}",
+        "value": round(qps, 1),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps / baseline_qps, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
