@@ -1,0 +1,322 @@
+"""All 17 generation pipelines driven with scripted/mocked LLMs."""
+
+import pytest
+
+from autorag_research_tpu.embeddings import MockEmbedding
+from autorag_research_tpu.index import registry
+from autorag_research_tpu.llm import LLMResult, MockLLM, ScriptedLLM
+from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Pipeline
+from autorag_research_tpu.store.catalog import Catalog
+from autorag_research_tpu.utils.concurrency import run_async
+
+DOCS = [
+    "Paris is the capital of France.",
+    "Berlin is the capital of Germany.",
+    "The Seine river flows through Paris.",
+    "Germany borders France to the east.",
+]
+
+
+@pytest.fixture
+def acat(tmp_path):
+    registry.invalidate()
+    cat = Catalog(tmp_path / "a.db")
+    cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(DOCS)])
+    cat.add_queries([{"id": 0, "contents": "What is the capital of France?",
+                      "generation_gt": ["Paris"]}])
+    cat.add_retrieval_gt(0, 0)
+    yield cat
+    registry.invalidate()
+
+
+@pytest.fixture
+def bm25(acat):
+    return BM25Pipeline(acat, "bm25_sub")
+
+
+def generate(pipeline, top_k=3):
+    return run_async(pipeline._generate(0, top_k))
+
+
+def test_ircot_terminates_on_answer(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.ircot import IRCoTPipeline
+
+    llm = ScriptedLLM(
+        responses=["The question asks about France's capital.", "answer is: Paris"]
+    )
+    out = generate(IRCoTPipeline(acat, retrieval_pipeline=bm25, llm=llm, max_steps=4))
+    assert out.text == "Paris"
+    assert out.metadata["steps"] == 2
+    assert out.metadata["context_chunk_ids"]
+
+
+def test_ircot_budget_fallback(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.ircot import IRCoTPipeline
+
+    llm = ScriptedLLM(responses=["thinking...", "still thinking...", "Paris"])
+    out = generate(IRCoTPipeline(acat, "ircot2", retrieval_pipeline=bm25, llm=llm, max_steps=2))
+    assert out.text == "Paris"  # QA fallback prompt consumed the last response
+
+
+def test_search_r1_protocol(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.search_r1 import SearchR1Pipeline
+
+    llm = ScriptedLLM(
+        responses=[
+            "<think>need info</think><search>capital of France</search>trailing junk",
+            "<think>got it</think><answer>Paris</answer>",
+        ]
+    )
+    out = generate(SearchR1Pipeline(acat, retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris"
+    assert out.metadata["terminated_by"] == "answer"
+    assert "<information>" in out.metadata["rollout"]
+    assert "trailing junk" not in out.metadata["rollout"]  # truncated at action
+
+
+def test_search_r1_budget_fallback(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.search_r1 import SearchR1Pipeline
+
+    llm = ScriptedLLM(
+        responses=["<search>France</search>", "<search>capital</search>", "Paris"]
+    )
+    out = generate(SearchR1Pipeline(acat, "sr2", retrieval_pipeline=bm25, llm=llm, max_actions=2))
+    assert out.text == "Paris"
+    assert out.metadata["terminated_by"] == "budget_exhausted_fallback"
+
+
+def test_self_rag_loop(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.self_rag import SelfRAGPipeline
+
+    llm = ScriptedLLM(
+        responses=[
+            "Maybe Lyon",  # initial
+            '{"should_retrieve": true, "is_supported": false, "retrieval_query": "capital of France", "critique": "unsupported"}',
+            "Paris",  # revision
+            '{"should_retrieve": false, "is_supported": true, "retrieval_query": "", "critique": "ok"}',
+        ]
+    )
+    out = generate(SelfRAGPipeline(acat, retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris"
+    assert len(out.metadata["critiques"]) == 2
+
+
+def test_adaptive_rag_routes(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.adaptive_rag import AdaptiveRAGPipeline
+
+    # zero route
+    llm = ScriptedLLM(responses=["simple", "Paris"])
+    out = generate(AdaptiveRAGPipeline(acat, "ar0", retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris" and out.metadata["route"] == "zero"
+    assert out.metadata["context_chunk_ids"] == []
+    # single route
+    llm = ScriptedLLM(responses=["moderate", "Paris"])
+    out = generate(AdaptiveRAGPipeline(acat, "ar1", retrieval_pipeline=bm25, llm=llm))
+    assert out.metadata["route"] == "single" and out.metadata["context_chunk_ids"]
+    # multi route with early answer
+    llm = ScriptedLLM(responses=["complex", "answer is: Paris"])
+    out = generate(AdaptiveRAGPipeline(acat, "ar2", retrieval_pipeline=bm25, llm=llm))
+    assert out.metadata["route"] == "multi" and out.text == "paris"
+
+
+def test_question_decomposition_gen(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.question_decomposition import (
+        QuestionDecompositionGenerationPipeline,
+    )
+
+    llm = ScriptedLLM(responses=["Which country?\nWhat is its capital?", "Paris"])
+    out = generate(
+        QuestionDecompositionGenerationPipeline(acat, retrieval_pipeline=bm25, llm=llm)
+    )
+    assert out.text == "Paris"
+    assert len(out.metadata["subquestions"]) == 2
+
+
+def test_dynamic_rag_selection(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.dynamic_rag import DynamicRAGPipeline
+
+    llm = ScriptedLLM(responses=["1, 2", "Paris"])
+    out = generate(DynamicRAGPipeline(acat, retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris"
+    assert len(out.metadata["selected_chunk_ids"]) == 2
+
+
+def test_dynamic_rag_empty_selection(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.dynamic_rag import DynamicRAGPipeline
+
+    llm = ScriptedLLM(responses=["none", "Paris from memory"])
+    out = generate(DynamicRAGPipeline(acat, "dr2", retrieval_pipeline=bm25, llm=llm))
+    assert out.metadata["selected_chunk_ids"] == []
+
+
+def test_et2rag_majority_vote(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.et2rag import ET2RAGPipeline
+
+    answers = iter(["Paris", "Paris!", "Lyon", "paris", "Lyon"])
+    llm = MockLLM(responder=lambda p: next(answers))
+    out = generate(ET2RAGPipeline(acat, retrieval_pipeline=bm25, llm=llm, num_subsets=5))
+    assert "paris" in out.text.lower()
+    assert out.metadata["votes"]["paris"] == 3
+
+
+def test_spd_rag_aggregates(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.spd_rag import SPDRAGPipeline
+
+    def responder(prompt):
+        if "Finding:" in prompt:
+            return "IRRELEVANT" if "Berlin" in prompt else "Mentions Paris as capital"
+        return "Paris"
+
+    out = generate(SPDRAGPipeline(acat, retrieval_pipeline=bm25, llm=MockLLM(responder=responder)))
+    assert out.text == "Paris"
+    assert 1 not in out.metadata["context_chunk_ids"]  # Berlin doc filtered
+
+
+def test_deep_rag_trace(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.deep_rag import DeepRAGPipeline
+
+    llm = ScriptedLLM(
+        responses=[
+            '{"action": "subquery", "subquery": "capital of France", "use_retrieval": true}',
+            "Paris",  # sub-answer
+            '{"action": "terminate", "final_answer": "Paris"}',
+        ]
+    )
+    out = generate(DeepRAGPipeline(acat, retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris"
+    assert "[retrieval]" in out.metadata["trace"][0]
+
+
+def test_main_rag_filters(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.main_rag import MainRAGPipeline
+
+    def responder(prompt):
+        if "Reply:" in prompt:
+            return "Yes" if "France" in prompt or "Paris" in prompt else "No"
+        return "Paris"
+
+    out = generate(
+        MainRAGPipeline(acat, retrieval_pipeline=bm25, llm=MockLLM(responder=responder), tau=0.0)
+    )
+    assert out.text == "Paris"
+    assert out.metadata["filter_scores"]
+
+
+def test_rag_critic_corrective_loop(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.rag_critic import RAGCriticPipeline
+
+    llm = ScriptedLLM(
+        responses=[
+            "Lyon",  # draft
+            '{"error_type": "unsupported_claim", "fix_query": "", "note": "Lyon is wrong"}',
+            "Paris",  # revision
+            '{"error_type": "no_error", "fix_query": "", "note": ""}',
+        ]
+    )
+    out = generate(RAGCriticPipeline(acat, retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris"
+    assert out.metadata["critiques"][0]["error_type"] == "unsupported_claim"
+
+
+def test_interact_rag_commands(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.interact_rag import InteractRAGPipeline
+
+    llm = ScriptedLLM(
+        responses=[
+            "sparse(capital of France)",
+            "include(Paris)",
+            "answer(Paris)",
+        ]
+    )
+    out = generate(
+        InteractRAGPipeline(acat, retrieval_pipeline=bm25, sparse_retrieval_pipeline=bm25, llm=llm)
+    )
+    assert out.text == "Paris"
+    assert out.metadata["interaction_log"][0].startswith("sparse")
+    # include(Paris) filtered to docs mentioning Paris
+    assert set(out.metadata["context_chunk_ids"]) <= {0, 2}
+
+
+def test_hybrid_deep_searcher_parallel(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.hybrid_deep_searcher import (
+        HybridDeepSearcherPipeline,
+    )
+
+    llm = ScriptedLLM(
+        responses=[
+            "<search>capital France</search><search>Seine river</search>",
+            "<answer>Paris</answer>",
+        ]
+    )
+    out = generate(HybridDeepSearcherPipeline(acat, retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris"
+    assert out.metadata["searches_used"] == 2
+    assert len(out.metadata["interaction_log"]) == 2
+
+
+def test_ras_triples(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.ras import RASPipeline
+
+    llm = ScriptedLLM(
+        responses=[
+            "capital of France",  # plan
+            "(Paris; is capital of; France)",  # triples
+            "Yes",  # sufficient
+            "Paris",  # final
+        ]
+    )
+    out = generate(RASPipeline(acat, retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris"
+    assert out.metadata["triples"] == [["Paris", "is capital of", "France"]]
+
+
+def test_autothinkrag_routes(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.autothinkrag import AutoThinkRAGPipeline
+
+    llm = ScriptedLLM(responses=["simple", "Paris"])
+    out = generate(AutoThinkRAGPipeline(acat, retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris" and out.metadata["complexity"] == "simple"
+
+    def responder(prompt):
+        if "Facts:" in prompt and "Item:" in prompt:
+            return "Paris is the capital" if "Paris" in prompt else "NONE"
+        if "Reason over" in prompt:
+            return "Paris"
+        return "complex"
+
+    out = generate(AutoThinkRAGPipeline(acat, "atr2", retrieval_pipeline=bm25, llm=MockLLM(responder=responder)))
+    assert out.text == "Paris" and out.metadata["complexity"] == "complex"
+    assert out.metadata["perceived_facts"]
+
+
+def test_visrag_gen_passes_images(tmp_path):
+    from autorag_research_tpu.embeddings import MockEmbedding
+    from autorag_research_tpu.pipelines.generation.visrag_gen import VisRAGGenerationPipeline
+    from autorag_research_tpu.pipelines.retrieval.image_vector_search import (
+        ImageVectorSearchPipeline,
+    )
+
+    registry.invalidate()
+    emb = MockEmbedding(dim=16)
+    cat = Catalog(tmp_path / "v.db", embedding_dim=16)
+    imgs = [b"img-a", b"img-b"]
+    cat.add_image_chunks(
+        [{"id": i, "image": img, "mimetype": "image/png",
+          "embedding": emb.embed_images([img])[0]} for i, img in enumerate(imgs)]
+    )
+    cat.add_queries([{"id": 0, "contents": "what is on page a"}])
+    cat.set_embeddings("query", [(0, emb.embed_images([imgs[0]])[0])])
+
+    received = {}
+
+    class VLM(MockLLM):
+        async def agenerate(self, prompt, **kwargs):
+            received["images"] = kwargs.get("images")
+            return LLMResult(text="The page shows A", token_usage={"total_tokens": 1})
+
+    ivs = ImageVectorSearchPipeline(cat, "ivs_sub")
+    pipe = VisRAGGenerationPipeline(cat, retrieval_pipeline=ivs, llm=VLM(), max_images=1)
+    out = run_async(pipe._generate(0, 2))
+    assert out.text == "The page shows A"
+    assert received["images"] == [b"img-a"]
+    registry.invalidate()
