@@ -1,0 +1,365 @@
+"""Command-line interface.
+
+UX parity with the reference Typer CLI (``cli/app.py:35-92`` and
+``cli/commands/*``): ``init, show, ingest, run, data, drop, plugin,
+health-check`` — implemented with argparse (Typer is not in this image).
+
+The "database" is a workspace directory holding ``catalog.db`` plus saved
+index artifacts — the role Postgres databases play in the reference.
+``data dump/restore`` tars the workspace (the ``pg_dump``/``pg_restore``
+analogue, ``orm/connection.py:298-486``).
+
+Entry point: ``python -m autorag_research_tpu.cli ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import tarfile
+from pathlib import Path
+
+logger = logging.getLogger("AutoRAG-Research-TPU")
+
+
+def _setup_logging(verbose: bool) -> None:
+    logging.basicConfig(
+        level=logging.DEBUG if verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+
+
+def _open_catalog(db: str):
+    from autorag_research_tpu.store.catalog import Catalog
+
+    path = Path(db)
+    if path.is_dir() or not path.suffix:
+        path.mkdir(parents=True, exist_ok=True)
+        return Catalog(path / "catalog.db")
+    return Catalog(path)
+
+
+# ---------------------------------------------------------------------- run
+def cmd_run(args) -> int:
+    from autorag_research_tpu.cli.config_resolver import ConfigResolver
+    from autorag_research_tpu.config import BuildContext
+    from autorag_research_tpu.executor import Executor
+    from autorag_research_tpu.injection import ModelRegistry
+
+    resolver = ConfigResolver(args.config_path)
+    config = resolver.load_experiment(args.experiment)
+    catalog = _open_catalog(args.db)
+    mesh = None
+    if args.mesh:
+        from autorag_research_tpu.parallel.mesh import corpus_mesh
+
+        mesh = corpus_mesh()
+    context = BuildContext(
+        mesh=mesh,
+        models=ModelRegistry(args.config_path),
+        pipeline_configs=dict(getattr(config, "extra_pipeline_configs", {})),
+    )
+    result = Executor(catalog, config, context).run()
+    print(result.report())
+    return 0 if result.success else 1
+
+
+# -------------------------------------------------------------------- ingest
+def cmd_ingest(args) -> int:
+    from autorag_research_tpu.data.registry import get_ingestor
+    from autorag_research_tpu.injection import ModelRegistry
+    from autorag_research_tpu.store.ingestion import IngestionService
+
+    info = get_ingestor(args.name)
+    extra = {}
+    for kv in args.extra or []:
+        key, _, value = kv.partition("=")
+        key = key.replace("-", "_")
+        for p in info.params:
+            if p.name == key and p.annotation in (int, float):
+                value = p.annotation(value)
+        extra[key] = value
+
+    embedding_model = None
+    if args.embedding_model:
+        embedding_model = ModelRegistry(args.config_path).load_embedding(args.embedding_model)
+    ingestor = info.cls(embedding_model=embedding_model, **extra)
+
+    catalog = _open_catalog(args.db)
+    ingestor.set_service(IngestionService(catalog))
+    ingestor.ingest(
+        subset=args.subset, query_limit=args.query_limit, min_corpus_cnt=args.min_corpus_cnt
+    )
+    print(json.dumps(catalog.stats(), indent=2))
+    if embedding_model is not None and not args.skip_embed:
+        if args.late_interaction:
+            stats = ingestor.embed_all_late_interaction()
+        else:
+            stats = ingestor.embed_all()
+        for table, s in stats.items():
+            print(f"embedded {table}: {s.embedded}/{s.total} (failed: {len(s.failed_ids)})")
+    return 0
+
+
+# ---------------------------------------------------------------------- show
+def cmd_show(args) -> int:
+    what = args.what
+    if what == "ingestors" or what == "datasets":
+        from autorag_research_tpu.data.registry import list_ingestors
+
+        for info in list_ingestors():
+            params = ", ".join(
+                f"{p.name}={p.default!r}" if not p.required else p.name for p in info.params
+            )
+            print(f"{info.name:16s} {info.description}  ({params})")
+    elif what == "pipelines":
+        from autorag_research_tpu.config import BasePipelineConfig
+        import autorag_research_tpu.pipelines.retrieval  # noqa: F401
+        import autorag_research_tpu.pipelines.generation  # noqa: F401
+
+        for name, cls in sorted(BasePipelineConfig.registry.items()):
+            print(f"{name:28s} [{cls.kind}]")
+    elif what == "metrics":
+        from autorag_research_tpu.evaluation.metrics.generation import GENERATION_METRICS
+        from autorag_research_tpu.evaluation.metrics.retrieval import RETRIEVAL_METRICS
+
+        for name in RETRIEVAL_METRICS:
+            print(f"{name:28s} [retrieval]")
+        for name in GENERATION_METRICS:
+            print(f"{name:28s} [generation]")
+    elif what == "databases":
+        root = Path(args.root or ".")
+        for p in sorted(root.glob("**/catalog.db")):
+            print(p.parent)
+    else:
+        print(f"unknown 'show {what}'", file=sys.stderr)
+        return 1
+    return 0
+
+
+# ---------------------------------------------------------------------- data
+def cmd_data(args) -> int:
+    workspace = Path(args.db)
+    if args.action == "dump":
+        out = Path(args.file or f"{workspace.name}.dump.tar.gz")
+        with tarfile.open(out, "w:gz") as tar:
+            tar.add(workspace, arcname=workspace.name)
+        print(f"dumped {workspace} -> {out}")
+    elif args.action == "restore":
+        import shutil
+        import tempfile
+
+        src = Path(args.file)
+        if workspace.exists():
+            print(f"refusing to restore over existing {workspace}", file=sys.stderr)
+            return 1
+        workspace.parent.mkdir(parents=True, exist_ok=True)
+        # extract into a scratch dir first so an archive whose root collides
+        # with an existing workspace can never merge into or move it
+        with tempfile.TemporaryDirectory(dir=workspace.parent) as tmp:
+            with tarfile.open(src, "r:gz") as tar:
+                tar.extractall(tmp, filter="data")
+            roots = list(Path(tmp).iterdir())
+            if len(roots) != 1:
+                print(f"unexpected archive layout: {[r.name for r in roots]}", file=sys.stderr)
+                return 1
+            shutil.move(str(roots[0]), str(workspace))
+        print(f"restored {src} -> {workspace}")
+    elif args.action in ("upload", "download"):
+        print(
+            "HF Hub dump distribution requires network egress; on a connected "
+            "deployment use huggingface_hub.upload_file / hf_hub_download on "
+            "the dump tarball.",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
+# ---------------------------------------------------------------------- drop
+def cmd_drop(args) -> int:
+    import shutil
+
+    workspace = Path(args.db)
+    if not workspace.exists():
+        print(f"{workspace} does not exist", file=sys.stderr)
+        return 1
+    if not args.yes:
+        reply = input(f"drop workspace {workspace}? [y/N] ")
+        if reply.lower() != "y":
+            return 1
+    if workspace.is_dir():
+        shutil.rmtree(workspace)
+    else:
+        workspace.unlink()
+    print(f"dropped {workspace}")
+    return 0
+
+
+# -------------------------------------------------------------- health-check
+def cmd_health_check(args) -> int:
+    from autorag_research_tpu.injection import ModelRegistry
+
+    ok = True
+    if args.db:
+        db_path = Path(args.db)
+        target = db_path / "catalog.db" if (db_path.is_dir() or not db_path.suffix) else db_path
+        if not target.exists():
+            print(f"db FAILED: no catalog at {target}")
+            ok = False
+        else:
+            try:
+                catalog = _open_catalog(args.db)
+                stats = catalog.stats()
+                print(f"db ok: {stats}")
+            except Exception as exc:  # noqa: BLE001
+                print(f"db FAILED: {exc}")
+                ok = False
+    registry = ModelRegistry(args.config_path)
+    for kind, name in (("llm", args.llm), ("embedding", args.embedding), ("reranker", args.reranker)):
+        if not name:
+            continue
+        try:
+            getattr(registry, f"load_{kind}")(name)
+            print(f"{kind} '{name}' ok")
+        except Exception as exc:  # noqa: BLE001
+            print(f"{kind} '{name}' FAILED: {exc}")
+            ok = False
+    import jax
+
+    print(f"jax backend: {jax.default_backend()}, devices: {jax.device_count()}")
+    return 0 if ok else 1
+
+
+# ---------------------------------------------------------------------- init
+def cmd_init(args) -> int:
+    from autorag_research_tpu.cli.templates import write_default_configs
+
+    target = Path(args.config_path)
+    written = write_default_configs(target, overwrite=args.force)
+    for p in written:
+        print(f"wrote {p}")
+    if not written:
+        print("all config files already exist (use --force to overwrite)")
+    return 0
+
+
+# -------------------------------------------------------------------- plugin
+def cmd_plugin(args) -> int:
+    from autorag_research_tpu.plugin_registry import create_plugin_scaffold, sync_plugin_configs
+
+    if args.action == "create":
+        path = create_plugin_scaffold(args.name, Path(args.dir or "."))
+        print(f"created plugin scaffold at {path}")
+    elif args.action == "sync":
+        copied = sync_plugin_configs(Path(args.config_path))
+        for p in copied:
+            print(f"synced {p}")
+        if not copied:
+            print("no plugin configs found to sync")
+    return 0
+
+
+# ------------------------------------------------------------------- report
+def cmd_report(args) -> int:
+    from autorag_research_tpu.reporting.service import ReportingService
+
+    service = ReportingService([Path(args.db)])
+    df = service.leaderboard()
+    if df.empty:
+        print("no evaluation results found")
+        return 1
+    print(df.to_string(index=False))
+    if args.html:
+        from autorag_research_tpu.reporting.html import write_html_report
+
+        out = write_html_report(service, Path(args.html))
+        print(f"wrote {out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="autorag-research-tpu", description="TPU-native RAG research framework"
+    )
+    parser.add_argument("--config-path", default="./configs", help="config tree root")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("run", help="run the configured experiment")
+    p.add_argument("--db", required=True, help="workspace dir or catalog file")
+    p.add_argument("--experiment", default=None, help="experiment yaml (default configs/experiment.yaml)")
+    p.add_argument("--mesh", action="store_true", help="shard indexes over all devices")
+    p.set_defaults(func=cmd_run)
+
+    p = sub.add_parser("ingest", help="ingest a benchmark dataset")
+    p.add_argument("--name", required=True)
+    p.add_argument("--db", required=True)
+    p.add_argument("--subset", default="test")
+    p.add_argument("--query-limit", type=int, default=None)
+    p.add_argument("--min-corpus-cnt", type=int, default=None)
+    p.add_argument("--embedding-model", default=None)
+    p.add_argument("--late-interaction", action="store_true")
+    p.add_argument("--skip-embed", action="store_true")
+    p.add_argument("--extra", action="append", help="k=v ingestor params", default=None)
+    p.set_defaults(func=cmd_ingest)
+
+    p = sub.add_parser("show", help="list datasets/ingestors/pipelines/metrics/databases")
+    p.add_argument("what", choices=["datasets", "ingestors", "pipelines", "metrics", "databases"])
+    p.add_argument("--root", default=None)
+    p.set_defaults(func=cmd_show)
+
+    p = sub.add_parser("data", help="dump/restore workspace artifacts")
+    p.add_argument("action", choices=["dump", "restore", "upload", "download"])
+    p.add_argument("--db", required=True)
+    p.add_argument("--file", default=None)
+    p.set_defaults(func=cmd_data)
+
+    p = sub.add_parser("drop", help="delete a workspace")
+    p.add_argument("--db", required=True)
+    p.add_argument("-y", "--yes", action="store_true")
+    p.set_defaults(func=cmd_drop)
+
+    p = sub.add_parser("health-check", help="probe db / models / devices")
+    p.add_argument("--db", default=None)
+    p.add_argument("--llm", default=None)
+    p.add_argument("--embedding", default=None)
+    p.add_argument("--reranker", default=None)
+    p.set_defaults(func=cmd_health_check)
+
+    p = sub.add_parser("init", help="write the default config tree")
+    p.add_argument("--force", action="store_true")
+    p.set_defaults(func=cmd_init)
+
+    p = sub.add_parser("plugin", help="plugin scaffolding / config sync")
+    p.add_argument("action", choices=["create", "sync"])
+    p.add_argument("--name", default="my_plugin")
+    p.add_argument("--dir", default=None)
+    p.set_defaults(func=cmd_plugin)
+
+    p = sub.add_parser("report", help="leaderboard over one or more workspaces")
+    p.add_argument("--db", required=True)
+    p.add_argument("--html", default=None, help="also write an HTML report")
+    p.set_defaults(func=cmd_report)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    import signal
+
+    # behave like a unix tool when piped into head etc.
+    try:
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (AttributeError, ValueError):
+        pass
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    _setup_logging(args.verbose)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,187 @@
+"""CLI, config resolver, injection registry, reporting, plugins."""
+
+import json
+
+import pytest
+
+from autorag_research_tpu.cli.app import main
+from autorag_research_tpu.index import registry
+
+
+@pytest.fixture(autouse=True)
+def clear_cache():
+    registry.invalidate()
+    yield
+    registry.invalidate()
+
+
+@pytest.fixture
+def workspace(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    assert main(["init"]) == 0
+    data = tmp_path / "data"
+    data.mkdir()
+    docs = ["quick brown fox", "lazy dog", "tpu vector search", "rag systems"]
+    (data / "corpus.jsonl").write_text(
+        "\n".join(json.dumps({"id": i, "contents": d}) for i, d in enumerate(docs))
+    )
+    (data / "queries.jsonl").write_text(
+        json.dumps({"id": 100, "contents": "fox", "gt": [[0]], "generation_gt": ["fox"]})
+        + "\n"
+        + json.dumps({"id": 101, "contents": "tpu search", "gt": [[2]]})
+    )
+    assert (
+        main(
+            ["ingest", "--name", "local", "--db", "ws", "--extra", "data_dir=data",
+             "--embedding-model", "mock"]
+        )
+        == 0
+    )
+    return tmp_path
+
+
+def test_init_idempotent(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    assert main(["init"]) == 0
+    assert (tmp_path / "configs" / "experiment.yaml").exists()
+    assert main(["init"]) == 0  # second call: no overwrite, still ok
+
+
+def test_full_run_and_report(workspace, capsys):
+    assert main(["run", "--db", "ws"]) == 0
+    out = capsys.readouterr().out
+    assert "vector_search" in out and "hybrid_rrf" in out and "recall" in out
+    assert main(["report", "--db", "ws", "--html", "report.html"]) == 0
+    assert (workspace / "report.html").exists()
+    html = (workspace / "report.html").read_text()
+    assert "hybrid_rrf" in html and "Borda" in html
+
+
+def test_dump_restore_cycle(workspace):
+    assert main(["data", "dump", "--db", "ws", "--file", "ws.tar.gz"]) == 0
+    assert main(["data", "restore", "--db", "ws2", "--file", "ws.tar.gz"]) == 0
+    assert (workspace / "ws2" / "catalog.db").exists()
+    assert (workspace / "ws" / "catalog.db").exists()  # original untouched
+    assert main(["data", "restore", "--db", "ws2", "--file", "ws.tar.gz"]) == 1
+
+
+def test_drop(workspace):
+    assert main(["drop", "--db", "ws", "-y"]) == 0
+    assert not (workspace / "ws").exists()
+    assert main(["drop", "--db", "ws", "-y"]) == 1
+
+
+def test_show_variants(workspace, capsys):
+    for what, needle in [
+        ("ingestors", "beir"),
+        ("pipelines", "hybrid_rrf"),
+        ("metrics", "ndcg"),
+    ]:
+        assert main(["show", what]) == 0
+        assert needle in capsys.readouterr().out
+
+
+def test_health_check(workspace, capsys):
+    assert main(["health-check", "--db", "ws", "--llm", "mock", "--embedding", "mock"]) == 0
+    out = capsys.readouterr().out
+    assert "db ok" in out and "llm 'mock' ok" in out
+    assert main(["health-check", "--llm", "no_such_model"]) == 1
+
+
+class TestInjection:
+    def test_builtin_and_yaml(self, tmp_path):
+        import yaml
+
+        from autorag_research_tpu.injection import ModelRegistry
+
+        (tmp_path / "embedding").mkdir()
+        (tmp_path / "embedding" / "small.yaml").write_text(
+            yaml.dump({"type": "mock", "dim": 8})
+        )
+        reg = ModelRegistry(tmp_path)
+        emb = reg.load_embedding("small")
+        assert emb.dim == 8
+        assert reg.load_embedding("small") is emb  # cached
+        assert reg.load_llm("mock").model_name == "mock"
+
+    def test_nested_model_resolution(self, tmp_path):
+        import yaml
+
+        from autorag_research_tpu.injection import ModelRegistry
+
+        (tmp_path / "reranker").mkdir()
+        (tmp_path / "reranker" / "lw.yaml").write_text(
+            yaml.dump({"type": "llm_listwise", "llm": "mock"})
+        )
+        reg = ModelRegistry(tmp_path)
+        rr = reg.load_reranker("lw")
+        assert rr.llm.model_name == "mock"
+
+    def test_unknown_raises(self):
+        from autorag_research_tpu.exceptions import ModelLoadError
+        from autorag_research_tpu.injection import ModelRegistry
+
+        with pytest.raises(ModelLoadError):
+            ModelRegistry().load_llm("nope")
+
+
+class TestReporting:
+    def test_borda(self, workspace):
+        main(["run", "--db", "ws"])
+        from autorag_research_tpu.reporting.service import ReportingService
+
+        service = ReportingService([workspace / "ws"])
+        lb = service.leaderboard()
+        assert set(lb.pipeline) == {"vector_search", "bm25", "hybrid_rrf"}
+        borda = service.borda_ranking()
+        assert borda.iloc[0].borda_points >= borda.iloc[-1].borda_points
+        cross = service.cross_dataset("recall")
+        assert "ws" in cross.columns
+
+
+class TestPlugins:
+    def test_scaffold(self, tmp_path):
+        from autorag_research_tpu.plugin_registry import create_plugin_scaffold
+
+        root = create_plugin_scaffold("my_cool_plugin", tmp_path)
+        assert (root / "pyproject.toml").exists()
+        assert (root / "my_cool_plugin" / "pipeline.py").exists()
+        assert (root / "my_cool_plugin" / "configs" / "pipelines" / "retrieval" / "my_cool_plugin.yaml").exists()
+        # scaffolded pipeline module is importable and registers its config
+        import sys
+
+        sys.path.insert(0, str(root))
+        try:
+            import importlib
+
+            module = importlib.import_module("my_cool_plugin.pipeline")
+            from autorag_research_tpu.config import BasePipelineConfig
+
+            assert "my_cool_plugin" in BasePipelineConfig.registry
+        finally:
+            sys.path.remove(str(root))
+
+    def test_register_metric(self):
+        from autorag_research_tpu.evaluation.metrics.retrieval import RETRIEVAL_METRICS
+        from autorag_research_tpu.plugin_registry import register_metric
+
+        register_metric("always_one", "retrieval", lambda inputs: [1.0] * len(inputs))
+        assert "always_one" in RETRIEVAL_METRICS
+        del RETRIEVAL_METRICS["always_one"]
+
+
+class TestConfigResolver:
+    def test_experiment_with_wrapper_deps(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        main(["init"])
+        from autorag_research_tpu.cli.config_resolver import ConfigResolver
+
+        resolver = ConfigResolver(tmp_path / "configs")
+        config = resolver.load_experiment()
+        names = [p.name for p in config.pipelines]
+        assert names == ["vector_search", "bm25", "hybrid_rrf"]
+        # hybrid's deps resolved into extra configs (already in run list here)
+        assert config.extra_pipeline_configs == {}
+        # metric resolution falls back to builtin names
+        m = resolver.resolve_metric("retrieval", "mrr")
+        assert m.name == "mrr"
