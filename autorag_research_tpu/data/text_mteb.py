@@ -1,0 +1,102 @@
+"""MTEB retrieval-task ingestor.
+
+Capability parity with the reference ``data/text_mteb.py`` (319 LoC): any
+MTEB retrieval task (HF ``mteb/{task}`` repos with corpus/queries/qrels
+configs), with a relevance-score threshold for GT inclusion and the standard
+gold-preserving subsampling.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Literal
+
+from autorag_research_tpu.data.base import RANDOM_SEED, TextDataIngestor
+from autorag_research_tpu.data.hf_util import load_hf_dataset, sample_ids
+from autorag_research_tpu.data.registry import register_ingestor
+from autorag_research_tpu.store.gt import or_all
+
+
+@register_ingestor(
+    name="text_mteb",
+    description="Any MTEB retrieval task (corpus/queries/qrels configs)",
+    hf_repo="text_mteb-dumps",
+    aliases=("mteb",),
+)
+class TextMTEBIngestor(TextDataIngestor):
+    def __init__(
+        self,
+        embedding_model=None,
+        task_name: str = "SciFact",
+        score_threshold: int = 1,
+        data=None,
+    ):
+        super().__init__(embedding_model)
+        self.task_name = task_name
+        self.score_threshold = score_threshold
+        self._data = data
+
+    def detect_primary_key_type(self) -> Literal["bigint", "string"]:
+        return "string"
+
+    def _load(self, subset: str):
+        if self._data is not None:
+            return self._data
+        repo = f"mteb/{self.task_name.lower()}"
+        return {
+            "corpus": load_hf_dataset(repo, "corpus", split="corpus"),
+            "queries": load_hf_dataset(repo, "queries", split="queries"),
+            "qrels": load_hf_dataset(repo, "default", split=subset),
+        }
+
+    def ingest(self, subset: str = "test", query_limit=None, min_corpus_cnt=None) -> None:
+        service = self._require_service()
+        data = self._load(subset)
+        rng = random.Random(RANDOM_SEED)
+
+        qrels: dict[str, dict[str, int]] = {}
+        for row in data["qrels"]:
+            score = int(row.get("score", 1))
+            qrels.setdefault(str(row["query-id"]), {})[str(row["corpus-id"])] = score
+
+        qids = sample_ids([str(r["_id"]) for r in data["queries"] if str(r["_id"]) in qrels],
+                          query_limit, rng)
+        qid_set = set(qids)
+        queries = {str(r["_id"]): r["text"] for r in data["queries"]}
+
+        gold: set[str] = set()
+        if min_corpus_cnt is not None:
+            for qid in qids:
+                gold.update(d for d, s in qrels.get(qid, {}).items() if s >= self.score_threshold)
+
+        corpus_rows = list(data["corpus"])
+        corpus_ids = [str(r["_id"]) for r in corpus_rows]
+        if min_corpus_cnt is not None:
+            selected = list(gold & set(corpus_ids))
+            rest = [c for c in corpus_ids if c not in gold]
+            need = min_corpus_cnt - len(selected)
+            if need > 0 and rest:
+                selected.extend(rng.sample(rest, min(need, len(rest))))
+            keep = set(selected)
+            corpus_rows = [r for r in corpus_rows if str(r["_id"]) in keep]
+            corpus_ids = [str(r["_id"]) for r in corpus_rows]
+        corpus_set = set(corpus_ids)
+
+        service.add_queries([{"id": qid, "contents": queries[qid]} for qid in qids])
+        service.add_chunks(
+            [
+                {
+                    "id": str(r["_id"]),
+                    "contents": ((r.get("title") or "") + " " + (r.get("text") or "")).strip(),
+                }
+                for r in corpus_rows
+            ]
+        )
+        for qid in qids:
+            gt_ids = [
+                d for d, s in qrels.get(qid, {}).items()
+                if s >= self.score_threshold and d in corpus_set
+            ]
+            if gt_ids:
+                service.add_retrieval_gt(qid, or_all(gt_ids), chunk_type="text")
+        service.clean()

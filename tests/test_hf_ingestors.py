@@ -1,0 +1,204 @@
+"""HF-backed ingestors driven with locally constructed datasets (offline)."""
+
+import numpy as np
+import pytest
+
+from autorag_research_tpu.store.catalog import Catalog
+from autorag_research_tpu.store.ingestion import IngestionService
+
+
+def ds(rows):
+    import datasets
+
+    if not rows:
+        return datasets.Dataset.from_dict({})
+    keys = rows[0].keys()
+    return datasets.Dataset.from_dict({k: [r.get(k) for r in rows] for k in keys})
+
+
+@pytest.fixture
+def service(tmp_path):
+    cat = Catalog(tmp_path / "hf.db")
+    return cat, IngestionService(cat)
+
+
+def test_text_mteb(service):
+    from autorag_research_tpu.data.text_mteb import TextMTEBIngestor
+
+    cat, svc = service
+    data = {
+        "corpus": ds([{"_id": "d1", "title": "T", "text": "alpha"},
+                      {"_id": "d2", "title": "", "text": "beta"}]),
+        "queries": ds([{"_id": "q1", "text": "find alpha"}]),
+        "qrels": ds([{"query-id": "q1", "corpus-id": "d1", "score": 2},
+                     {"query-id": "q1", "corpus-id": "d2", "score": 0}]),
+    }
+    ing = TextMTEBIngestor(data=data)
+    ing.set_service(svc)
+    ing.ingest()
+    assert cat.count("chunk") == 2
+    rels = cat.get_relations_by_query("q1")
+    assert [r["chunk_id"] for r in rels] == ["d1"]  # score-0 excluded
+    assert cat.get_chunk_contents(["d1"])["d1"] == "T alpha"
+
+
+def test_ragbench(service):
+    from autorag_research_tpu.data.ragbench import RAGBenchIngestor
+
+    cat, svc = service
+    data = ds([
+        {"id": "r1", "question": "what is x", "documents": ["doc about x", "doc about y"],
+         "response": "x is x"},
+        {"id": "r2", "question": "what is y", "documents": ["doc about y"], "response": "y"},
+    ])
+    ing = RAGBenchIngestor(data=data)
+    ing.set_service(svc)
+    ing.ingest()
+    assert cat.count("query") == 2
+    assert cat.count("chunk") == 2  # shared doc deduplicated by hash
+    row = cat.get_query("r1")
+    import json
+
+    assert json.loads(row["generation_gt"]) == ["x is x"]
+
+
+def test_mrtydi(service):
+    from autorag_research_tpu.data.mrtydi import MrTyDiIngestor
+
+    cat, svc = service
+    data = ds([
+        {"query_id": "m1", "query": "question one",
+         "positive_passages": [{"docid": "p1", "title": "t", "text": "pos"}],
+         "negative_passages": [{"docid": "n1", "title": "", "text": "neg"}]},
+    ])
+    ing = MrTyDiIngestor(data=data)
+    ing.set_service(svc)
+    ing.ingest()
+    assert cat.count("chunk") == 2
+    rels = cat.get_relations_by_query("m1")
+    assert [r["chunk_id"] for r in rels] == ["p1"]
+
+
+def test_bright(service):
+    from autorag_research_tpu.data.bright import BRIGHTIngestor
+
+    cat, svc = service
+    data = {
+        "examples": ds([{"id": "b1", "query": "why", "gold_ids": ["g1"], "gold_answer": "because"}]),
+        "documents": ds([{"id": "g1", "content": "gold doc"}, {"id": "g2", "content": "other"}]),
+    }
+    ing = BRIGHTIngestor(data=data)
+    ing.set_service(svc)
+    ing.ingest(min_corpus_cnt=2)
+    assert cat.count("chunk") == 2
+    assert cat.get_relations_by_query("b1")[0]["chunk_id"] == "g1"
+
+
+def test_crag(service):
+    from autorag_research_tpu.data.crag import CRAGIngestor
+
+    cat, svc = service
+    data = ds([
+        {"interaction_id": "c1", "query": "who", "answer": "them",
+         "search_results": [{"page_snippet": "snippet one"}, {"page_snippet": ""}],
+         "domain": "sports", "question_type": "simple"},
+    ])
+    ing = CRAGIngestor(data=data)
+    ing.set_service(svc)
+    ing.ingest()
+    assert cat.count("chunk") == 1
+    assert cat.count_relations_by_query("c1") == 1
+
+
+def _png(color):
+    from PIL import Image
+
+    return Image.new("RGB", (4, 4), color)
+
+
+def test_vidore_v1(service):
+    from autorag_research_tpu.data.vidore import ViDoReIngestor
+
+    cat, svc = service
+    data = ds([
+        {"query": "find the chart", "image": None, "image_filename": "pg1"},
+    ])
+    # datasets can't hold PIL images in from_dict easily; emulate rows directly
+    rows = [{"query": "find the chart", "image": _png("red"), "image_filename": "pg1"}]
+    ing = ViDoReIngestor(data=rows)
+    ing.set_service(svc)
+    ing.ingest()
+    assert cat.count("image_chunk") == 1
+    qid = cat.get_all_query_ids()[0]
+    rels = cat.get_relations_by_query(qid)
+    assert rels[0]["image_chunk_id"] == "pg1"
+    img = cat.get_image_chunks(["pg1"])["pg1"]
+    assert img["image"].startswith(b"\x89PNG")
+
+
+def test_vidore_v2_split_shape(service):
+    from autorag_research_tpu.data.vidore import ViDoReV2Ingestor
+
+    cat, svc = service
+    data = {
+        "corpus": [{"corpus-id": "p1", "image": _png("blue")},
+                   {"corpus-id": "p2", "image": _png("green")}],
+        "queries": [{"query-id": "v1", "query": "where is the table"}],
+        "qrels": [{"query-id": "v1", "corpus-id": "p2", "score": 1}],
+    }
+    ing = ViDoReV2Ingestor(data=data)
+    ing.set_service(svc)
+    ing.ingest()
+    assert cat.count("image_chunk") == 2
+    assert cat.get_relations_by_query("v1")[0]["image_chunk_id"] == "p2"
+
+
+def test_visrag_with_generation_gt(service):
+    from autorag_research_tpu.data.visrag import VisRAGIngestor
+
+    cat, svc = service
+    data = {
+        "corpus": [{"corpus-id": "pg1", "image": _png("white")}],
+        "queries": [{"query-id": "q1", "query": "what is shown", "answer": "a page"}],
+        "qrels": [{"query-id": "q1", "corpus-id": "pg1", "score": 1}],
+    }
+    ing = VisRAGIngestor(data=data)
+    ing.set_service(svc)
+    ing.ingest()
+    import json
+
+    assert json.loads(cat.get_query("q1")["generation_gt"]) == ["a page"]
+
+
+def test_open_ragbench(service):
+    from autorag_research_tpu.data.open_ragbench import OpenRAGBenchIngestor
+
+    cat, svc = service
+    rows = [{"id": "o1", "question": "what", "contexts": ["ctx one"], "answer": "ans",
+             "page_image": _png("black")}]
+    ing = OpenRAGBenchIngestor(data=rows)
+    ing.set_service(svc)
+    ing.ingest()
+    assert cat.count("chunk") == 1
+    assert cat.count("image_chunk") == 1
+
+
+def test_offline_load_raises_cleanly():
+    from autorag_research_tpu.data.text_mteb import TextMTEBIngestor
+    from autorag_research_tpu.exceptions import IngestionError
+
+    ing = TextMTEBIngestor(task_name="NoSuchTask")
+    ing.set_service(None)  # type: ignore[arg-type]
+    with pytest.raises(IngestionError):
+        ing._load("test")
+
+
+def test_all_reference_ingestors_registered():
+    from autorag_research_tpu.data.registry import list_ingestors
+
+    names = {i.name for i in list_ingestors()}
+    assert {
+        "beir", "local", "text_mteb", "ragbench", "mrtydi", "bright", "crag",
+        "vidore", "vidorev2", "vidorev3", "visrag", "sds_kopub_vdr",
+        "kovidorev2", "open_ragbench",
+    } <= names
