@@ -63,6 +63,31 @@ class SparseIndex:
         return cls(ids, texts, **kwargs)
 
     def _build(self, texts: Sequence[str]) -> None:
+        # Native C++ fast path for the default tokenizer (identical token
+        # semantics; see native/bm25_native.cpp). The Python path remains for
+        # other tokenizers and when the toolchain is unavailable.
+        if self.tokenizer_name in ("simple", "wiki_tocken") and self.max_slots is None:
+            try:
+                from autorag_research_tpu import native
+
+                if native.available():
+                    built = native.build_sparse_native(list(texts), self.k1, self.b)
+                    self.vocab = built["vocab"]
+                    self.doc_freq = built["doc_freq"]
+                    self.doc_lengths = built["doc_lengths"]
+                    self.avgdl = built["avgdl"]
+                    self._slot_ids = built["slot_ids"]
+                    self._slot_weights = built["slot_weights"]
+                    return
+            except Exception as exc:  # noqa: BLE001 - fall back to Python build
+                import logging
+
+                logging.getLogger("AutoRAG-Research-TPU").info(
+                    "native bm25 build failed (%s); using Python builder", exc
+                )
+        self._build_python(texts)
+
+    def _build_python(self, texts: Sequence[str]) -> None:
         tok = get_tokenizer(self.tokenizer_name)
         n = len(texts)
         # 1. tokenize + per-doc term frequencies

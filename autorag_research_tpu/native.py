@@ -1,0 +1,135 @@
+"""ctypes bindings for the native (C++) BM25 index builder.
+
+Loads ``native/libbm25_native.so``, compiling it on demand with g++ when the
+shared object is missing (build takes ~1s; cached thereafter). Falls back
+cleanly — callers check :func:`available` and use the Python builder when the
+toolchain is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("AutoRAG-Research-TPU")
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+LIB_PATH = NATIVE_DIR / "libbm25_native.so"
+
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+def _build_lib() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return LIB_PATH.exists()
+    except Exception as exc:  # noqa: BLE001
+        logger.info("native bm25 build unavailable: %s", exc)
+        return False
+
+
+def _get_lib() -> ctypes.CDLL | None:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not LIB_PATH.exists() and not _build_lib():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(LIB_PATH))
+    except OSError as exc:
+        logger.info("native bm25 load failed: %s", exc)
+        _load_failed = True
+        return None
+    lib.bm25_create.restype = ctypes.c_void_p
+    lib.bm25_create.argtypes = [ctypes.c_double, ctypes.c_double]
+    lib.bm25_add_docs.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    lib.bm25_finalize.argtypes = [ctypes.c_void_p]
+    for name, restype in [
+        ("bm25_n_docs", ctypes.c_int64),
+        ("bm25_n_terms", ctypes.c_int64),
+        ("bm25_slots", ctypes.c_int32),
+        ("bm25_vocab_blob_size", ctypes.c_int64),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p]
+    lib.bm25_avgdl.restype = ctypes.c_double
+    lib.bm25_avgdl.argtypes = [ctypes.c_void_p]
+    for name in (
+        "bm25_copy_slot_ids",
+        "bm25_copy_slot_weights",
+        "bm25_copy_doc_freq",
+        "bm25_copy_doc_lengths",
+        "bm25_copy_vocab_blob",
+    ):
+        getattr(lib, name).argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.bm25_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def build_sparse_native(texts: list[str], k1: float, b: float) -> dict:
+    """Tokenize + build the slot-padded BM25 layout natively.
+
+    Returns dict with slot_ids [N, L] int32, slot_weights [N, L] f32,
+    doc_freq int64, doc_lengths int64, avgdl float, vocab {term: id}.
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native bm25 library unavailable")
+    handle = lib.bm25_create(ctypes.c_double(k1), ctypes.c_double(b))
+    try:
+        encoded = [t.encode("utf-8") if t else b"" for t in texts]
+        arr = (ctypes.c_char_p * len(encoded))(*encoded)
+        lengths = np.array([len(e) for e in encoded], dtype=np.int64)
+        lib.bm25_add_docs(
+            handle, arr, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(encoded)
+        )
+        lib.bm25_finalize(handle)
+
+        n = lib.bm25_n_docs(handle)
+        n_terms = lib.bm25_n_terms(handle)
+        slots = lib.bm25_slots(handle)
+        slot_ids = np.empty((n, slots), dtype=np.int32)
+        slot_weights = np.empty((n, slots), dtype=np.float32)
+        doc_freq = np.empty(n_terms, dtype=np.int64)
+        doc_lengths = np.empty(n, dtype=np.int64)
+        lib.bm25_copy_slot_ids(handle, slot_ids.ctypes.data)
+        lib.bm25_copy_slot_weights(handle, slot_weights.ctypes.data)
+        lib.bm25_copy_doc_freq(handle, doc_freq.ctypes.data)
+        lib.bm25_copy_doc_lengths(handle, doc_lengths.ctypes.data)
+        blob_size = lib.bm25_vocab_blob_size(handle)
+        blob = ctypes.create_string_buffer(blob_size)
+        lib.bm25_copy_vocab_blob(handle, blob)
+        terms = blob.raw[:blob_size].decode("utf-8").split("\n")[:-1]
+        vocab = {t: i for i, t in enumerate(terms)}
+        return {
+            "slot_ids": slot_ids,
+            "slot_weights": slot_weights,
+            "doc_freq": doc_freq,
+            "doc_lengths": doc_lengths,
+            "avgdl": float(lib.bm25_avgdl(handle)),
+            "vocab": vocab,
+        }
+    finally:
+        lib.bm25_destroy(handle)
