@@ -1,5 +1,10 @@
 from autorag_research_tpu.ops.topk import merge_topk, sort_topk
-from autorag_research_tpu.ops.dense import dense_topk, dense_topk_pallas, dense_topk_xla
+from autorag_research_tpu.ops.dense import (
+    dense_topk,
+    dense_topk_pallas,
+    dense_topk_xla,
+    dense_topk_xla_full,
+)
 
 __all__ = [
     "merge_topk",
@@ -7,4 +12,5 @@ __all__ = [
     "dense_topk",
     "dense_topk_pallas",
     "dense_topk_xla",
+    "dense_topk_xla_full",
 ]

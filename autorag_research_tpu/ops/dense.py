@@ -43,6 +43,32 @@ def _round_up(x: int, m: int) -> int:
 
 
 # --------------------------------------------------------------------- XLA
+@functools.partial(jax.jit, static_argnames=("k",))
+def dense_topk_xla_full(
+    queries: jax.Array, corpus: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Exact dense top-k via one fused dot + lax.top_k (scores materialized).
+
+    Fastest single-chip path when the [Q, N] score matrix fits in HBM — XLA
+    fuses the matmul with a streaming top-k. lax.top_k breaks ties toward the
+    lower index, matching this framework's (-score, id) order exactly.
+    """
+    n = corpus.shape[0]
+    k_eff = min(k, n)
+    scores = jax.lax.dot_general(
+        queries,
+        corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(queries.dtype),
+    )
+    top_s, top_i = jax.lax.top_k(scores, k_eff)
+    if k_eff < k:
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return top_s, top_i
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile_n"))
 def dense_topk_xla(
     queries: jax.Array, corpus: jax.Array, k: int, tile_n: int = 131072
@@ -143,12 +169,21 @@ def _dense_topk_kernel(q_ref, c_ref, out_s_ref, out_i_ref, acc_s, acc_i, *, k, n
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block_n
     scores = jnp.where(col < n, scores, NEG_INF)
 
-    tile_s, tile_i = _extract_topk(scores, col, k)
-    cand_s = jnp.concatenate([acc_s[:], tile_s], axis=1)
-    cand_i = jnp.concatenate([acc_i[:], tile_i], axis=1)
-    new_s, new_i = _extract_topk(cand_s, cand_i, k)
-    acc_s[:] = new_s
-    acc_i[:] = new_i
+    # Threshold skip: once the accumulator is warm, most tiles cannot beat any
+    # query's current k-th score — the expensive 2k-round extraction is
+    # predicated away and only the matmul + row-max runs for those tiles.
+    tile_row_max = jnp.max(scores, axis=1)  # [BQ]
+    acc_kth = acc_s[:, k - 1]
+    needs_merge = jnp.any(tile_row_max > acc_kth) | (j == 0)
+
+    @pl.when(needs_merge)
+    def _merge():
+        tile_s, tile_i = _extract_topk(scores, col, k)
+        cand_s = jnp.concatenate([acc_s[:], tile_s], axis=1)
+        cand_i = jnp.concatenate([acc_i[:], tile_i], axis=1)
+        new_s, new_i = _extract_topk(cand_s, cand_i, k)
+        acc_s[:] = new_s
+        acc_i[:] = new_i
 
     @pl.when(j == nj - 1)
     def _write():
@@ -227,12 +262,25 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Score-matrix budget for the full-materialize path (bytes). Measured on
+# v5e: XLA's fused dot+top_k beats both the Pallas kernel and the scan for
+# any [Q, N] that fits — k-selection dominates once matmuls are cheap.
+FULL_MATERIALIZE_BUDGET = 2 << 30
+
+
 def dense_topk(
     queries: jax.Array, corpus: jax.Array, k: int, method: str = "auto"
 ) -> tuple[jax.Array, jax.Array]:
-    """Dispatch: Pallas kernel on TPU, XLA scan elsewhere (CPU test meshes)."""
+    """Dispatch by shape: fused XLA dot+top_k while the score matrix fits the
+    HBM budget; the streaming Pallas kernel (TPU) / XLA scan (CPU) beyond."""
     if method == "auto":
-        method = "pallas" if on_tpu() else "xla"
+        score_bytes = queries.shape[0] * corpus.shape[0] * 4
+        if score_bytes <= FULL_MATERIALIZE_BUDGET:
+            method = "xla_full"
+        else:
+            method = "pallas" if on_tpu() else "xla"
+    if method == "xla_full":
+        return dense_topk_xla_full(queries, corpus, k)
     if method == "pallas":
         return dense_topk_pallas(queries, corpus, k)
     if method == "xla":

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, dense_topk_pallas, dense_topk_xla, on_tpu
+from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, dense_topk, on_tpu
 from autorag_research_tpu.ops.topk import merge_topk
 from autorag_research_tpu.parallel.mesh import CORPUS_AXIS
 
@@ -54,16 +54,14 @@ def sharded_dense_topk(
     by the axis size; rows >= n_total are padding). Returns replicated
     (scores [Q, k], doc_rows [Q, k]).
     """
-    if method == "auto":
-        method = "pallas" if on_tpu() else "xla"
-    kernel = dense_topk_pallas if method == "pallas" else dense_topk_xla
     n_shards = mesh.shape[CORPUS_AXIS]
     shard_rows = corpus.shape[0] // n_shards
     k_eff = min(k, n_total)
 
     def local_search(q, c_shard):
-        # c_shard: [shard_rows, d] — this device's slice.
-        scores, local_ids = kernel(q, c_shard, k_eff)
+        # c_shard: [shard_rows, d] — this device's slice; per-shard method
+        # dispatch (fused dot+top_k while the local score matrix fits).
+        scores, local_ids = dense_topk(q, c_shard, k_eff, method=method)
         offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
         gids = local_ids + offset
         # mask out padding rows and k>shard overfetch
