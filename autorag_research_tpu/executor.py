@@ -63,6 +63,10 @@ class PipelineResult:
 @dataclass
 class ExecutorResult:
     pipelines: list[PipelineResult] = field(default_factory=list)
+    spans: dict[str, float] = field(default_factory=dict)
+    """Aggregated wall-clock ms per executor stage (pipeline run, health
+    check, each metric) — first-class tracing the reference lacks
+    (SURVEY.md §5)."""
 
     @property
     def success(self) -> bool:
@@ -95,6 +99,9 @@ class Executor:
         self.loader = PipelineLoader(catalog, self.context)
         self.retrieval_eval = RetrievalEvaluationService(catalog)
         self.generation_eval = GenerationEvaluationService(catalog)
+        from autorag_research_tpu.utils.profiling import SpanRecorder
+
+        self.tracer = SpanRecorder()
 
     # ---------------------------------------------------------------- helpers
     def _metrics_for(self, kind: str) -> list[BaseMetricConfig]:
@@ -112,6 +119,7 @@ class Executor:
         result = ExecutorResult()
         for pconfig in self.config.pipelines:
             result.pipelines.append(self._run_one(pconfig))
+        result.spans = self.tracer.summary()
         return result
 
     def _run_one(self, pconfig: BasePipelineConfig) -> PipelineResult:
@@ -119,12 +127,17 @@ class Executor:
         start = time.monotonic()
         try:
             if self.config.health_check:
-                self._health_check(pconfig)
-            self._run_with_retry(pconfig, pres)
+                with self.tracer.span(f"{pconfig.name}/health_check"):
+                    self._health_check(pconfig)
+            with self.tracer.span(f"{pconfig.name}/run"):
+                self._run_with_retry(pconfig, pres)
             if pres.success and self.config.evaluate:
                 pipeline = self.loader.load(pconfig.name)
                 for mconfig in self._metrics_for(pconfig.kind):
-                    pres.metrics.append(self._evaluate_metric(pipeline, pconfig, mconfig))
+                    with self.tracer.span(f"{pconfig.name}/metric/{mconfig.name}"):
+                        pres.metrics.append(
+                            self._evaluate_metric(pipeline, pconfig, mconfig)
+                        )
         except Exception as exc:  # noqa: BLE001 - per-pipeline isolation
             logger.error("pipeline %s failed: %s", pconfig.name, traceback.format_exc())
             pres.error = f"{type(exc).__name__}: {exc}"

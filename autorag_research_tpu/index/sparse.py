@@ -170,13 +170,30 @@ class SparseIndex:
         return q_ids, q_w
 
     # ----------------------------------------------------------------- search
-    def to_device(self) -> "SparseIndex":
+    def to_device(self, mesh=None) -> "SparseIndex":
         if self._slot_ids is None:
             raise IndexNotBuiltError("sparse index not built")
-        self._device = (
-            jax.device_put(jnp.asarray(self._slot_ids)),
-            jax.device_put(jnp.asarray(self._slot_weights)),
-        )
+        ids = jnp.asarray(self._slot_ids)
+        weights = jnp.asarray(self._slot_weights)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from autorag_research_tpu.parallel.mesh import CORPUS_AXIS
+
+            n_shards = mesh.shape[CORPUS_AXIS]
+            pad = (-self.n_docs) % n_shards
+            if pad:
+                ids = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=DOC_PAD)
+                weights = jnp.pad(weights, ((0, pad), (0, 0)))
+            sharding = NamedSharding(mesh, P(CORPUS_AXIS, None))
+            ids = jax.device_put(ids, sharding)
+            weights = jax.device_put(weights, sharding)
+            self._mesh = mesh
+        else:
+            ids = jax.device_put(ids)
+            weights = jax.device_put(weights)
+            self._mesh = None
+        self._device = (ids, weights)
         return self
 
     def search(self, queries: Sequence[str], k: int, method: str = "auto") -> list[list[SearchHit]]:
@@ -186,9 +203,17 @@ class SparseIndex:
             self.to_device()
         q_ids, q_w = self.encode_queries(queries)
         doc_ids, doc_w = self._device  # type: ignore[misc]
-        scores, rows = bm25_topk(
-            jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w, k, method=method
-        )
+        if getattr(self, "_mesh", None) is not None:
+            from autorag_research_tpu.parallel.sharded import sharded_bm25_topk
+
+            scores, rows = sharded_bm25_topk(
+                jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
+                k, self.n_docs, self._mesh, method=method,
+            )
+        else:
+            scores, rows = bm25_topk(
+                jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w, k, method=method
+            )
         scores = np.asarray(scores)
         rows = np.asarray(rows)
         k_eff = min(k, self.n_docs)

@@ -90,6 +90,49 @@ def sharded_dense_topk(
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_total", "mesh", "method"))
+def sharded_bm25_topk(
+    q_ids: jax.Array,  # [B, T] replicated
+    q_weights: jax.Array,  # [B, T] replicated
+    doc_ids: jax.Array,  # [N_pad, L] sharded on corpus axis (pad rows = DOC_PAD)
+    doc_weights: jax.Array,  # [N_pad, L] sharded
+    k: int,
+    n_total: int,
+    mesh: Mesh,
+    method: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Global BM25 top-k over a corpus-sharded slot layout; same per-shard +
+    all_gather merge pattern as :func:`sharded_dense_topk`."""
+    from autorag_research_tpu.ops.sparse import bm25_topk
+
+    n_shards = mesh.shape[CORPUS_AXIS]
+    shard_rows = doc_ids.shape[0] // n_shards
+    k_eff = min(k, n_total)
+
+    def local_search(qi, qw, d_ids, d_w):
+        scores, local_ids = bm25_topk(qi, qw, d_ids, d_w, k_eff, method=method)
+        offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
+        gids = local_ids + offset
+        valid = (gids < n_total) & (local_ids < shard_rows)
+        scores = jnp.where(valid, scores, NEG_INF)
+        gids = jnp.where(valid, gids, INT_MAX)
+        all_s = jax.lax.all_gather(scores, CORPUS_AXIS)
+        all_i = jax.lax.all_gather(gids, CORPUS_AXIS)
+        return merge_topk(jnp.swapaxes(all_s, 0, 1), jnp.swapaxes(all_i, 0, 1), k_eff)
+
+    scores, ids = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(None, None), P(None, None), P(CORPUS_AXIS, None), P(CORPUS_AXIS, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(q_ids, q_weights, doc_ids, doc_weights)
+    if k_eff < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return scores, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_total", "mesh", "method"))
 def sharded_maxsim_topk(
     queries: jax.Array,  # [B, Tq, d] replicated
     query_lens: jax.Array,  # [B]

@@ -1,0 +1,42 @@
+"""Image helpers for multimodal pipelines.
+
+Role parity with the reference's image utilities (``util.py:267-369``):
+base64 data-URL encoding for vision LLM payloads, PNG normalization, and
+bounded resizing to keep VLM payloads small.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+
+
+def image_to_base64_url(image_bytes: bytes, mimetype: str = "image/png") -> str:
+    return f"data:{mimetype};base64,{base64.b64encode(image_bytes).decode()}"
+
+
+def normalize_to_png(image_bytes: bytes) -> bytes:
+    """Re-encode any PIL-readable image as PNG (passthrough if already PNG)."""
+    if image_bytes[:8] == b"\x89PNG\r\n\x1a\n":
+        return image_bytes
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def resize_image(image_bytes: bytes, max_side: int = 1024) -> bytes:
+    """Downscale so the longest side <= max_side (no-op when already small)."""
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(image_bytes))
+    w, h = img.size
+    if max(w, h) <= max_side:
+        return image_bytes
+    scale = max_side / max(w, h)
+    img = img.convert("RGB").resize((int(w * scale), int(h * scale)))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()

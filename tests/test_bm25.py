@@ -157,3 +157,18 @@ class TestPipeline:
         assert result.success, result.report()
         assert result.pipelines[0].metrics[0].average == 1.0
         registry.invalidate()
+
+
+class TestShardedBM25:
+    def test_sharded_matches_single(self, index):
+        from autorag_research_tpu.parallel.mesh import corpus_mesh
+
+        queries = ["quick fox", "lazy dog", "database"]
+        single = index.search(queries, 4, method="xla")
+        sharded_idx = SparseIndex(IDS, DOCS, tokenizer="simple")
+        sharded_idx.to_device(corpus_mesh(n_corpus=8))
+        sharded = sharded_idx.search(queries, 4, method="xla")
+        for a, b in zip(single, sharded):
+            assert [(h.doc_id, round(h.score, 5)) for h in a] == [
+                (h.doc_id, round(h.score, 5)) for h in b
+            ]
