@@ -103,8 +103,12 @@ def bm25_topk_xla(
 
 # ------------------------------------------------------------------ Pallas
 def _bm25_kernel(
-    qid_ref, qw_ref, tid_ref, tw_ref, out_s_ref, out_i_ref, acc_s, acc_i,
-    *, k, n, block_n, n_query_terms,
+    qid_ref,  # SMEM [bq, T] int32 — scalar-indexed per (query, term)
+    qw_ref,   # SMEM [bq, T] f32
+    tid_ref,  # VMEM [BN, L]
+    tw_ref,   # VMEM [BN, L]
+    out_s_ref, out_i_ref, acc_s, acc_i,
+    *, k, n, block_n, bq, n_query_terms,
 ):
     from autorag_research_tpu.ops.dense import _extract_topk
 
@@ -118,19 +122,24 @@ def _bm25_kernel(
 
     tid = tid_ref[:]  # [BN, L]
     tw = tw_ref[:]  # [BN, L]
-    bq = qid_ref.shape[0]  # small query tile (8)
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (bq, tid.shape[0]), 0)
 
-    def term_body(t, scores):
-        # all bq queries' t-th term against every doc slot:
-        # m [bq, BN, L] -> contract L -> contrib [bq, BN]
-        qid_t = qid_ref[:, t]  # [bq]
-        qw_t = qw_ref[:, t]  # [bq]
-        m = (tid[None, :, :] == qid_t[:, None, None]).astype(tw.dtype)
-        contrib = jnp.sum(m * tw[None, :, :], axis=2)
-        return scores + contrib * qw_t[:, None]
+    def body(step, scores):
+        # one (query b, term t) pair per step; term ids/weights come from SMEM
+        # as scalars (Mosaic rejects dynamic lane-indexed vector loads), the
+        # [BN, L] compare/accumulate runs on the VPU, and the result lands in
+        # query b's row via a broadcast select.
+        b = step // n_query_terms
+        t = step % n_query_terms
+        term_id = qid_ref[b, t]
+        term_w = qw_ref[b, t]
+        contrib = jnp.sum(
+            jnp.where(tid == term_id, tw, 0.0), axis=1
+        )  # [BN]
+        return scores + jnp.where(row_of == b, (contrib * term_w)[None, :], 0.0)
 
     scores = jax.lax.fori_loop(
-        0, n_query_terms, term_body, jnp.zeros((bq, tid.shape[0]), jnp.float32)
+        0, bq * n_query_terms, body, jnp.zeros((bq, tid.shape[0]), jnp.float32)
     )
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block_n
     scores = jnp.where(col < n, scores, NEG_INF)
@@ -187,14 +196,14 @@ def bm25_topk_pallas(
 
     grid = (bsz_pad // bq, n_pad // block_n)
     kernel = functools.partial(
-        _bm25_kernel, k=k_eff, n=n, block_n=block_n, n_query_terms=n_terms
+        _bm25_kernel, k=k_eff, n=n, block_n=block_n, bq=bq, n_query_terms=n_terms
     )
     out_s, out_i = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bq, terms_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, terms_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, terms_pad), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, terms_pad), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((block_n, slots_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, slots_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
