@@ -127,3 +127,76 @@ def fuse_batch_rrf(
     first_occ = jnp.argmax(eq, axis=-1) == jnp.arange(2 * f)[None, :]
     scores = jnp.where(first_occ, scores, -jnp.inf)
     return sort_topk(scores, union, top_k)
+
+
+def fuse_batch_cc(
+    ids_1: np.ndarray,
+    scores_1: np.ndarray,
+    ids_2: np.ndarray,
+    scores_2: np.ndarray,
+    weight: float,
+    top_k: int,
+    normalize_method: str = "mm",
+    pipeline_1_min: float | None = None,
+    pipeline_2_min: float | None = None,
+):
+    """Vectorized convex-combination fusion over padded candidate arrays
+    [B, F] (pad ids < 0). Device variant of :func:`cc_fuse` with identical
+    normalization/floor semantics, computed per query row in jnp.
+
+    Returns (fused scores [B, top_k], fused ids [B, top_k]).
+    """
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.topk import sort_topk
+
+    b, f = ids_1.shape
+    union = jnp.concatenate([ids_1, ids_2], axis=1)  # [B, 2F]
+    valid = union >= 0
+    # docs in both lists appear twice in the union; statistics must count each
+    # doc once (the host fuser dedups via a set), so restrict to first
+    # occurrences
+    eq_union = union[:, :, None] == union[:, None, :]
+    first_occ = (jnp.argmax(eq_union, axis=-1) == jnp.arange(2 * f)[None, :]) & valid
+
+    def lookup(ids_src, scores_src):
+        # score of each union candidate in a source list; NaN = missing
+        eq = union[:, :, None] == ids_src[:, None, :]  # [B, 2F, F]
+        present = eq.any(-1) & (union >= 0)
+        val = (eq * scores_src[:, None, :]).sum(-1)
+        return jnp.where(present, val, jnp.nan)
+
+    s1 = lookup(ids_1, scores_1)
+    s2 = lookup(ids_2, scores_2)
+
+    def norm(s, theo_min):
+        m = ~jnp.isnan(s) & first_occ
+        cnt = jnp.maximum(m.sum(1, keepdims=True), 1)
+        if normalize_method in ("mm", "tmm"):
+            hi = jnp.where(m, s, -jnp.inf).max(1, keepdims=True)
+            if normalize_method == "mm":
+                lo = jnp.where(m, s, jnp.inf).min(1, keepdims=True)
+            else:
+                lo = jnp.full_like(hi, theo_min if theo_min is not None else 0.0)
+            rng = hi - lo
+            out = jnp.where(rng == 0, 0.5, (s - lo) / jnp.where(rng == 0, 1.0, rng))
+        elif normalize_method in ("z", "dbsf"):
+            mean = jnp.where(m, s, 0.0).sum(1, keepdims=True) / cnt
+            var = (jnp.where(m, (s - mean) ** 2, 0.0)).sum(1, keepdims=True) / cnt
+            std = jnp.sqrt(var)
+            if normalize_method == "z":
+                out = jnp.where(std == 0, 0.0, (s - mean) / jnp.where(std == 0, 1.0, std))
+            else:
+                lo = mean - 3 * std
+                out = jnp.where(
+                    std == 0, 0.5,
+                    jnp.clip((s - lo) / jnp.where(std == 0, 1.0, 6 * std), 0.0, 1.0),
+                )
+        else:
+            raise ValueError(f"unknown normalization method: {normalize_method}")
+        floor = MISSING_SCORE_FLOORS[normalize_method]
+        return jnp.where(m, out, floor)
+
+    fused = weight * norm(s1, pipeline_1_min) + (1 - weight) * norm(s2, pipeline_2_min)
+    fused = jnp.where(first_occ, fused, -jnp.inf)
+    return sort_topk(fused, union, top_k)

@@ -44,7 +44,7 @@ def maxsim_topk_xla(
     docs: jax.Array,  # [N, Td, d]
     doc_lens: jax.Array,  # [N]
     k: int,
-    tile_n: int = 1024,
+    tile_n: int = 4096,
 ) -> tuple[jax.Array, jax.Array]:
     b, tq, d = queries.shape
     n, td, _ = docs.shape
@@ -256,10 +256,13 @@ def maxsim_topk_pallas(
 
 
 def maxsim_topk(queries, query_lens, docs, doc_lens, k, method: str = "auto"):
-    from autorag_research_tpu.ops.dense import on_tpu
-
+    # Measured on v5e (50k docs x 128 tok x 128 d, f32 HIGHEST): the XLA scan
+    # with large tiles hits 12.4 TFLOP/s with second-scale compiles, while the
+    # Pallas kernel's small-grid layout currently pays a pathological
+    # per-step relayout for the [rows, BN, Td] max. XLA is the default
+    # everywhere; the Pallas kernel stays opt-in for further tuning.
     if method == "auto":
-        method = "pallas" if on_tpu() else "xla"
+        method = "xla"
     if method == "pallas":
         return maxsim_topk_pallas(queries, query_lens, docs, doc_lens, k)
     if method == "xla":

@@ -149,7 +149,7 @@ def sharded_maxsim_topk(
     from autorag_research_tpu.ops.maxsim import maxsim_topk_pallas, maxsim_topk_xla
 
     if method == "auto":
-        method = "pallas" if on_tpu() else "xla"
+        method = "xla"  # see maxsim_topk: XLA scan is the measured winner
     kernel = maxsim_topk_pallas if method == "pallas" else maxsim_topk_xla
     n_shards = mesh.shape[CORPUS_AXIS]
     shard_rows = docs.shape[0] // n_shards

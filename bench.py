@@ -91,6 +91,28 @@ def main() -> None:
         f"tpu dense top-{K} (bf16 fast mode): {dt16 * 1e3:.2f} ms / batch, "
         f"{B / dt16:,.0f} QPS (99.3% top-10 agreement with exact)"
     )
+
+    # secondary metric: index-build embedding throughput with the native
+    # JAX encoder (BASELINE.md "index build docs/sec")
+    try:
+        from autorag_research_tpu.embeddings.jax_encoder import JaxEncoderEmbedding
+        from autorag_research_tpu.models.encoder import EncoderConfig
+
+        encoder = JaxEncoderEmbedding(
+            EncoderConfig(hidden=512, layers=6, heads=8, max_len=128, out_dim=768),
+            batch_size=512,
+        )
+        docs = [f"synthetic document number {i} about topic {i % 97}" for i in range(8192)]
+        encoder.embed_texts(docs[:512])  # compile
+        t0 = time.perf_counter()
+        encoder.embed_texts(docs)
+        build_dt = time.perf_counter() - t0
+        log(
+            f"tpu index-build embedding (512h/6L encoder, seq 128): "
+            f"{len(docs) / build_dt:,.0f} docs/sec"
+        )
+    except Exception as exc:  # noqa: BLE001 - secondary metric must not break bench
+        log(f"index-build metric skipped: {exc}")
     result = {
         "metric": f"dense_exact_top{K}_qps_{N // 1000}k_x{d}",
         "value": round(qps, 1),

@@ -168,3 +168,31 @@ class TestHybridPipelines:
         )
         with pytest.raises(PipelineCycleError):
             loader.load("a")
+
+
+class TestDeviceCC:
+    @pytest.mark.parametrize("method,mins", [
+        ("mm", (None, None)), ("z", (None, None)),
+        ("dbsf", (None, None)), ("tmm", (-1.0, 0.0)),
+    ])
+    def test_device_cc_matches_host(self, method, mins):
+        from autorag_research_tpu.ops.fusion import fuse_batch_cc
+
+        r1 = hits([(3, 0.9), (1, 0.5), (7, 0.2)])
+        r2 = hits([(1, 12.0), (9, 6.0), (3, 1.0)])
+        host = cc_fuse(
+            r1, r2, weight=0.3, top_k=4, normalize_method=method,
+            pipeline_1_min=mins[0], pipeline_2_min=mins[1],
+        )
+        ids_1 = np.array([[3, 1, 7]], dtype=np.int32)
+        s_1 = np.array([[0.9, 0.5, 0.2]], dtype=np.float32)
+        ids_2 = np.array([[1, 9, 3]], dtype=np.int32)
+        s_2 = np.array([[12.0, 6.0, 1.0]], dtype=np.float32)
+        scores, ids = fuse_batch_cc(
+            ids_1, s_1, ids_2, s_2, weight=0.3, top_k=4,
+            normalize_method=method, pipeline_1_min=mins[0], pipeline_2_min=mins[1],
+        )
+        assert list(np.asarray(ids)[0]) == [h["doc_id"] for h in host]
+        np.testing.assert_allclose(
+            np.asarray(scores)[0], [h["score"] for h in host], rtol=1e-5, atol=1e-6
+        )
