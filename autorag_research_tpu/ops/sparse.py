@@ -41,9 +41,14 @@ def bm25_topk_xla(
     doc_ids: jax.Array,
     doc_weights: jax.Array,
     k: int,
-    tile_n: int = 16384,
+    tile_n: int = 65536,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact BM25 top-k. q_ids/q_weights: [B, T]; doc_ids/doc_weights: [N, L].
+
+    Measured on v5e @ 500k docs x 128 slots: 335 QPS with 64k tiles (the
+    Pallas slot-match kernel does 408 QPS and is the TPU default; large tiles
+    also keep remote-compile times second-scale — compile cost grows with
+    scan length).
 
     Returns (scores [B, k], doc rows [B, k]) in (-score, id) order.
     """
