@@ -486,6 +486,39 @@ def mini_check(metric_inputs, **kwargs):
     return _model_scorer("mini_check_batch")(metric_inputs, **kwargs)
 
 
+@metric_loop(fields_to_check=["generation_gt", "generated_texts"])
+def huggingface_evaluate(
+    metric_inputs: list[MetricInput],
+    metric_name: str = "meteor",
+    **kwargs: Any,
+) -> list[float]:
+    """Generic bridge to any ``evaluate``-hub metric (reference
+    ``generation.py:832``): loads the metric by name and scores each
+    (prediction, best-reference) pair. Requires the ``evaluate`` package and,
+    for most metrics, network access on first load."""
+    try:
+        import evaluate as hf_evaluate
+    except ImportError as exc:
+        raise ModelLoadError(
+            "huggingface_evaluate requires the 'evaluate' package"
+        ) from exc
+    scorer = hf_evaluate.load(metric_name)
+    out = []
+    for mi in metric_inputs:
+        refs = list(mi.generation_gt or [""])
+        best = 0.0
+        for ref in refs:
+            result = scorer.compute(
+                predictions=[mi.generated_texts or ""], references=[ref], **kwargs
+            )
+            value = result.get(metric_name) or next(iter(result.values()))
+            if isinstance(value, list):
+                value = value[0]
+            best = max(best, float(value))
+        out.append(best)
+    return out
+
+
 # -------------------------------------------------------------------- registry
 
 GENERATION_METRICS: dict[str, Callable] = {
@@ -504,4 +537,5 @@ GENERATION_METRICS: dict[str, Callable] = {
     "unieval": unieval,
     "align_score": align_score,
     "mini_check": mini_check,
+    "huggingface_evaluate": huggingface_evaluate,
 }

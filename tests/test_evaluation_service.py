@@ -1,0 +1,87 @@
+"""Evaluation service behaviors: dataset granularity, resume-skip, verifiers."""
+
+import pytest
+
+from autorag_research_tpu.evaluation.metrics.retrieval import retrieval_recall
+from autorag_research_tpu.evaluation.service import (
+    GenerationEvaluationService,
+    RetrievalEvaluationService,
+)
+
+
+@pytest.fixture
+def evaluated_catalog(catalog):
+    pid = catalog.get_or_create_pipeline("p_eval")
+    catalog.add_retrieved_results(pid, [(1, 1, 0.9), (2, 5, 0.8), (3, 3, 0.7)])
+    return catalog, pid
+
+
+class TestQueryGranularity:
+    def test_incremental_and_resume(self, evaluated_catalog):
+        catalog, pid = evaluated_catalog
+        service = RetrievalEvaluationService(catalog)
+        summary = service.evaluate(pid, "recall", retrieval_recall)
+        assert summary.count == 3
+        # resume: tamper one persisted value, re-evaluate -> NOT recomputed
+        mid = summary.metric_id
+        catalog.add_evaluation_results(pid, mid, [(1, 0.123)])
+        summary2 = service.evaluate(pid, "recall", retrieval_recall)
+        assert 0.123 in catalog.get_evaluation_values(pid, mid)
+        assert summary2.count == 3
+
+    def test_verify_completion(self, evaluated_catalog):
+        catalog, pid = evaluated_catalog
+        service = RetrievalEvaluationService(catalog)
+        summary = service.evaluate(pid, "recall", retrieval_recall)
+        assert service.verify_completion(pid, summary.metric_id)
+        catalog.add_queries([{"id": 99, "contents": "new query"}])
+        assert not service.verify_completion(pid, summary.metric_id)
+
+
+class TestDatasetGranularity:
+    def test_delete_and_recompute(self, evaluated_catalog):
+        catalog, pid = evaluated_catalog
+        service = RetrievalEvaluationService(catalog)
+        calls = []
+
+        def whole_set_metric(inputs):
+            calls.append(len(inputs))
+            return [0.5] * len(inputs)
+
+        s1 = service.evaluate(pid, "whole_set", whole_set_metric, granularity="dataset")
+        assert s1.count == 3 and calls == [3]
+        # dataset granularity recomputes everything each time
+        service.evaluate(pid, "whole_set", whole_set_metric, granularity="dataset")
+        assert calls == [3, 3]
+
+
+class TestGenerationInputs:
+    def test_evidence_resolution_order(self, catalog):
+        pid = catalog.get_or_create_pipeline("gen_eval")
+        service = GenerationEvaluationService(catalog)
+        # canonical metadata key wins over persisted rows
+        catalog.add_retrieved_results(pid, [(1, 5, 0.9)])
+        catalog.add_executor_result(
+            1, pid, "answer", result_metadata={"context_chunk_ids": [2]}
+        )
+        mi = service.build_metric_input(catalog.get_query(1), pid)
+        assert mi.retrieved_contents == [catalog.get_chunk_contents([2])[2]]
+        # fallback: no metadata evidence -> persisted retrieval rows
+        catalog.add_executor_result(2, pid, "answer2", result_metadata={})
+        catalog.add_retrieved_results(pid, [(2, 4, 0.9)])
+        mi2 = service.build_metric_input(catalog.get_query(2), pid)
+        assert mi2.retrieved_contents == [catalog.get_chunk_contents([4])[4]]
+        # legacy key fallback when nothing persisted
+        catalog.add_executor_result(
+            3, pid, "answer3", result_metadata={"retrieved_chunk_ids": [1]}
+        )
+        mi3 = service.build_metric_input(catalog.get_query(3), pid)
+        assert mi3.retrieved_contents == [catalog.get_chunk_contents([1])[1]]
+
+    def test_generation_gt_parsed(self, catalog):
+        pid = catalog.get_or_create_pipeline("gen_eval2")
+        catalog.add_executor_result(1, pid, "topic zero answer")
+        service = GenerationEvaluationService(catalog)
+        mi = service.build_metric_input(catalog.get_query(1), pid)
+        assert mi.generation_gt == ["topic zero"]
+        assert mi.generated_texts == "topic zero answer"
