@@ -1,26 +1,110 @@
-"""Per-catalog index cache.
+"""Per-catalog index cache with workspace artifact persistence.
 
 Pipelines in one experiment share the same catalog; the device-resident index
 is built once and reused across pipelines (the reference gets this for free
 because the "index" is the database itself). Keyed by (catalog identity,
 table, kind, metric).
+
+When the catalog lives in a workspace directory, built indexes also persist
+as artifacts under ``<workspace>/indexes/<kind>_<table>/`` and reload on the
+next run instead of rebuilding — the device-side analogue of the reference's
+pre-computed-embedding dumps (``data/hf_storage.py``). An artifact is reused
+only when its fingerprint (row count for its source table) still matches the
+catalog; mutating a corpus in place past that check requires clearing the
+``indexes/`` directory.
 """
 
 from __future__ import annotations
 
+import json
+import logging
+from pathlib import Path
 from typing import Any
+
+logger = logging.getLogger("AutoRAG-Research-TPU")
 
 _CACHE: dict[tuple, Any] = {}
 
+_LOADERS = {
+    "dense": ("autorag_research_tpu.index.dense", "DenseIndex"),
+    "sparse": ("autorag_research_tpu.index.sparse", "SparseIndex"),
+    "multi_vector": ("autorag_research_tpu.index.multi_vector", "MultiVectorIndex"),
+}
 
-def get_or_build(catalog, kind: str, table: str = "chunk", builder=None, **key_extra):
-    key = (id(catalog), catalog.path, kind, table, tuple(sorted(key_extra.items())))
+
+def _fingerprint(catalog, kind: str, table: str) -> int:
+    conn = catalog.connect()
+    if kind == "dense":
+        sql = f"SELECT COUNT(*) AS n FROM {table} WHERE embedding IS NOT NULL"
+    elif kind == "multi_vector":
+        sql = f"SELECT COUNT(*) AS n FROM {table} WHERE multi_embedding IS NOT NULL"
+    else:
+        sql = f"SELECT COUNT(*) AS n FROM {table} WHERE contents IS NOT NULL"
+    return int(conn.execute(sql).fetchone()["n"])
+
+
+def _artifact_dir(catalog, kind: str, table: str, key_extra: tuple = ()) -> Path | None:
+    if catalog.path == ":memory:":
+        return None
+    suffix = ""
+    if key_extra:
+        import hashlib
+
+        suffix = "_" + hashlib.md5(repr(key_extra).encode()).hexdigest()[:8]
+    return Path(catalog.path).resolve().parent / "indexes" / f"{kind}_{table}{suffix}"
+
+
+def _try_load_artifact(catalog, kind: str, table: str, key_extra: tuple = ()):
+    art = _artifact_dir(catalog, kind, table, key_extra)
+    if art is None or not (art / "fingerprint.json").exists():
+        return None
+    try:
+        meta = json.loads((art / "fingerprint.json").read_text())
+        if meta.get("fingerprint") != _fingerprint(catalog, kind, table):
+            logger.info("index artifact %s stale (row count changed); rebuilding", art)
+            return None
+        module_name, cls_name = _LOADERS[kind]
+        import importlib
+
+        cls = getattr(importlib.import_module(module_name), cls_name)
+        idx = cls.load(art)
+        logger.info("loaded index artifact %s", art)
+        return idx
+    except Exception as exc:  # noqa: BLE001 - fall back to rebuild
+        logger.warning("failed to load index artifact %s: %s", art, exc)
+        return None
+
+
+def _save_artifact(catalog, kind: str, table: str, idx, key_extra: tuple = ()) -> None:
+    art = _artifact_dir(catalog, kind, table, key_extra)
+    if art is None or not hasattr(idx, "save"):
+        return
+    try:
+        idx.save(art)
+        (art / "fingerprint.json").write_text(
+            json.dumps({"fingerprint": _fingerprint(catalog, kind, table)})
+        )
+    except Exception as exc:  # noqa: BLE001 - persistence is best-effort
+        logger.warning("failed to save index artifact %s: %s", art, exc)
+
+
+def get_or_build(
+    catalog, kind: str, table: str = "chunk", builder=None, persist: bool = True, **key_extra
+):
+    extra = tuple(sorted(key_extra.items()))
+    key = (id(catalog), catalog.path, kind, table, extra)
     idx = _CACHE.get(key)
+    if idx is not None:
+        return idx
+    if persist and kind in _LOADERS:
+        idx = _try_load_artifact(catalog, kind, table, extra)
     if idx is None:
         if builder is None:
             raise ValueError("index not cached and no builder provided")
         idx = builder()
-        _CACHE[key] = idx
+        if persist and kind in _LOADERS:
+            _save_artifact(catalog, kind, table, idx, extra)
+    _CACHE[key] = idx
     return idx
 
 

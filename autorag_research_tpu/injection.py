@@ -83,6 +83,13 @@ def _builtin_factories() -> None:
     register_model_type("reranker", "llm_listwise", LLMListwiseReranker)
     register_model_type("reranker", "embedding_similarity", EmbeddingSimilarityReranker)
 
+    def _colbert(**kw):
+        from autorag_research_tpu.rerankers.colbert import ColBERTReranker
+
+        return ColBERTReranker(**kw)
+
+    register_model_type("reranker", "colbert", _colbert)
+
     def _lazy(path: str):
         def factory(**kw):
             module, cls = path.rsplit(".", 1)

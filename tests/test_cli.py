@@ -185,3 +185,46 @@ class TestConfigResolver:
         # metric resolution falls back to builtin names
         m = resolver.resolve_metric("retrieval", "mrr")
         assert m.name == "mrr"
+
+
+class TestIndexArtifacts:
+    def test_artifact_persist_and_reload(self, workspace):
+        from autorag_research_tpu.index import registry
+        from autorag_research_tpu.index.dense import DenseIndex
+        from autorag_research_tpu.store.catalog import Catalog
+
+        cat = Catalog(workspace / "ws" / "catalog.db")
+        idx = registry.get_or_build(
+            cat, "dense", "chunk", builder=lambda: DenseIndex.from_catalog(cat)
+        )
+        art = workspace / "ws" / "indexes" / "dense_chunk"
+        assert (art / "fingerprint.json").exists()
+        # fresh process simulation: clear memory cache, builder must NOT run
+        registry.invalidate()
+
+        def explode():
+            raise AssertionError("builder should not be called; artifact present")
+
+        idx2 = registry.get_or_build(cat, "dense", "chunk", builder=explode)
+        assert idx2.ids == idx.ids
+
+    def test_artifact_stale_on_growth(self, workspace):
+        from autorag_research_tpu.embeddings import MockEmbedding
+        from autorag_research_tpu.index import registry
+        from autorag_research_tpu.index.dense import DenseIndex
+        from autorag_research_tpu.store.catalog import Catalog
+
+        cat = Catalog(workspace / "ws" / "catalog.db")
+        registry.get_or_build(
+            cat, "dense", "chunk", builder=lambda: DenseIndex.from_catalog(cat)
+        )
+        registry.invalidate()
+        emb = MockEmbedding(dim=64)
+        cat.add_chunks([{"id": 999, "contents": "new doc", "embedding": emb.embed_query("new doc")}])
+        built = []
+        idx = registry.get_or_build(
+            cat, "dense", "chunk",
+            builder=lambda: (built.append(1), DenseIndex.from_catalog(cat))[1],
+        )
+        assert built == [1]  # stale artifact rebuilt
+        assert 999 in idx.ids

@@ -312,3 +312,14 @@ class TestRerankers:
 
         with pytest.raises(LLMError):
             CohereReranker(api_key=None).rerank("q", ["a"])
+
+
+def test_colbert_reranker_offline():
+    from autorag_research_tpu.embeddings import MockMultiVectorEmbedding
+    from autorag_research_tpu.rerankers.colbert import ColBERTReranker
+
+    rr = ColBERTReranker(MockMultiVectorEmbedding(dim=32))
+    out = rr.rerank("quick fox", ["quick fox", "unrelated text entirely"], top_k=2)
+    assert out[0].text == "quick fox"
+    assert out[0].score > out[1].score
+    assert out[0].score == pytest.approx(1.0, abs=1e-5)
