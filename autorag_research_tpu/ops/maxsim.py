@@ -255,6 +255,139 @@ def maxsim_topk_pallas(
     return out_s, out_i
 
 
+def _maxsim_kernel_v2(
+    q_ref,     # [R=BQ*Tq, d] — pad query-token rows zeroed
+    d_ref,     # [BN*Td, d]
+    dlen_ref,  # SMEM [BN, 1] int32 doc token counts
+    out_s_ref, out_i_ref, acc_s, acc_i,
+    *, k, n, block_n, bq, tq, td,
+):
+    """Transposed orientation: S = D @ Q^T puts doc tokens on SUBLANES, so the
+    per-doc max is a static sublane-slice reduction (no lane-splitting reshape
+    — the relayout cliff of v1). Doc-token masking uses SMEM scalar lengths
+    against a static per-doc row slice; the query-token sum is the 0/1
+    grouping matmul."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, INT_MAX)
+
+    rows = bq * tq
+    s = jax.lax.dot_general(
+        d_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(q_ref.dtype),
+    )  # [(BN*Td), R]
+
+    tok = jax.lax.broadcasted_iota(jnp.int32, (td, rows), 0)
+    per_doc = []
+    for b in range(block_n):  # static unroll: BN slices of Td sublanes
+        s_b = s[b * td : (b + 1) * td, :]  # [Td, R], static slice
+        masked = jnp.where(tok < dlen_ref[b, 0], s_b, NEG_INF)
+        per_doc.append(jnp.max(masked, axis=0))  # [R]
+    per_token = jnp.stack(per_doc, axis=0)  # [BN, R]
+
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (bq, rows), 1)
+    owner = jax.lax.broadcasted_iota(jnp.int32, (bq, rows), 0)
+    group = (row_of // tq == owner).astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        group,
+        per_token,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [BQ, BN]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block_n
+    scores = jnp.where(col < n, scores, NEG_INF)
+
+    tile_s, tile_i = _extract_topk(scores, col, k)
+    new_s, new_i = _extract_topk(
+        jnp.concatenate([acc_s[:], tile_s], axis=1),
+        jnp.concatenate([acc_i[:], tile_i], axis=1),
+        k,
+    )
+    acc_s[:] = new_s
+    acc_i[:] = new_i
+
+    @pl.when(j == nj - 1)
+    def _write():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret")
+)
+def maxsim_topk_pallas_v2(
+    queries: jax.Array,
+    query_lens: jax.Array,
+    docs: jax.Array,
+    doc_lens: jax.Array,
+    k: int,
+    block_q: int = 8,
+    block_n: int = 16,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    b, tq, d = queries.shape
+    n, td, _ = docs.shape
+    k_eff = min(k, n)
+
+    d_pad = _round_up(d, 128)
+    td_pad = _round_up(td, 8)  # sublane alignment only in this orientation
+    tq_pad = _round_up(tq, 8)
+    bq = min(block_q, b)
+    b_pad = _round_up(b, bq)
+    block_n = max(block_n, _round_up(k_eff, 8))
+    n_pad = _round_up(n, block_n)
+
+    queries = jnp.pad(queries, ((0, b_pad - b), (0, tq_pad - tq), (0, d_pad - d)))
+    q_tok = jax.lax.broadcasted_iota(jnp.int32, (b_pad, tq_pad), 1)
+    qmask = (q_tok < jnp.pad(query_lens, (0, b_pad - b))[:, None]).astype(queries.dtype)
+    queries = (queries * qmask[:, :, None]).reshape(b_pad * tq_pad, d_pad)
+    docs = jnp.pad(
+        docs, ((0, n_pad - n), (0, td_pad - td), (0, d_pad - d))
+    ).reshape(n_pad * td_pad, d_pad)
+    dlens = jnp.pad(doc_lens, (0, n_pad - n)).reshape(n_pad, 1).astype(jnp.int32)
+
+    grid = (b_pad // bq, n_pad // block_n)
+    kernel = functools.partial(
+        _maxsim_kernel_v2, k=k_eff, n=n, block_n=block_n, bq=bq, tq=tq_pad, td=td_pad
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq * tq_pad, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n * td_pad, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i, j: (j, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k_eff), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k_eff), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, k_eff), jnp.float32),
+            pltpu.VMEM((bq, k_eff), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries, docs, dlens)
+    out_s, out_i = out_s[:b], out_i[:b]
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return out_s, out_i
+
+
 def maxsim_topk(queries, query_lens, docs, doc_lens, k, method: str = "auto"):
     # Measured on v5e (50k docs x 128 tok x 128 d, f32 HIGHEST): the XLA scan
     # with large tiles hits 12.4 TFLOP/s with second-scale compiles, while the
