@@ -121,3 +121,81 @@ def test_multi_vector_adapter(tiny_config):
     mats = emb.embed_texts_multi(["one two three", "four"])
     assert mats[0].shape == (3, 16)
     assert mats[1].shape == (1, 16)
+
+
+class TestTrainer:
+    def test_train_on_catalog_improves_retrieval(self, tmp_path):
+        import dataclasses
+
+        from autorag_research_tpu.index.dense import DenseIndex
+        from autorag_research_tpu.models.trainer import BiEncoderTrainer, build_pairs
+        from autorag_research_tpu.store.catalog import Catalog
+        from autorag_research_tpu.store.gt import or_all
+
+        cat = Catalog(tmp_path / "t.db")
+        docs = [f"topic {chr(97 + i)} document body {i}" for i in range(8)]
+        cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(docs)])
+        cat.add_queries(
+            [{"id": i, "contents": f"find topic {chr(97 + i)}"} for i in range(8)]
+        )
+        for i in range(8):
+            cat.add_retrieval_gt(i, or_all([i]))
+
+        assert len(build_pairs(cat)) == 8
+        cfg = EncoderConfig(vocab_size=512, hidden=32, layers=2, heads=2, max_len=8, out_dim=16)
+        trainer = BiEncoderTrainer(cfg, lr=0.005, batch_size=8)
+        report = trainer.train(cat, epochs=60)
+        assert report.steps == 60
+        assert report.final_loss < report.losses[0]
+
+        # trained encoder should retrieve its own gold docs well
+        emb = trainer.as_embedding()
+        ids, _ = cat.get_embeddings_matrix("chunk")
+        mat = emb.embed_texts(docs)
+        idx = DenseIndex(list(range(8)), mat)
+        hits = idx.search(emb.embed_texts([f"find topic {chr(97 + i)}" for i in range(8)]), 3)
+        top1 = sum(1 for i, row in enumerate(hits) if row[0].doc_id == i)
+        assert top1 >= 5  # contrastive training aligned queries to gold docs
+
+    def test_trainer_sharded_mesh(self, tmp_path):
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from autorag_research_tpu.models.trainer import BiEncoderTrainer
+        from autorag_research_tpu.store.catalog import Catalog
+
+        cat = Catalog(tmp_path / "tm.db")
+        cat.add_chunks([{"id": i, "contents": f"doc {i}"} for i in range(8)])
+        cat.add_queries([{"id": i, "contents": f"query {i}"} for i in range(8)])
+        for i in range(8):
+            cat.add_retrieval_gt(i, i)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "tp"))
+        cfg = EncoderConfig(vocab_size=256, hidden=32, layers=1, heads=2, max_len=8, out_dim=16)
+        trainer = BiEncoderTrainer(cfg, batch_size=8, mesh=mesh)
+        report = trainer.train(cat, epochs=2)
+        assert report.steps == 2
+        assert all(np.isfinite(report.losses))
+
+    def test_save_and_serve(self, tmp_path):
+        from autorag_research_tpu.embeddings.jax_encoder import JaxEncoderEmbedding
+        from autorag_research_tpu.models.trainer import BiEncoderTrainer
+        from autorag_research_tpu.store.catalog import Catalog
+
+        cat = Catalog(tmp_path / "ts.db")
+        cat.add_chunks([{"id": 0, "contents": "a"}, {"id": 1, "contents": "b"}])
+        cat.add_queries([{"id": 0, "contents": "qa"}, {"id": 1, "contents": "qb"}])
+        cat.add_retrieval_gt(0, 0)
+        cat.add_retrieval_gt(1, 1)
+        cfg = EncoderConfig(vocab_size=256, hidden=32, layers=1, heads=2, max_len=8, out_dim=16)
+        trainer = BiEncoderTrainer(cfg, batch_size=2)
+        trainer.train(cat, epochs=1)
+        trainer.save(tmp_path / "params.npz")
+        served = JaxEncoderEmbedding(cfg, params_path=tmp_path / "params.npz")
+        import numpy as np
+
+        np.testing.assert_allclose(
+            served.embed_texts(["hello"])[0],
+            trainer.as_embedding().embed_texts(["hello"])[0],
+            rtol=1e-6,
+        )
