@@ -280,6 +280,30 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from autorag_research_tpu.serving.server import serve_workspace
+
+    handle = serve_workspace(
+        args.db,
+        config_path=args.config_path,
+        retrieval=args.retrieval,
+        generation=args.generation,
+        host=args.host,
+        port=args.port,
+        mesh=args.mesh,
+    )
+    print(f"serving {args.db} on http://{args.host}:{handle.port} (ctrl-c to stop)")
+    try:
+        import signal
+
+        signal.pause()
+    except (KeyboardInterrupt, AttributeError):
+        pass
+    finally:
+        handle.stop()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="autorag-research-tpu", description="TPU-native RAG research framework"
@@ -343,6 +367,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--db", required=True)
     p.add_argument("--html", default=None, help="also write an HTML report")
     p.set_defaults(func=cmd_report)
+
+    p = sub.add_parser("serve", help="serve a workspace over HTTP (/search, /generate)")
+    p.add_argument("--db", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--retrieval", action="append", default=None, help="pipeline names")
+    p.add_argument("--generation", action="append", default=None)
+    p.add_argument("--mesh", action="store_true")
+    p.set_defaults(func=cmd_serve)
 
     return parser
 

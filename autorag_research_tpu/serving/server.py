@@ -1,0 +1,318 @@
+"""HTTP serving layer: warm indexes + pipelines behind a JSON API.
+
+The reference is a research harness with no serving story (experiments write
+results to Postgres); this framework targets production serving, so a
+workspace can be served directly: indexes load once into device HBM, the
+embedding model stays warm, and queries batch through the device kernels.
+
+Stdlib-only (ThreadingHTTPServer): no web framework in the image. Endpoints:
+
+- ``GET  /health``            -> {"status": "ok", stats...}
+- ``POST /search``            {"query" | "queries", "pipeline"?, "top_k"?}
+                              -> {"results": [[{doc_id, score, content?}]]}
+- ``POST /generate``          {"query", "pipeline"?, "top_k"?}
+                              -> {"text", "context_chunk_ids", "token_usage"}
+
+Micro-batching: concurrent /search requests within ``batch_window_ms``
+coalesce into one device batch (the TPU kernels are batch-first, so batching
+is nearly free throughput).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from autorag_research_tpu.utils.concurrency import run_async
+
+logger = logging.getLogger("AutoRAG-Research-TPU")
+
+
+@dataclass
+class _SearchJob:
+    query: str
+    top_k: int
+    done: threading.Event = field(default_factory=threading.Event)
+    result: list[dict] | None = None
+    error: str | None = None
+
+
+class _Batcher:
+    """Coalesces concurrent single-query searches into device batches."""
+
+    def __init__(self, search_batch_fn, batch_window_ms: float = 5.0, max_batch: int = 256):
+        self.search_batch_fn = search_batch_fn
+        self.window = batch_window_ms / 1000.0
+        self.max_batch = max_batch
+        self.jobs: queue.Queue[_SearchJob] = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._stop = False
+        self._thread.start()
+
+    def submit(self, job: _SearchJob) -> None:
+        self.jobs.put(job)
+
+    def stop(self) -> None:
+        self._stop = True
+
+    def _loop(self) -> None:
+        while not self._stop:
+            try:
+                first = self.jobs.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.window
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.jobs.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            top_k = max(j.top_k for j in batch)
+            try:
+                results = self.search_batch_fn([j.query for j in batch], top_k)
+                for job, hits in zip(batch, results):
+                    job.result = hits[: job.top_k]
+            except Exception as exc:  # noqa: BLE001 - report to each waiter
+                for job in batch:
+                    job.error = f"{type(exc).__name__}: {exc}"
+            for job in batch:
+                job.done.set()
+
+
+class ServingHandle:
+    """A served workspace: pipelines + batcher + HTTP server lifecycle."""
+
+    def __init__(
+        self,
+        catalog,
+        retrieval_pipelines: dict[str, Any],
+        generation_pipelines: dict[str, Any] | None = None,
+        default_pipeline: str | None = None,
+        batch_window_ms: float = 5.0,
+        include_contents: bool = True,
+    ):
+        if not retrieval_pipelines:
+            raise ValueError("need at least one retrieval pipeline to serve")
+        self.catalog = catalog
+        self.retrieval_pipelines = retrieval_pipelines
+        self.generation_pipelines = generation_pipelines or {}
+        self.default_pipeline = default_pipeline or next(iter(retrieval_pipelines))
+        self.include_contents = include_contents
+        self._batchers = {
+            name: _Batcher(self._make_batch_fn(pipe), batch_window_ms)
+            for name, pipe in retrieval_pipelines.items()
+        }
+        self._server: ThreadingHTTPServer | None = None
+        self.started = time.time()
+        self.requests_served = 0
+
+    def _make_batch_fn(self, pipeline):
+        def run_batch(queries: list[str], top_k: int) -> list[list[dict]]:
+            async def gather():
+                import asyncio
+
+                return await asyncio.gather(
+                    *[pipeline._retrieve_by_text(q, top_k) for q in queries]
+                )
+
+            return run_async(gather())
+
+        return run_batch
+
+    # ------------------------------------------------------------- operations
+    def search(self, queries: list[str], top_k: int = 10, pipeline: str | None = None):
+        name = pipeline or self.default_pipeline
+        if name not in self._batchers:
+            raise KeyError(f"unknown pipeline '{name}'; serving {sorted(self._batchers)}")
+        jobs = [_SearchJob(q, top_k) for q in queries]
+        for job in jobs:
+            self._batchers[name].submit(job)
+        out = []
+        for job in jobs:
+            job.done.wait(timeout=120)
+            if job.error:
+                raise RuntimeError(job.error)
+            hits = job.result or []
+            if self.include_contents:
+                lookup = self.catalog.get_chunk_contents([h["doc_id"] for h in hits])
+                hits = [
+                    {**h, "content": lookup.get(h["doc_id"])} for h in hits
+                ]
+            out.append(hits)
+        self.requests_served += len(queries)
+        return out
+
+    def generate(self, query: str, top_k: int = 5, pipeline: str | None = None) -> dict:
+        if not self.generation_pipelines:
+            raise KeyError("no generation pipelines are being served")
+        name = pipeline or next(iter(self.generation_pipelines))
+        pipe = self.generation_pipelines.get(name)
+        if pipe is None:
+            raise KeyError(f"unknown generation pipeline '{name}'")
+        # serve ad-hoc queries: temporary retrieval by text through the
+        # pipeline's composed retriever
+        rows = self.catalog.find_queries_by_contents(query)
+        if rows:
+            result = run_async(pipe._generate(rows[0]["id"], top_k))
+        else:
+            # ad-hoc: stage the query, generate, then clean it up
+            qid = f"__serve_{hash(query) & 0xFFFFFFFF:x}"
+            self.catalog.add_queries([{"id": qid, "contents": query}])
+            try:
+                result = run_async(pipe._generate(qid, top_k))
+            finally:
+                with self.catalog.connect() as conn:
+                    conn.execute("DELETE FROM query WHERE id=?", (qid,))
+        self.requests_served += 1
+        return {
+            "text": result.text,
+            "token_usage": result.token_usage,
+            "metadata": result.metadata,
+        }
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "uptime_sec": round(time.time() - self.started, 1),
+            "requests_served": self.requests_served,
+            "retrieval_pipelines": sorted(self.retrieval_pipelines),
+            "generation_pipelines": sorted(self.generation_pipelines),
+            "corpus": self.catalog.count("chunk"),
+        }
+
+    # ------------------------------------------------------------------- HTTP
+    def start(self, host: str = "127.0.0.1", port: int = 8080) -> "ServingHandle":
+        handle = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # route to our logger
+                logger.debug("http: " + fmt, *args)
+
+            def _send(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._send(200, handle.health())
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self):
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                except (ValueError, json.JSONDecodeError) as exc:
+                    self._send(400, {"error": f"bad request body: {exc}"})
+                    return
+                try:
+                    if self.path == "/search":
+                        queries = payload.get("queries") or [payload["query"]]
+                        results = handle.search(
+                            queries,
+                            top_k=int(payload.get("top_k", 10)),
+                            pipeline=payload.get("pipeline"),
+                        )
+                        self._send(200, {"results": results})
+                    elif self.path == "/generate":
+                        out = handle.generate(
+                            payload["query"],
+                            top_k=int(payload.get("top_k", 5)),
+                            pipeline=payload.get("pipeline"),
+                        )
+                        self._send(200, out)
+                    else:
+                        self._send(404, {"error": f"unknown path {self.path}"})
+                except KeyError as exc:
+                    self._send(400, {"error": str(exc)})
+                except Exception as exc:  # noqa: BLE001
+                    logger.exception("serving error")
+                    self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        thread.start()
+        logger.info("serving on http://%s:%d", host, port)
+        return self
+
+    @property
+    def port(self) -> int:
+        assert self._server is not None
+        return self._server.server_address[1]
+
+    def stop(self) -> None:
+        for b in self._batchers.values():
+            b.stop()
+        if self._server is not None:
+            self._server.shutdown()
+            self._server = None
+
+
+def serve_workspace(
+    db: str,
+    config_path: str = "./configs",
+    retrieval: list[str] | None = None,
+    generation: list[str] | None = None,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    mesh: bool = False,
+) -> ServingHandle:
+    """Build pipelines from the config tree and serve a workspace."""
+    from pathlib import Path
+
+    from autorag_research_tpu.cli.config_resolver import ConfigResolver
+    from autorag_research_tpu.config import BuildContext
+    from autorag_research_tpu.injection import ModelRegistry
+    from autorag_research_tpu.pipelines.loader import PipelineLoader
+    from autorag_research_tpu.store.catalog import Catalog
+
+    path = Path(db)
+    catalog = Catalog(path / "catalog.db" if path.is_dir() or not path.suffix else path)
+    resolver = ConfigResolver(config_path)
+    retrieval = retrieval or resolver.all_pipeline_names("retrieval")[:1]
+    generation = generation or []
+
+    mesh_obj = None
+    if mesh:
+        from autorag_research_tpu.parallel.mesh import corpus_mesh
+
+        mesh_obj = corpus_mesh()
+    configs = {}
+    for kind, names in (("retrieval", retrieval), ("generation", generation)):
+        for name in names:
+            configs[name] = resolver.resolve_pipeline(kind, name)
+    context = BuildContext(
+        mesh=mesh_obj, models=ModelRegistry(config_path), pipeline_configs=configs
+    )
+    loader = PipelineLoader(catalog, context)
+    # transitive deps
+    from autorag_research_tpu.pipelines.loader import DEPENDENCY_FIELDS
+
+    frontier = list(configs.values())
+    while frontier:
+        cfg = frontier.pop()
+        for field_name in DEPENDENCY_FIELDS:
+            dep = getattr(cfg, field_name, None)
+            if isinstance(dep, str) and dep not in context.pipeline_configs:
+                dep_cfg = resolver._resolve_any_pipeline(dep)
+                context.pipeline_configs[dep] = dep_cfg
+                frontier.append(dep_cfg)
+
+    r_pipes = {name: loader.load(name) for name in retrieval}
+    g_pipes = {name: loader.load(name) for name in generation}
+    handle = ServingHandle(catalog, r_pipes, g_pipes)
+    return handle.start(host, port)

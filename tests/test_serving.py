@@ -1,0 +1,112 @@
+"""Serving layer: HTTP endpoints, micro-batching, generation, errors."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from autorag_research_tpu.index import registry
+from autorag_research_tpu.llm import MockLLM
+from autorag_research_tpu.pipelines.generation.basic_rag import BasicRAGPipeline
+from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Pipeline
+from autorag_research_tpu.serving.server import ServingHandle
+from autorag_research_tpu.store.catalog import Catalog
+
+DOCS = [
+    "Paris is the capital of France",
+    "Berlin is the capital of Germany",
+    "TPUs accelerate matrix multiplication",
+    "BM25 ranks by term rarity",
+]
+
+
+@pytest.fixture
+def handle(tmp_path):
+    registry.invalidate()
+    cat = Catalog(tmp_path / "serve.db")
+    cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(DOCS)])
+    cat.add_queries([{"id": 0, "contents": "capital of France"}])
+    bm25 = BM25Pipeline(cat, "bm25_serve")
+    rag = BasicRAGPipeline(
+        cat, "rag_serve", retrieval_pipeline=bm25,
+        llm=MockLLM(responder=lambda p: "Paris" if "France" in p else "unknown"),
+    )
+    h = ServingHandle(
+        cat, {"bm25": bm25}, {"basic_rag": rag}, batch_window_ms=10
+    ).start(port=0)
+    yield h
+    h.stop()
+    registry.invalidate()
+
+
+def post(handle, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{handle.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(handle):
+    with urllib.request.urlopen(f"http://127.0.0.1:{handle.port}/health", timeout=10) as r:
+        data = json.loads(r.read())
+    assert data["status"] == "ok"
+    assert data["corpus"] == 4
+    assert "bm25" in data["retrieval_pipelines"]
+
+
+def test_search_single_and_batch(handle):
+    code, data = post(handle, "/search", {"query": "capital France", "top_k": 2})
+    assert code == 200
+    hits = data["results"][0]
+    assert hits[0]["doc_id"] == 0
+    assert "capital of France" in hits[0]["content"]
+    code, data = post(handle, "/search", {"queries": ["TPU matrix", "term rarity"], "top_k": 1})
+    assert code == 200
+    assert data["results"][0][0]["doc_id"] == 2
+    assert data["results"][1][0]["doc_id"] == 3
+
+
+def test_concurrent_searches_microbatch(handle):
+    results = {}
+
+    def worker(i, q):
+        results[i] = post(handle, "/search", {"query": q, "top_k": 1})
+
+    threads = [
+        threading.Thread(target=worker, args=(i, q))
+        for i, q in enumerate(["capital France", "capital Germany", "TPU matrix"] * 3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(code == 200 for code, _ in results.values())
+    assert results[0][1]["results"][0][0]["doc_id"] == 0
+    assert results[1][1]["results"][0][0]["doc_id"] == 1
+
+
+def test_generate_known_and_adhoc(handle):
+    # query exists in catalog
+    code, data = post(handle, "/generate", {"query": "capital of France"})
+    assert code == 200 and data["text"] == "Paris"
+    # ad-hoc query not in catalog: staged + cleaned up
+    before = handle.catalog.count("query")
+    code, data = post(handle, "/generate", {"query": "what is the capital of France?"})
+    assert code == 200 and data["text"] == "Paris"
+    assert handle.catalog.count("query") == before
+
+
+def test_error_paths(handle):
+    code, data = post(handle, "/search", {"query": "x", "pipeline": "nope"})
+    assert code == 400 and "unknown pipeline" in data["error"]
+    code, data = post(handle, "/nope", {})
+    assert code == 404
+    code, data = post(handle, "/generate", {"query": "x", "pipeline": "nope"})
+    assert code == 400
