@@ -1,0 +1,261 @@
+"""IVF approximate dense index: device k-means + cell-probed search.
+
+ANN parity with the reference's default index — VectorChord's ``vchordrq``
+RaBitQ/IVF index (``orm/util.py:240``-area DDL; the reference's exact scan is
+only the fallback). TPU-shaped design:
+
+- **build**: k-means on device — assignment is one [N, C] matmul per
+  iteration (MXU), centroid update a segment-sum; then docs are packed into a
+  static ``[C, cell_pad]`` member table (capacity = ``pad_factor`` x average
+  cell size; overflow docs greedily spill to their next-nearest cell with
+  space, so nothing is dropped).
+- **search**: queries score all centroids (one small matmul), probe the top
+  ``nprobe`` cells, gather those members' vectors, and exact-rerank the
+  candidates with the usual deterministic (-score, id) order. All shapes
+  static; the gather is the only non-matmul op.
+
+Recall is controlled by ``nprobe`` (cells scanned per query); with normalized
+embeddings and nprobe ~= 5-10% of cells, top-10 recall is typically >95%
+(tested on clustered synthetics). Exact search remains the default pipeline
+path; IVF is opted into via ``VectorSearchConfig(index_type="ivf")``.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autorag_research_tpu.exceptions import IndexNotBuiltError
+from autorag_research_tpu.index.base import SearchHit
+from autorag_research_tpu.index.dense import l2_normalize
+from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, _precision_for
+from autorag_research_tpu.ops.topk import sort_topk
+
+
+@functools.partial(jax.jit, static_argnames=("n_cells", "iterations"))
+def _kmeans(data: jax.Array, init_idx: jax.Array, n_cells: int, iterations: int):
+    """Spherical k-means on device (assignment matmul + segment-sum update).
+    Centroids come back; similarities never leave the device — preferences
+    are extracted separately as a small top-k (full [N, C] host pulls through
+    the tunnel cost minutes)."""
+    centroids = data[init_idx]
+
+    def step(centroids, _):
+        sims = jnp.dot(data, centroids.T, preferred_element_type=jnp.float32)
+        assign = jnp.argmax(sims, axis=1)
+        sums = jax.ops.segment_sum(data, assign, num_segments=n_cells)  # [C, d]
+        counts = jax.ops.segment_sum(
+            jnp.ones(data.shape[0], jnp.float32), assign, num_segments=n_cells
+        )[:, None]
+        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centroids)
+        norms = jnp.linalg.norm(new, axis=1, keepdims=True)
+        new = jnp.where(norms > 0, new / jnp.where(norms == 0, 1.0, norms), new)
+        return new, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iterations)
+    return centroids
+
+
+@functools.partial(jax.jit, static_argnames=("n_prefs",))
+def _assign_prefs(data: jax.Array, centroids: jax.Array, n_prefs: int):
+    sims = jnp.dot(data, centroids.T, preferred_element_type=jnp.float32)
+    pref_sims, pref_cells = jax.lax.top_k(sims, n_prefs)
+    return pref_cells, pref_sims
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "cell_pad"))
+def _ivf_search(
+    queries: jax.Array,      # [Q, d] normalized
+    corpus: jax.Array,       # [N+1, d] (last row zeros = dummy for pads)
+    centroids: jax.Array,    # [C, d]
+    members: jax.Array,      # [C, cell_pad] int32 (pad -> N, the dummy row)
+    k: int,
+    nprobe: int,
+    cell_pad: int,
+):
+    n_real = corpus.shape[0] - 1
+    cell_scores = jnp.dot(
+        queries, centroids.T, preferred_element_type=jnp.float32,
+        precision=_precision_for(queries.dtype),
+    )  # [Q, C]
+    _, top_cells = jax.lax.top_k(cell_scores, nprobe)  # [Q, nprobe]
+
+    def one_query(args):
+        q, cells = args
+        idx = members[cells].reshape(-1)  # [nprobe * cell_pad]
+        cand = corpus[idx]  # gather [P, d]
+        scores = jnp.dot(
+            cand, q, preferred_element_type=jnp.float32,
+            precision=_precision_for(q.dtype),
+        )
+        scores = jnp.where(idx < n_real, scores, NEG_INF)
+        ids = jnp.where(idx < n_real, idx, INT_MAX)
+        return sort_topk(scores[None, :], ids[None, :], k)
+
+    scores, ids = jax.lax.map(one_query, (queries, top_cells))
+    return scores[:, 0, :], ids[:, 0, :]
+
+
+class IVFIndex:
+    def __init__(
+        self,
+        ids: Sequence[Any],
+        embeddings: np.ndarray,
+        n_cells: int | None = None,
+        nprobe: int | None = None,
+        pad_factor: float = 2.0,
+        kmeans_iterations: int = 8,
+        seed: int = 0,
+    ):
+        self.ids = list(ids)
+        n = len(self.ids)
+        mat = l2_normalize(np.asarray(embeddings, np.float32))
+        self.n_cells = n_cells or max(8, int(np.sqrt(max(n, 1)) * 2))
+        self.n_cells = min(self.n_cells, max(n, 1))
+        self.nprobe = nprobe or max(1, self.n_cells // 10)
+        self.cell_pad = max(8, int(np.ceil(n / self.n_cells * pad_factor)))
+        self._n = n
+        self._host = mat
+        self._build(mat, seed, kmeans_iterations)
+        self._device: tuple | None = None
+
+    # ------------------------------------------------------------------ build
+    def _build(self, mat: np.ndarray, seed: int, iterations: int) -> None:
+        rng = np.random.default_rng(seed)
+        # centroids train on a sample (k-means cost is O(sample x C x d) per
+        # iteration); the full corpus then gets one assignment pass
+        sample_cap = max(self.n_cells * 64, 50_000)
+        if self._n > sample_cap:
+            sample = np.sort(rng.choice(self._n, size=sample_cap, replace=False))
+            train = jnp.asarray(mat[sample])
+        else:
+            train = jnp.asarray(mat)
+        n_train = train.shape[0]
+        init_idx = jnp.asarray(
+            rng.choice(n_train, size=self.n_cells, replace=n_train < self.n_cells)
+        )
+        centroids = _kmeans(train, init_idx, self.n_cells, iterations)
+        pref_cells, pref_sims = _assign_prefs(
+            jnp.asarray(mat), centroids, min(8, self.n_cells)
+        )
+        self.centroids = np.asarray(centroids)
+        pref_cells = np.asarray(pref_cells)  # [N, P] doc's cells by preference
+        pref_sims = np.asarray(pref_sims)
+        n_prefs = pref_cells.shape[1]
+        # capacity-constrained packing: round r places each unplaced doc into
+        # its r-th preferred cell while capacity lasts (best similarity claims
+        # win races); stragglers force into the emptiest cells. Nothing dropped.
+        counts = np.zeros(self.n_cells, dtype=np.int64)
+        members = np.full((self.n_cells, self.cell_pad), self._n, dtype=np.int32)
+        remaining = np.arange(self._n)
+        for r in range(n_prefs):
+            if len(remaining) == 0:
+                break
+            cells_r = pref_cells[remaining, r]
+            order = np.argsort(-pref_sims[remaining, r])
+            unplaced = []
+            for pos in order:
+                doc = remaining[pos]
+                cell = cells_r[pos]
+                if counts[cell] < self.cell_pad:
+                    members[cell, counts[cell]] = doc
+                    counts[cell] += 1
+                else:
+                    unplaced.append(doc)
+            remaining = np.asarray(unplaced, dtype=np.int64)
+        for doc in remaining:  # pathological leftovers -> emptiest cells
+            cell = int(np.argmin(counts))
+            members[cell, counts[cell]] = doc
+            counts[cell] += 1
+        self.members = members
+        self.cell_counts = counts
+
+    def to_device(self) -> "IVFIndex":
+        corpus = np.concatenate([self._host, np.zeros((1, self._host.shape[1]), np.float32)])
+        self._device = (
+            jax.device_put(jnp.asarray(corpus)),
+            jax.device_put(jnp.asarray(self.centroids)),
+            jax.device_put(jnp.asarray(self.members)),
+        )
+        return self
+
+    # ----------------------------------------------------------------- search
+    def search(
+        self, query_embeddings: np.ndarray, k: int, nprobe: int | None = None
+    ) -> list[list[SearchHit]]:
+        if self._n == 0:
+            raise IndexNotBuiltError("index has no documents")
+        if self._device is None:
+            self.to_device()
+        corpus, centroids, members = self._device  # type: ignore[misc]
+        q = l2_normalize(np.atleast_2d(np.asarray(query_embeddings, np.float32)))
+        scores, rows = _ivf_search(
+            jnp.asarray(q), corpus, centroids, members,
+            k=min(k, self._n), nprobe=min(nprobe or self.nprobe, self.n_cells),
+            cell_pad=self.cell_pad,
+        )
+        scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        out = []
+        for qs, qr in zip(scores, rows):
+            out.append(
+                [
+                    SearchHit(self.ids[int(r)], float(s))
+                    for s, r in zip(qs, qr)
+                    if r < self._n and s > -1e37
+                ]
+            )
+        return out
+
+    # ------------------------------------------------------------ persistence
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            path / "ivf.npz",
+            embeddings=self._host,
+            centroids=self.centroids,
+            members=self.members,
+            cell_counts=self.cell_counts,
+        )
+        (path / "meta.json").write_text(
+            json.dumps(
+                {
+                    "kind": "ivf",
+                    "n_cells": self.n_cells,
+                    "nprobe": self.nprobe,
+                    "cell_pad": self.cell_pad,
+                    "ids": self.ids,
+                },
+                default=str,
+            )
+        )
+
+    @classmethod
+    def load(cls, path: str | Path) -> "IVFIndex":
+        path = Path(path)
+        meta = json.loads((path / "meta.json").read_text())
+        arrays = np.load(path / "ivf.npz")
+        idx = cls.__new__(cls)
+        idx.ids = meta["ids"]
+        idx.n_cells = meta["n_cells"]
+        idx.nprobe = meta["nprobe"]
+        idx.cell_pad = meta["cell_pad"]
+        idx._host = arrays["embeddings"]
+        idx.centroids = arrays["centroids"]
+        idx.members = arrays["members"]
+        idx.cell_counts = arrays["cell_counts"]
+        idx._n = len(idx.ids)
+        idx._device = None
+        return idx
+
+    @classmethod
+    def from_catalog(cls, catalog, table: str = "chunk", **kwargs) -> "IVFIndex":
+        ids, mat = catalog.get_embeddings_matrix(table)
+        return cls(ids, mat, **kwargs)

@@ -29,12 +29,13 @@ _LOADERS = {
     "dense": ("autorag_research_tpu.index.dense", "DenseIndex"),
     "sparse": ("autorag_research_tpu.index.sparse", "SparseIndex"),
     "multi_vector": ("autorag_research_tpu.index.multi_vector", "MultiVectorIndex"),
+    "ivf": ("autorag_research_tpu.index.ivf", "IVFIndex"),
 }
 
 
 def _fingerprint(catalog, kind: str, table: str) -> int:
     conn = catalog.connect()
-    if kind == "dense":
+    if kind in ("dense", "ivf"):
         sql = f"SELECT COUNT(*) AS n FROM {table} WHERE embedding IS NOT NULL"
     elif kind == "multi_vector":
         sql = f"SELECT COUNT(*) AS n FROM {table} WHERE multi_embedding IS NOT NULL"

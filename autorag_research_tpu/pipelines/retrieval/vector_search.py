@@ -38,11 +38,15 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
         embedding_model=None,
         mesh=None,
         table: str = "chunk",
+        index_type: Literal["exact", "ivf"] = "exact",
+        index_options: dict | None = None,
     ):
         self.search_mode = search_mode
         self.embedding_model = embedding_model
         self.mesh = mesh
         self.table = table
+        self.index_type = index_type
+        self.index_options = index_options or {}
         super().__init__(catalog, name)
 
     def _get_pipeline_config(self) -> dict[str, Any]:
@@ -51,6 +55,7 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
             "search_mode": self.search_mode,
             "retrieval_unit": self.retrieval_unit,
             "table": self.table,
+            "index_type": self.index_type,
         }
 
     # ------------------------------------------------------------------ index
@@ -64,6 +69,17 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
                 self.table,
                 builder=lambda: MultiVectorIndex.from_catalog(self.catalog, self.table),
             )
+        elif self.index_type == "ivf":
+            from autorag_research_tpu.index.ivf import IVFIndex
+
+            idx = registry.get_or_build(
+                self.catalog,
+                "ivf",
+                self.table,
+                builder=lambda: IVFIndex.from_catalog(
+                    self.catalog, self.table, **self.index_options
+                ),
+            )
         else:
             idx = registry.get_or_build(
                 self.catalog,
@@ -71,8 +87,11 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
                 self.table,
                 builder=lambda: DenseIndex.from_catalog(self.catalog, self.table),
             )
-        if self.mesh is not None and getattr(idx, "_mesh", None) is None:
-            idx.to_device(self.mesh)
+        if self.mesh is not None and getattr(idx, "_mesh", None) is None and hasattr(idx, "to_device"):
+            try:
+                idx.to_device(self.mesh)
+            except TypeError:  # IVF is single-device for now (ROADMAP #6)
+                pass
         return idx
 
     # ----------------------------------------------------------------- search
@@ -146,6 +165,8 @@ class VectorSearchConfig(BasePipelineConfig):
     search_mode: str = "single"
     embedding_model: Any = None
     table: str = "chunk"
+    index_type: str = "exact"
+    index_options: dict | None = None
 
     def build(self, catalog, context):
         return VectorSearchPipeline(
@@ -155,4 +176,6 @@ class VectorSearchConfig(BasePipelineConfig):
             embedding_model=context.load_embedding(self.embedding_model),
             mesh=context.mesh,
             table=self.table,
+            index_type=self.index_type,  # type: ignore[arg-type]
+            index_options=self.index_options,
         )
