@@ -266,7 +266,7 @@ def cmd_plugin(args) -> int:
 def cmd_report(args) -> int:
     from autorag_research_tpu.reporting.service import ReportingService
 
-    service = ReportingService([Path(args.db)])
+    service = ReportingService([Path(d) for d in args.db])
     df = service.leaderboard()
     if df.empty:
         print("no evaluation results found")
@@ -364,7 +364,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(func=cmd_plugin)
 
     p = sub.add_parser("report", help="leaderboard over one or more workspaces")
-    p.add_argument("--db", required=True)
+    p.add_argument("--db", required=True, action="append",
+                   help="workspace (repeat for cross-dataset comparison)")
     p.add_argument("--html", default=None, help="also write an HTML report")
     p.set_defaults(func=cmd_report)
 

@@ -96,3 +96,45 @@ def test_query_limit(catalog):
     result = Executor(catalog, cfg).run()
     assert result.success, result.report()
     assert result.pipelines[0].stats["total_queries"] == 2
+
+
+def test_retrieval_fault_injection(catalog):
+    """Always-failing search must not crash the executor; failures are
+    reported per query and the pipeline marked unsuccessful (mirrors the
+    reference's mocked-failure executor test)."""
+    from autorag_research_tpu.pipelines.retrieval.base import BaseRetrievalPipeline
+
+    class ExplodingPipeline(BaseRetrievalPipeline):
+        retrieval_unit = "chunk"
+
+        def _get_pipeline_config(self):
+            return {"type": "exploding"}
+
+        async def _retrieve_by_id(self, query_id, top_k):
+            raise RuntimeError("search backend down")
+
+        async def _retrieve_by_text(self, query_text, top_k):
+            raise RuntimeError("search backend down")
+
+    from dataclasses import dataclass
+
+    from autorag_research_tpu.config import BasePipelineConfig
+
+    @dataclass(kw_only=True)
+    class ExplodingConfig(BasePipelineConfig):
+        config_type = "exploding_test"
+        kind = "retrieval"
+
+        def build(self, cat, context):
+            return ExplodingPipeline(cat, self.name)
+
+    cfg = make_config(
+        pipelines=[ExplodingConfig(name="boom", max_retries=1, retry_delay=0.0)],
+        health_check=False,
+        max_retries=0,
+    )
+    result = Executor(catalog, cfg).run()
+    pres = result.pipelines[0]
+    assert not pres.success
+    assert len(pres.stats["failed_queries"]) == 3  # all queries failed, none fatal
+    assert pres.error is not None
