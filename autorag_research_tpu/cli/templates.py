@@ -46,7 +46,9 @@ DEFAULT_CONFIGS: dict[str, str] = {
         "type: basic_rag\nretrieval_pipeline_name: vector_search\nllm: mock\ntop_k: 5\n"
     ),
     "pipelines/generation/ircot.yaml": (
-        "type: ircot\nretrieval_pipeline_name: vector_search\nllm: mock\nmax_steps: 8\n"
+        # bm25 sub-pipeline: IRCoT retrieves with ad-hoc CoT sentences, which
+        # needs text-capable retrieval (dense would require an embedding model)
+        "type: ircot\nretrieval_pipeline_name: bm25\nllm: mock\nmax_steps: 8\n"
     ),
     "metrics/retrieval/recall.yaml": "name: recall\nmetric_type: retrieval\n",
     "metrics/retrieval/ndcg.yaml": "name: ndcg\nmetric_type: retrieval\n",

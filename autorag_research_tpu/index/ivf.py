@@ -18,6 +18,13 @@ Recall is controlled by ``nprobe`` (cells scanned per query); with normalized
 embeddings and nprobe ~= 5-10% of cells, top-10 recall is typically >95%
 (tested on clustered synthetics). Exact search remains the default pipeline
 path; IVF is opted into via ``VectorSearchConfig(index_type="ivf")``.
+
+Measured guidance (v5e, 500k x 768, nprobe=32/1024 cells): recall@10 = 1.00
+but 537 QPS vs 886 QPS for batched exact — the MXU makes whole-corpus exact
+matmuls cheap enough that per-query candidate gathers only pay off at much
+larger corpora (the break-even scales with N; expect IVF wins at ~5M+ rows
+or single-query latency paths). This matches why the reference needs ANN
+(CPU Postgres) while the TPU default stays exact.
 """
 
 from __future__ import annotations

@@ -103,6 +103,28 @@ def _builtin_factories() -> None:
         ("upr", "UPRReranker"),
     ]:
         register_model_type("reranker", name, _lazy(f"autorag_research_tpu.rerankers.hf.{cls}"))
+
+    # Named presets for the reference's remaining local rerankers — each is a
+    # cross-encoder (or seq2seq) head with a specific checkpoint; the classes
+    # above cover the math, these pin the default weights.
+    def _cross_encoder_preset(default_checkpoint: str):
+        def factory(checkpoint: str | None = None, **kw):
+            from autorag_research_tpu.rerankers.hf import CrossEncoderReranker
+
+            return CrossEncoderReranker(checkpoint or default_checkpoint, **kw)
+
+        return factory
+
+    for name, ckpt in [
+        ("flag_embedding", "BAAI/bge-reranker-v2-m3"),
+        ("flag_embedding_llm", "BAAI/bge-reranker-v2-gemma"),
+        ("koreranker", "Dongjin-kr/ko-reranker"),
+        ("sentence_transformer", "cross-encoder/ms-marco-MiniLM-L-6-v2"),
+        ("flashrank", "cross-encoder/ms-marco-MiniLM-L-12-v2"),
+        ("openvino", "cross-encoder/ms-marco-MiniLM-L-6-v2"),
+        ("tart", "facebook/tart-full-flan-t5-xl"),
+    ]:
+        register_model_type("reranker", name, _cross_encoder_preset(ckpt))
     for name, cls in [
         ("cohere", "CohereReranker"),
         ("jina", "JinaReranker"),
