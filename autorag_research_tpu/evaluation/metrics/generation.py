@@ -294,10 +294,21 @@ def rouge(
 # --------------------------------------------------------------------- METEOR
 
 
-def _stem(token: str) -> str:
-    from nltk.stem.porter import PorterStemmer
+import functools as _functools
 
-    return PorterStemmer().stem(token)
+
+@_functools.lru_cache(maxsize=65536)
+def _stem(token: str) -> str:
+    # module-level stemmer + memoized stems: meteor's alignment loop compares
+    # O(|hyp| x |ref|) token pairs
+    global _PORTER_STEMMER
+    try:
+        stemmer = _PORTER_STEMMER
+    except NameError:
+        from nltk.stem.porter import PorterStemmer
+
+        stemmer = _PORTER_STEMMER = PorterStemmer()
+    return stemmer.stem(token)
 
 
 def _wordnet_synsets(token: str) -> set[str]:

@@ -72,17 +72,26 @@ class BaseEvaluationService:
 
     # --------------------------------------------------------------- engines
     def _iter_query_rows(self, batch_size: int, query_ids):
+        if query_ids is not None:
+            # explicit id list (health checks etc.): direct fetch instead of
+            # paginating the whole table
+            ids = list(query_ids)
+            for lo in range(0, len(ids), batch_size):
+                chunk = ids[lo : lo + batch_size]
+                qs = ",".join("?" for _ in chunk)
+                rows = self.catalog.connect().execute(
+                    f"SELECT * FROM query WHERE id IN ({qs}) ORDER BY id", chunk
+                ).fetchall()
+                if rows:
+                    yield rows
+            return
         offset = 0
         while True:
             rows = self.catalog.get_queries(limit=batch_size, offset=offset)
             if not rows:
                 return
             offset += len(rows)
-            if query_ids is not None:
-                wanted = set(query_ids)
-                rows = [r for r in rows if r["id"] in wanted]
-            if rows:
-                yield rows
+            yield rows
 
     def _evaluate_per_query(
         self, pipeline_id, metric_id, metric_func, batch_size, query_ids
@@ -226,20 +235,30 @@ class GenerationEvaluationService(BaseEvaluationService):
 
     def _gt_contents(self, gt: list[list[str]]) -> list[list[str]]:
         """Resolve text contents per GT group; image ids have no text and are
-        skipped (grouping mirrors ``generation_evaluation.py:181-189``)."""
+        skipped (grouping mirrors ``generation_evaluation.py:181-189``).
+        One batched lookup covers all groups (string + int id forms both
+        queried once — catalog PKs may be either)."""
+        per_group_ids: list[list[str]] = [
+            [pid.removeprefix("chunk_") for pid in group if pid.startswith("chunk_")]
+            for group in gt
+        ]
+        all_ids = [cid for group in per_group_ids for cid in group]
+        if not all_ids:
+            return []
+        lookup = dict(self.catalog.get_chunk_contents(all_ids))
+        int_forms = []
+        for cid in all_ids:
+            if cid not in lookup:
+                try:
+                    int_forms.append(int(cid))
+                except (TypeError, ValueError):
+                    pass
+        if int_forms:
+            for k, v in self.catalog.get_chunk_contents(int_forms).items():
+                lookup[str(k)] = v
         out = []
-        for group in gt:
-            chunk_ids = [pid.removeprefix("chunk_") for pid in group if pid.startswith("chunk_")]
-            # catalog ids may be ints; try both forms
-            resolved = []
-            for cid in chunk_ids:
-                lookup = self.catalog.get_chunk_contents([cid])
-                if not lookup:
-                    try:
-                        lookup = self.catalog.get_chunk_contents([int(cid)])
-                    except (TypeError, ValueError):
-                        lookup = {}
-                resolved.extend(lookup.values())
+        for group_ids in per_group_ids:
+            resolved = [lookup[cid] for cid in group_ids if cid in lookup]
             if resolved:
                 out.append(resolved)
         return out

@@ -126,7 +126,13 @@ class IVFIndex:
         self.n_cells = n_cells or max(8, int(np.sqrt(max(n, 1)) * 2))
         self.n_cells = min(self.n_cells, max(n, 1))
         self.nprobe = nprobe or max(1, self.n_cells // 10)
-        self.cell_pad = max(8, int(np.ceil(n / self.n_cells * pad_factor)))
+        # total capacity must cover every doc (the packer never drops), so the
+        # per-cell pad is floored at ceil(n / n_cells) regardless of pad_factor
+        self.cell_pad = max(
+            8,
+            int(np.ceil(n / self.n_cells)),
+            int(np.ceil(n / self.n_cells * pad_factor)),
+        )
         self._n = n
         self._host = mat
         self._build(mat, seed, kmeans_iterations)

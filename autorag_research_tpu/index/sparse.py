@@ -63,10 +63,17 @@ class SparseIndex:
         return cls(ids, texts, **kwargs)
 
     def _build(self, texts: Sequence[str]) -> None:
-        # Native C++ fast path for the default tokenizer (identical token
-        # semantics; see native/bm25_native.cpp). The Python path remains for
-        # other tokenizers and when the toolchain is unavailable.
-        if self.tokenizer_name in ("simple", "wiki_tocken") and self.max_slots is None:
+        # Native C++ fast path for the default tokenizer. Token semantics are
+        # identical ONLY for pure-ASCII text (the C++ side has no Unicode
+        # lowercase/word-class tables — non-ASCII bytes pass through raw,
+        # which would disagree with Python's str.lower()/\w on accented
+        # letters and Unicode punctuation), so any non-ASCII doc routes the
+        # whole build to the Python tokenizer.
+        if (
+            self.tokenizer_name in ("simple", "wiki_tocken")
+            and self.max_slots is None
+            and all((t or "").isascii() for t in texts)
+        ):
             try:
                 from autorag_research_tpu import native
 

@@ -58,8 +58,9 @@ class OpenAICompatLLM(BaseLLM):
             "temperature": kwargs.get("temperature", self.temperature),
             **self.extra_body,
         }
-        if self.max_tokens is not None:
-            body["max_tokens"] = kwargs.get("max_tokens", self.max_tokens)
+        max_tokens = kwargs.get("max_tokens", self.max_tokens)
+        if max_tokens is not None:
+            body["max_tokens"] = max_tokens
         if self.logprobs:
             body["logprobs"] = True
             body["top_logprobs"] = 5

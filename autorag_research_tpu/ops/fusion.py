@@ -34,8 +34,18 @@ from autorag_research_tpu.utils.normalize import (
 Hit = dict[str, Any]  # {"doc_id", "score"}
 
 
+def id_tiebreak_sort(items, score_of, id_of):
+    """Sort by (-score, doc_id) — the framework-wide deterministic order that
+    matches sort_topk on device. Falls back to string ids only when a
+    collection mixes incomparable id types (pathological)."""
+    try:
+        return sorted(items, key=lambda it: (-score_of(it), id_of(it)))
+    except TypeError:
+        return sorted(items, key=lambda it: (-score_of(it), str(id_of(it))))
+
+
 def _sorted_hits(score_map: dict[Any, float], top_k: int) -> list[Hit]:
-    items = sorted(score_map.items(), key=lambda kv: (-kv[1], str(kv[0])))
+    items = id_tiebreak_sort(score_map.items(), lambda kv: kv[1], lambda kv: kv[0])
     return [{"doc_id": d, "score": float(s)} for d, s in items[:top_k]]
 
 
@@ -109,6 +119,7 @@ def fuse_batch_rrf(
     """
     import jax.numpy as jnp
 
+    from autorag_research_tpu.ops.dense import INT_MAX
     from autorag_research_tpu.ops.topk import sort_topk
 
     b, f = ids_1.shape
@@ -121,7 +132,8 @@ def fuse_batch_rrf(
     missing = 1.0 / (k + fetch_k + 1)
     dup = eq.sum(-1) > 1  # appears in both lists
     scores = jnp.where(dup, occ_scores, occ_scores + missing)
-    valid = union >= 0
+    # pads: the kernels emit INT_MAX for short result lists, callers may use -1
+    valid = (union >= 0) & (union != INT_MAX)
     scores = jnp.where(valid, scores, -jnp.inf)
     # dedup: keep first occurrence only
     first_occ = jnp.argmax(eq, axis=-1) == jnp.arange(2 * f)[None, :]
@@ -148,11 +160,12 @@ def fuse_batch_cc(
     """
     import jax.numpy as jnp
 
+    from autorag_research_tpu.ops.dense import INT_MAX
     from autorag_research_tpu.ops.topk import sort_topk
 
     b, f = ids_1.shape
     union = jnp.concatenate([ids_1, ids_2], axis=1)  # [B, 2F]
-    valid = union >= 0
+    valid = (union >= 0) & (union != INT_MAX)
     # docs in both lists appear twice in the union; statistics must count each
     # doc once (the host fuser dedups via a set), so restrict to first
     # occurrences
@@ -162,7 +175,7 @@ def fuse_batch_cc(
     def lookup(ids_src, scores_src):
         # score of each union candidate in a source list; NaN = missing
         eq = union[:, :, None] == ids_src[:, None, :]  # [B, 2F, F]
-        present = eq.any(-1) & (union >= 0)
+        present = eq.any(-1) & valid
         val = (eq * scores_src[:, None, :]).sum(-1)
         return jnp.where(present, val, jnp.nan)
 

@@ -136,8 +136,10 @@ class GQRHybridPipeline(BaseRetrievalPipeline):
                 )
                 final = final + self.lr * (target - primary_dist)
 
-        order = sorted(
-            zip(pool_ids, final), key=lambda t: (-t[1], str(t[0]))
+        from autorag_research_tpu.ops.fusion import id_tiebreak_sort
+
+        order = id_tiebreak_sort(
+            zip(pool_ids, final), lambda t: t[1], lambda t: t[0]
         )[:top_k]
         return [{"doc_id": d, "score": float(s)} for d, s in order]
 

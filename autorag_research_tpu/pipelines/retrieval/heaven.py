@@ -148,7 +148,9 @@ class HEAVENPipeline(BaseRetrievalPipeline):
             late = key_scores.get(did, 0.0) + non_key_scores.get(did, 0.0)
             score = self.stage1_weight * stage1_map.get(did, 0.0) + (1 - self.stage1_weight) * late
             final.append({"doc_id": did, "score": float(score)})
-        final.sort(key=lambda h: (-h["score"], str(h["doc_id"])))
+        from autorag_research_tpu.ops.fusion import id_tiebreak_sort
+
+        final = id_tiebreak_sort(final, lambda h: h["score"], lambda h: h["doc_id"])
         return final[:top_k]
 
     def _stored_query(self, query_id):

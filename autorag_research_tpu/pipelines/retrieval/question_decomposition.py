@@ -96,9 +96,11 @@ class QuestionDecompositionPipeline(BaseRetrievalPipeline):
                 score = float(hit["score"])
                 if did not in merged or score > merged[did]:
                     merged[did] = score
+        from autorag_research_tpu.ops.fusion import id_tiebreak_sort
+
         hits = [
             {"doc_id": d, "score": s}
-            for d, s in sorted(merged.items(), key=lambda kv: (-kv[1], str(kv[0])))
+            for d, s in id_tiebreak_sort(merged.items(), lambda kv: kv[1], lambda kv: kv[0])
         ]
         if self.reranker is not None:
             ids = [h["doc_id"] for h in hits]

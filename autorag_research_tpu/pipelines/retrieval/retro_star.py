@@ -109,9 +109,16 @@ class RetroStarPipeline(BaseRetrievalPipeline):
                 for h in hits
             ]
         )
-        ranked = sorted(
-            zip(hits, scores), key=lambda t: (-t[1], -t[0]["score"], str(t[0]["doc_id"]))
-        )
+        try:
+            ranked = sorted(
+                zip(hits, scores),
+                key=lambda t: (-t[1], -t[0]["score"], t[0]["doc_id"]),
+            )
+        except TypeError:  # mixed id types (pathological)
+            ranked = sorted(
+                zip(hits, scores),
+                key=lambda t: (-t[1], -t[0]["score"], str(t[0]["doc_id"])),
+            )
         return [{"doc_id": h["doc_id"], "score": s} for (h, s) in ranked[:top_k]]
 
     async def _retrieve_by_id(self, query_id, top_k):

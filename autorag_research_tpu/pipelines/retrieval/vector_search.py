@@ -47,6 +47,9 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
         self.table = table
         self.index_type = index_type
         self.index_options = index_options or {}
+        # result persistence must route by the searched table, or image hits
+        # would land in the chunk result table and silently zero all metrics
+        self.retrieval_unit = "image_chunk" if table == "image_chunk" else "chunk"
         super().__init__(catalog, name)
 
     def _get_pipeline_config(self) -> dict[str, Any]:

@@ -165,8 +165,12 @@ class ServingHandle:
         if rows:
             result = run_async(pipe._generate(rows[0]["id"], top_k))
         else:
-            # ad-hoc: stage the query, generate, then clean it up
-            qid = f"__serve_{hash(query) & 0xFFFFFFFF:x}"
+            # ad-hoc: stage under a per-request unique id (a content hash
+            # would race concurrent requests and collide across texts),
+            # generate, then clean it up
+            import uuid
+
+            qid = f"__serve_{uuid.uuid4().hex}"
             self.catalog.add_queries([{"id": qid, "contents": query}])
             try:
                 result = run_async(pipe._generate(qid, top_k))

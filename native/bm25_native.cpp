@@ -8,11 +8,12 @@
 // single pass over the text and open-addressing hash tables, then hands the
 // dense slot arrays straight to the TPU scoring kernel (ops/sparse.py).
 //
-// Tokenization matches the Python "simple" tokenizer: lowercase runs of
-// Unicode letters/digits. For the ASCII fast path that is [a-z0-9]+; UTF-8
-// multibyte sequences are treated as letter characters (matching \w for the
-// overwhelmingly common cases), so Python and native builds agree on every
-// corpus tested.
+// Tokenization matches the Python "simple" tokenizer for ASCII text
+// ([a-z0-9]+ after lowercasing). Non-ASCII bytes pass through untouched (no
+// Unicode case/word-class tables here), which would NOT match Python's
+// str.lower()/\w semantics on accented letters or Unicode punctuation —
+// the Python wrapper therefore only selects this builder for pure-ASCII
+// corpora (see autorag_research_tpu/index/sparse.py).
 
 #include <cstdint>
 #include <cstring>

@@ -172,3 +172,15 @@ class TestShardedBM25:
             assert [(h.doc_id, round(h.score, 5)) for h in a] == [
                 (h.doc_id, round(h.score, 5)) for h in b
             ]
+
+
+def test_non_ascii_corpus_matches_python_build():
+    # native builder must NOT be used for non-ASCII text; query-time Python
+    # tokenization has to agree with the build-time vocabulary
+    docs = ["Éclair recipe with chocolate", "don’t panic guide", "plain ascii text"]
+    idx = SparseIndex(["a", "b", "c"], docs, tokenizer="simple")
+    assert "éclair" in idx.vocab  # lowercased unicode, python semantics
+    hits = idx.search(["Éclair recipe"], 2, method="xla")[0]
+    assert hits[0].doc_id == "a"
+    hits = idx.search(["don’t panic"], 2, method="xla")[0]
+    assert hits[0].doc_id == "b"

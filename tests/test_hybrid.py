@@ -196,3 +196,40 @@ class TestDeviceCC:
         np.testing.assert_allclose(
             np.asarray(scores)[0], [h["score"] for h in host], rtol=1e-5, atol=1e-6
         )
+
+
+class TestReviewRegressions:
+    def test_device_rrf_ignores_intmax_pads(self):
+        from autorag_research_tpu.ops.dense import INT_MAX
+
+        ids_1 = np.array([[5, 7, INT_MAX]], dtype=np.int32)
+        ids_2 = np.array([[7, INT_MAX, INT_MAX]], dtype=np.int32)
+        scores, ids = fuse_batch_rrf(ids_1, ids_2, k=60, top_k=3, fetch_k=3)
+        ids = np.asarray(ids)[0]
+        assert INT_MAX not in ids[:2]
+        assert ids[0] == 7  # in both lists
+
+    def test_device_cc_ignores_intmax_pads(self):
+        from autorag_research_tpu.ops.dense import INT_MAX
+        from autorag_research_tpu.ops.fusion import fuse_batch_cc
+
+        ids_1 = np.array([[5, 7, INT_MAX]], dtype=np.int32)
+        s_1 = np.array([[0.9, 0.5, -3.4e38]], dtype=np.float32)
+        ids_2 = np.array([[7, INT_MAX, INT_MAX]], dtype=np.int32)
+        s_2 = np.array([[4.0, -3.4e38, -3.4e38]], dtype=np.float32)
+        scores, ids = fuse_batch_cc(
+            ids_1, s_1, ids_2, s_2, weight=0.5, top_k=3, normalize_method="mm"
+        )
+        host = cc_fuse(
+            hits([(5, 0.9), (7, 0.5)]), hits([(7, 4.0)]),
+            weight=0.5, top_k=3, normalize_method="mm",
+        )
+        assert list(np.asarray(ids)[0][:2]) == [h["doc_id"] for h in host[:2]]
+        np.testing.assert_allclose(
+            np.asarray(scores)[0][:2], [h["score"] for h in host[:2]], rtol=1e-5
+        )
+
+    def test_host_fusers_int_id_tiebreak(self):
+        # tied scores: doc 2 must rank before doc 10 (numeric, not string, order)
+        out = rrf_fuse(hits([(10, 1.0)]), hits([(2, 1.0)]), k=60, top_k=2, fetch_k=1)
+        assert [h["doc_id"] for h in out] == [2, 10]

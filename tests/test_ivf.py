@@ -103,3 +103,10 @@ def test_pipeline_opt_in(tmp_path):
     assert result.success, result.report()
     assert result.pipelines[0].metrics[0].average == 1.0
     registry.invalidate()
+
+
+def test_small_pad_factor_never_crashes(clustered):
+    ids, points, _ = clustered
+    ivf = IVFIndex(ids, points, n_cells=16, pad_factor=0.5)
+    packed = ivf.members[ivf.members < len(ids)]
+    assert len(set(packed.tolist())) == len(ids)
