@@ -73,6 +73,8 @@ class BiEncoderTrainer:
         batch_size: int = 32,
         mesh=None,
         seed: int = 0,
+        optimizer: str = "sgd",
+        weight_decay: float = 0.01,
     ):
         self.config = config or EncoderConfig()
         self.encoder = RetrievalEncoder(self.config)
@@ -81,7 +83,19 @@ class BiEncoderTrainer:
         self.batch_size = batch_size
         self.mesh = mesh
         self.seed = seed
+        self.optimizer = optimizer
+        self.weight_decay = weight_decay
         self.params = self.encoder.init(seed)
+        if optimizer == "adamw":
+            import optax
+
+            self._tx = optax.adamw(lr, weight_decay=weight_decay)
+            self._opt_state = self._tx.init(self.params)
+        elif optimizer == "sgd":
+            self._tx = None
+            self._opt_state = None
+        else:
+            raise ValueError(f"unknown optimizer '{optimizer}' (sgd | adamw)")
 
     def _shard_params(self):
         if self.mesh is None:
@@ -124,11 +138,32 @@ class BiEncoderTrainer:
             raise ValueError("need at least 2 (query, gold chunk) pairs to train")
         self._shard_params()
         rng = np.random.default_rng(self.seed)
-        step_fn = jax.jit(
-            lambda p, b: contrastive_train_step(
-                self.encoder, p, b, lr=self.lr, temperature=self.temperature
+        if self._tx is not None:
+            from autorag_research_tpu.models.encoder import info_nce_loss
+
+            def optax_step(params, opt_state, batch):
+                def loss_fn(p):
+                    q = self.encoder(p, batch["q_ids"], batch["q_mask"])
+                    d = self.encoder(p, batch["d_ids"], batch["d_mask"])
+                    return info_nce_loss(q, d, self.temperature)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = self._tx.update(grads, opt_state, params)
+                import optax
+
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            optax_step = jax.jit(optax_step)
+
+            def step_fn(p, b):
+                new_p, self._opt_state, loss = optax_step(p, self._opt_state, b)
+                return new_p, loss
+        else:
+            step_fn = jax.jit(
+                lambda p, b: contrastive_train_step(
+                    self.encoder, p, b, lr=self.lr, temperature=self.temperature
+                )
             )
-        )
         report = TrainReport()
         start = time.perf_counter()
         bsz = min(self.batch_size, len(pairs))

@@ -199,3 +199,31 @@ class TestTrainer:
             trainer.as_embedding().embed_texts(["hello"])[0],
             rtol=1e-6,
         )
+
+
+def test_trainer_adamw(tmp_path):
+    from autorag_research_tpu.models.trainer import BiEncoderTrainer
+    from autorag_research_tpu.store.catalog import Catalog
+    from autorag_research_tpu.store.gt import or_all
+
+    cat = Catalog(tmp_path / "aw.db")
+    docs = [f"topic {chr(97 + i)} document" for i in range(8)]
+    cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(docs)])
+    cat.add_queries([{"id": i, "contents": f"find topic {chr(97 + i)}"} for i in range(8)])
+    for i in range(8):
+        cat.add_retrieval_gt(i, or_all([i]))
+    cfg = EncoderConfig(vocab_size=512, hidden=32, layers=2, heads=2, max_len=8, out_dim=16)
+    trainer = BiEncoderTrainer(cfg, lr=1e-3, batch_size=8, optimizer="adamw")
+    report = trainer.train(cat, epochs=40)
+    assert report.final_loss < report.losses[0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BiEncoderTrainer(cfg, optimizer="nope")
+
+
+def test_distributed_helper_single_host():
+    from autorag_research_tpu.parallel.distributed import initialize_distributed
+
+    # single-host environment: must be a safe no-op returning False
+    assert initialize_distributed() is False
