@@ -517,16 +517,19 @@ def huggingface_evaluate(
     out = []
     for mi in metric_inputs:
         refs = list(mi.generation_gt or [""])
-        best = 0.0
+        best: float | None = None
         for ref in refs:
             result = scorer.compute(
                 predictions=[mi.generated_texts or ""], references=[ref], **kwargs
             )
-            value = result.get(metric_name) or next(iter(result.values()))
+            # explicit key lookup: a legitimate 0.0 must not fall through to an
+            # arbitrary other stat, and signed metrics keep their sign
+            value = result[metric_name] if metric_name in result else next(iter(result.values()))
             if isinstance(value, list):
                 value = value[0]
-            best = max(best, float(value))
-        out.append(best)
+            value = float(value)
+            best = value if best is None else max(best, value)
+        out.append(best if best is not None else 0.0)
     return out
 
 

@@ -138,8 +138,9 @@ class MultiVectorIndex:
             out.append(
                 [
                     SearchHit(self.ids[int(r)], float(s) / nq)
+                    # score floor drops NEG_INF filler (empty docs / pad rows)
                     for s, r in zip(qs[:k_eff], qr[:k_eff])
-                    if r < self._n
+                    if r < self._n and s > -1e37
                 ]
             )
         return out

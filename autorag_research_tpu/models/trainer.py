@@ -169,7 +169,13 @@ class BiEncoderTrainer:
         bsz = min(self.batch_size, len(pairs))
         if self.mesh is not None:
             dp = self.mesh.shape.get("dp", 1)
+            if len(pairs) < dp:
+                raise ValueError(
+                    f"need at least dp={dp} training pairs for this mesh, have {len(pairs)}"
+                )
             bsz = max(dp, bsz - bsz % dp)
+        if bsz > len(pairs):  # never let dp alignment silently skip training
+            bsz = len(pairs) - len(pairs) % (self.mesh.shape.get("dp", 1) if self.mesh else 1)
         for _ in range(epochs):
             order = rng.permutation(len(pairs))
             for lo in range(0, len(pairs) - bsz + 1, bsz):

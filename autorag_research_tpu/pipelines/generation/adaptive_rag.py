@@ -113,8 +113,11 @@ class AdaptiveRAGPipeline(BaseGenerationPipeline):
                 tracker.record(response)
                 step = response.text.strip()
                 cot.append(step)
-                if "answer is:" in step.lower():
-                    answer = step.lower().split("answer is:", 1)[1].strip()
+                import re as _re
+
+                m = _re.search(r"answer is:\s*(.*)", step, _re.IGNORECASE | _re.DOTALL)
+                if m:
+                    answer = m.group(1).strip()  # case preserved
                     break
                 await expand(step)
             if answer is None:

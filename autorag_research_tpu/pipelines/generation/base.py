@@ -67,10 +67,20 @@ class BaseGenerationPipeline(BasePipeline):
         return [lookup[cid] for cid in chunk_ids if cid in lookup]
 
     async def retrieve_for(self, query_id: Any, top_k: int) -> list[dict[str, Any]]:
-        """Retrieve evidence via the composed retrieval pipeline (by id)."""
+        """Retrieve evidence via the composed retrieval pipeline. Prefers the
+        stored-embedding id path; ad-hoc queries without embeddings (e.g.
+        staged by the serving layer) fall back to text retrieval."""
         if self.retrieval_pipeline is None:
             return []
-        return await self.retrieval_pipeline._retrieve_by_id(query_id, top_k)
+        from autorag_research_tpu.exceptions import EmbeddingMissingError
+
+        try:
+            return await self.retrieval_pipeline._retrieve_by_id(query_id, top_k)
+        except EmbeddingMissingError:
+            text = self.catalog.get_query_text(query_id)
+            if text is None:
+                raise
+            return await self.retrieval_pipeline._retrieve_by_text(text, top_k)
 
     # -------------------------------------------------------------------- run
     def run(
@@ -125,13 +135,18 @@ class BaseGenerationPipeline(BasePipeline):
                 metadata = dict(result.metadata)
                 metadata.setdefault(GENERATION_CONTEXT_CHUNK_ID_KEY, [])
                 if result.retrieved:
-                    self.catalog.add_retrieved_results(
-                        self.pipeline_id,
-                        [
-                            (qid, h["doc_id"], float(h.get("score", 0.0)))
-                            for h in result.retrieved
-                        ],
-                    )
+                    # route by the composed retriever's unit (image pipelines
+                    # must land in the image result table or metrics zero out)
+                    unit = getattr(self.retrieval_pipeline, "retrieval_unit", "chunk")
+                    if unit in ("chunk", "image_chunk"):
+                        self.catalog.add_retrieved_results(
+                            self.pipeline_id,
+                            [
+                                (qid, h["doc_id"], float(h.get("score", 0.0)))
+                                for h in result.retrieved
+                            ],
+                            unit,
+                        )
                 self.catalog.add_executor_result(
                     qid,
                     self.pipeline_id,

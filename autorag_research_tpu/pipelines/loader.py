@@ -23,6 +23,7 @@ DEPENDENCY_FIELDS = (
     "base_retrieval_pipeline_name",
     "complementary_retrieval_pipeline_name",
     "candidate_retrieval_pipeline_name",
+    "sparse_retrieval_pipeline_name",
 )
 
 

@@ -69,12 +69,16 @@ class PowerOfNoisePipeline(BaseRetrievalPipeline):
     def _sample_noise(self, exclude: set, n: int, query_id: Any | None) -> list:
         if n <= 0:
             return []
+        # sample from the table matching the base pipeline's unit so image
+        # pipelines get image noise (and never cross-table ids)
+        unit = self.retrieval_unit if self.retrieval_unit in ("chunk", "image_chunk") else "chunk"
+        gt_col = "chunk_id" if unit == "chunk" else "image_chunk_id"
         if self.noise_mode == "answer_aware_random" and query_id is not None:
             for rel in self.catalog.get_relations_by_query(query_id):
-                if rel["chunk_id"] is not None:
-                    exclude.add(rel["chunk_id"])
+                if rel[gt_col] is not None:
+                    exclude.add(rel[gt_col])
         rows = self.catalog.connect().execute(
-            "SELECT id FROM chunk ORDER BY id"
+            f"SELECT id FROM {unit} ORDER BY id"
         ).fetchall()
         pool = [r["id"] for r in rows if r["id"] not in exclude]
         rng = random.Random(f"{self.seed}:{query_id}")

@@ -82,6 +82,9 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
                 builder=lambda: IVFIndex.from_catalog(
                     self.catalog, self.table, **self.index_options
                 ),
+                # build parameters are part of the cache/artifact identity —
+                # two IVF configs with different options must not share indexes
+                **{str(k): str(v) for k, v in sorted(self.index_options.items())},
             )
         else:
             idx = registry.get_or_build(

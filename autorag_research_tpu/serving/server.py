@@ -139,7 +139,12 @@ class ServingHandle:
             self._batchers[name].submit(job)
         out = []
         for job in jobs:
-            job.done.wait(timeout=120)
+            finished = job.done.wait(timeout=600)
+            if not finished:
+                raise RuntimeError(
+                    "search timed out (device compile in progress or batcher "
+                    "stalled); retry shortly"
+                )
             if job.error:
                 raise RuntimeError(job.error)
             hits = job.result or []

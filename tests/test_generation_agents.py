@@ -113,10 +113,10 @@ def test_adaptive_rag_routes(acat, bm25):
     llm = ScriptedLLM(responses=["moderate", "Paris"])
     out = generate(AdaptiveRAGPipeline(acat, "ar1", retrieval_pipeline=bm25, llm=llm))
     assert out.metadata["route"] == "single" and out.metadata["context_chunk_ids"]
-    # multi route with early answer
+    # multi route with early answer (case preserved)
     llm = ScriptedLLM(responses=["complex", "answer is: Paris"])
     out = generate(AdaptiveRAGPipeline(acat, "ar2", retrieval_pipeline=bm25, llm=llm))
-    assert out.metadata["route"] == "multi" and out.text == "paris"
+    assert out.metadata["route"] == "multi" and out.text == "Paris"
 
 
 def test_question_decomposition_gen(acat, bm25):

@@ -110,3 +110,29 @@ def test_error_paths(handle):
     assert code == 404
     code, data = post(handle, "/generate", {"query": "x", "pipeline": "nope"})
     assert code == 400
+
+
+def test_adhoc_generate_with_dense_retriever(tmp_path):
+    """Regression: ad-hoc /generate must work when the generation pipeline
+    composes DENSE retrieval (the staged temp query has no embedding; the
+    pipeline falls back to text retrieval)."""
+    from autorag_research_tpu.embeddings import MockEmbedding
+    from autorag_research_tpu.pipelines.retrieval.vector_search import VectorSearchPipeline
+
+    registry.invalidate()
+    emb = MockEmbedding(dim=16)
+    cat = Catalog(tmp_path / "adg.db", embedding_dim=16)
+    cat.add_chunks(
+        [{"id": i, "contents": d, "embedding": emb.embed_query(d)} for i, d in enumerate(DOCS)]
+    )
+    vs = VectorSearchPipeline(cat, "vs_adhoc", embedding_model=emb)
+    rag = BasicRAGPipeline(
+        cat, "rag_adhoc", retrieval_pipeline=vs, llm=MockLLM(responder=lambda p: "ok")
+    )
+    h = ServingHandle(cat, {"vs": vs}, {"rag": rag}).start(port=0)
+    try:
+        code, data = post(h, "/generate", {"query": "brand new ad hoc question"})
+        assert code == 200 and data["text"] == "ok"
+    finally:
+        h.stop()
+        registry.invalidate()
