@@ -1,0 +1,104 @@
+"""LLM adapters: OpenAI-compatible client against a live mock endpoint."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from autorag_research_tpu.exceptions import LLMError
+from autorag_research_tpu.llm.openai_compat import OpenAICompatLLM
+
+
+@pytest.fixture(scope="module")
+def mock_server():
+    requests = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            requests.append((self.path, body, dict(self.headers)))
+            if self.path != "/v1/chat/completions":
+                self.send_response(404)
+                self.end_headers()
+                return
+            payload = {
+                "choices": [
+                    {
+                        "message": {"content": f"echo: {body['messages'][0]['content'] if isinstance(body['messages'][0]['content'], str) else 'multimodal'}"},
+                        "finish_reason": "stop",
+                        "logprobs": {
+                            "content": [{"token": "echo", "logprob": -0.25}]
+                        } if body.get("logprobs") else None,
+                    }
+                ],
+                "usage": {"prompt_tokens": 7, "completion_tokens": 3, "total_tokens": 10},
+            }
+            data = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{server.server_address[1]}/v1", requests
+    server.shutdown()
+
+
+def test_generate_and_usage(mock_server):
+    url, requests = mock_server
+    llm = OpenAICompatLLM(model="test-model", base_url=url, api_key="k")
+    result = llm.generate("hello world")
+    assert result.text == "echo: hello world"
+    assert result.token_usage == {"prompt_tokens": 7, "completion_tokens": 3, "total_tokens": 10}
+    assert result.metadata["finish_reason"] == "stop"
+    path, body, headers = requests[-1]
+    assert body["model"] == "test-model"
+    assert headers["Authorization"] == "Bearer k"
+
+
+def test_logprobs_and_max_tokens(mock_server):
+    url, requests = mock_server
+    llm = OpenAICompatLLM(base_url=url, api_key="k", logprobs=True, max_tokens=None)
+    result = llm.generate("p", max_tokens=256)
+    assert result.logprobs == [{"token": "echo", "logprob": -0.25}]
+    _, body, _ = requests[-1]
+    assert body["max_tokens"] == 256  # per-call cap honored with None default
+    assert body["logprobs"] is True
+
+
+def test_vision_payload(mock_server):
+    url, requests = mock_server
+    llm = OpenAICompatLLM(base_url=url, api_key="k")
+    from autorag_research_tpu.utils.concurrency import run_async
+
+    result = run_async(llm.agenerate("describe", images=[b"rawbytes"]))
+    assert result.text == "echo: multimodal"
+    _, body, _ = requests[-1]
+    content = body["messages"][0]["content"]
+    assert content[0] == {"type": "text", "text": "describe"}
+    assert content[1]["image_url"]["url"].startswith("data:image/png;base64,")
+
+
+def test_connection_error_raises():
+    llm = OpenAICompatLLM(base_url="http://127.0.0.1:1/v1", api_key="k", timeout=0.5)
+    with pytest.raises(LLMError):
+        llm.generate("x")
+
+
+def test_gated_adapters_import_cleanly():
+    # heavy optional adapters must import without their backends present
+    from autorag_research_tpu.embeddings.colpali import BiPaliEmbedding, ColPaliEmbedding  # noqa: F401
+    from autorag_research_tpu.embeddings.infinity import (  # noqa: F401
+        InfinityEmbedding,
+        InfinityMultiVectorEmbedding,
+    )
+    from autorag_research_tpu.exceptions import ModelLoadError
+
+    with pytest.raises(ModelLoadError):
+        InfinityEmbedding(base_url="http://127.0.0.1:1", timeout=0.3).embed_texts(["x"])
