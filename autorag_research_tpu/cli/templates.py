@@ -50,7 +50,97 @@ DEFAULT_CONFIGS: dict[str, str] = {
         # needs text-capable retrieval (dense would require an embedding model)
         "type: ircot\nretrieval_pipeline_name: bm25\nllm: mock\nmax_steps: 8\n"
     ),
+    # --- remaining retrieval pipelines -----------------------------------
+    "pipelines/retrieval/query_rewrite.yaml": (
+        "type: query_rewrite\ninner_retrieval_pipeline_name: bm25\nllm: mock\ntop_k: 10\n"
+    ),
+    "pipelines/retrieval/question_decomposition.yaml": (
+        "type: question_decomposition\ninner_retrieval_pipeline_name: bm25\n"
+        "llm: mock\nmax_subquestions: 3\ntop_k: 10\n"
+    ),
+    "pipelines/retrieval/rerank.yaml": (
+        "type: rerank\ninner_retrieval_pipeline_name: bm25\nreranker: mock\n"
+        "fetch_k_multiplier: 3\ntop_k: 10\n"
+    ),
+    "pipelines/retrieval/retro_star.yaml": (
+        "type: retro_star\nretrieval_pipeline_name: bm25\nllm: mock\n"
+        "candidate_top_k: 50\ntop_k: 10\n"
+    ),
+    "pipelines/retrieval/power_of_noise.yaml": (
+        "type: power_of_noise\nbase_retrieval_pipeline_name: bm25\n"
+        "noise_count: 2\nnoise_order: retrieved_first\ntop_k: 10\n"
+    ),
+    "pipelines/retrieval/gqr_hybrid.yaml": (
+        "type: gqr_hybrid\nretrieval_pipeline_1_name: vector_search\n"
+        "retrieval_pipeline_2_name: bm25\nn_steps: 25\ntop_k: 10\n"
+    ),
+    "pipelines/retrieval/heaven.yaml": (
+        "type: heaven\nstage1_candidate_count: 200\nstage2_refine_ratio: 0.25\n"
+        "stage1_weight: 0.3\ntop_k: 10\n"
+    ),
+    "pipelines/retrieval/vector_search_ivf.yaml": (
+        "type: vector_search\nsearch_mode: single\nindex_type: ivf\ntop_k: 10\n"
+    ),
+    # --- remaining generation pipelines ----------------------------------
+    "pipelines/generation/search_r1.yaml": (
+        "type: search_r1\nretrieval_pipeline_name: bm25\nllm: mock\nmax_actions: 4\ntop_k: 5\n"
+    ),
+    "pipelines/generation/self_rag.yaml": (
+        "type: self_rag\nretrieval_pipeline_name: bm25\nllm: mock\nmax_reflection_steps: 3\ntop_k: 5\n"
+    ),
+    "pipelines/generation/adaptive_rag.yaml": (
+        "type: adaptive_rag\nretrieval_pipeline_name: bm25\nllm: mock\ntop_k: 5\n"
+    ),
+    "pipelines/generation/deep_rag.yaml": (
+        "type: deep_rag\nretrieval_pipeline_name: bm25\nllm: mock\nmax_steps: 5\ntop_k: 5\n"
+    ),
+    "pipelines/generation/dynamic_rag.yaml": (
+        "type: dynamic_rag\nretrieval_pipeline_name: bm25\nllm: mock\ntop_k: 5\n"
+    ),
+    "pipelines/generation/et2rag.yaml": (
+        "type: et2rag\nretrieval_pipeline_name: bm25\nllm: mock\nnum_subsets: 5\ntop_k: 5\n"
+    ),
+    "pipelines/generation/spd_rag.yaml": (
+        "type: spd_rag\nretrieval_pipeline_name: bm25\nllm: mock\ntop_k: 5\n"
+    ),
+    "pipelines/generation/main_rag.yaml": (
+        "type: main_rag\nretrieval_pipeline_name: bm25\nllm: mock\ntau: 0.5\ntop_k: 5\n"
+    ),
+    "pipelines/generation/rag_critic.yaml": (
+        "type: rag_critic\nretrieval_pipeline_name: bm25\nllm: mock\nmax_rounds: 3\ntop_k: 5\n"
+    ),
+    "pipelines/generation/interact_rag.yaml": (
+        "type: interact_rag\nretrieval_pipeline_name: vector_search\n"
+        "sparse_retrieval_pipeline_name: bm25\nllm: mock\nmax_turns: 6\ntop_k: 5\n"
+    ),
+    "pipelines/generation/hybrid_deep_searcher.yaml": (
+        "type: hybrid_deep_searcher\nretrieval_pipeline_name: bm25\nllm: mock\n"
+        "max_turns: 4\nsearch_budget: 8\ntop_k: 5\n"
+    ),
+    "pipelines/generation/ras.yaml": (
+        "type: ras\nretrieval_pipeline_name: bm25\nllm: mock\nmax_needs: 3\ntop_k: 5\n"
+    ),
+    "pipelines/generation/autothinkrag.yaml": (
+        "type: autothinkrag\nretrieval_pipeline_name: bm25\nllm: mock\ntop_k: 5\n"
+    ),
+    "pipelines/generation/question_decomposition_gen.yaml": (
+        "type: question_decomposition_gen\nretrieval_pipeline_name: bm25\n"
+        "llm: mock\nmax_subquestions: 3\ntop_k: 5\n"
+    ),
+    "pipelines/generation/visrag_gen.yaml": (
+        "type: visrag_gen\nretrieval_pipeline_name: image_vector_search\n"
+        "llm: mock\nmax_images: 3\ntop_k: 5\n"
+    ),
     "metrics/retrieval/recall.yaml": "name: recall\nmetric_type: retrieval\n",
+    "metrics/retrieval/mrr.yaml": "name: mrr\nmetric_type: retrieval\n",
+    "metrics/retrieval/map.yaml": "name: map\nmetric_type: retrieval\n",
+    "metrics/retrieval/f1.yaml": "name: f1\nmetric_type: retrieval\n",
+    "metrics/generation/bleu.yaml": "name: bleu\nmetric_type: generation\n",
+    "metrics/generation/meteor.yaml": "name: meteor\nmetric_type: generation\n",
+    "metrics/generation/token_f1.yaml": "name: token_f1\nmetric_type: generation\n",
+    "metrics/generation/sem_score.yaml": (
+        "name: sem_score\nmetric_type: generation\nkwargs:\n  embedding_model: mock\n"
+    ),
     "metrics/retrieval/ndcg.yaml": "name: ndcg\nmetric_type: retrieval\n",
     "metrics/generation/exact_match.yaml": "name: exact_match\nmetric_type: generation\n",
     "metrics/generation/rouge.yaml": (

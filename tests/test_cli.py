@@ -228,3 +228,20 @@ class TestIndexArtifacts:
         )
         assert built == [1]  # stale artifact rebuilt
         assert 999 in idx.ids
+
+
+def test_every_template_pipeline_config_resolves(tmp_path, monkeypatch):
+    """Every shipped pipeline YAML must resolve to a valid typed config
+    (catches template/type drift)."""
+    monkeypatch.chdir(tmp_path)
+    main(["init"])
+    from autorag_research_tpu.cli.config_resolver import ConfigResolver
+
+    resolver = ConfigResolver(tmp_path / "configs")
+    for kind in ("retrieval", "generation"):
+        names = resolver.all_pipeline_names(kind)
+        assert names, kind
+        for name in names:
+            config = resolver.resolve_pipeline(kind, name)
+            assert config.name == name
+            assert config.kind == kind, f"{name}: {config.kind} != {kind}"
