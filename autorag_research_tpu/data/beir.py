@@ -147,14 +147,9 @@ class BEIRIngestor(TextDataIngestor):
                 gold_ids.update(d for d, s in qrels[qid].items() if s > 0)
 
         # 2. gold-preserving corpus filter
-        corpus_ids = list(corpus)
-        if min_corpus_cnt is not None:
-            selected = list(gold_ids & set(corpus_ids))
-            rest = [c for c in corpus_ids if c not in gold_ids]
-            need = min_corpus_cnt - len(selected)
-            if need > 0 and rest:
-                selected.extend(rng.sample(rest, min(need, len(rest))))
-            corpus_ids = selected
+        from autorag_research_tpu.data.hf_util import gold_preserving_subsample
+
+        corpus_ids = gold_preserving_subsample(list(corpus), gold_ids, min_corpus_cnt, rng)
         corpus_set = set(corpus_ids)
 
         # 3. write

@@ -71,15 +71,10 @@ class BRIGHTIngestor(TextDataIngestor):
             if gold_ids:
                 gts.append((qid, or_all(gold_ids)))
 
+        from autorag_research_tpu.data.hf_util import gold_preserving_subsample
+
         docs = {str(r["id"]): r["content"] for r in data["documents"]}
-        doc_ids = list(docs)
-        if min_corpus_cnt is not None:
-            selected = list(gold & set(doc_ids))
-            rest = [d for d in doc_ids if d not in gold]
-            need = min_corpus_cnt - len(selected)
-            if need > 0 and rest:
-                selected.extend(rng.sample(rest, min(need, len(rest))))
-            doc_ids = selected
+        doc_ids = gold_preserving_subsample(list(docs), gold, min_corpus_cnt, rng)
         doc_set = set(doc_ids)
 
         service.add_chunks([{"id": d, "contents": docs[d]} for d in doc_ids])

@@ -55,21 +55,20 @@ class LocalJSONLIngestor(TextDataIngestor):
         queries_path = self.data_dir / "queries.jsonl"
         if not queries_path.exists():
             return
-        n = 0
+        query_rows = []
+        gt_rows = []
         with open(queries_path, encoding="utf-8") as f:
             for line in f:
-                if query_limit is not None and n >= query_limit:
+                if query_limit is not None and len(query_rows) >= query_limit:
                     break
                 row = json.loads(line)
-                service.add_queries(
-                    [
-                        {
-                            "id": row["id"],
-                            "contents": row["contents"],
-                            "query_to_llm": row.get("query_to_llm"),
-                            "generation_gt": row.get("generation_gt"),
-                        }
-                    ]
+                query_rows.append(
+                    {
+                        "id": row["id"],
+                        "contents": row["contents"],
+                        "query_to_llm": row.get("query_to_llm"),
+                        "generation_gt": row.get("generation_gt"),
+                    }
                 )
                 gt = row.get("gt")
                 if gt:
@@ -77,6 +76,8 @@ class LocalJSONLIngestor(TextDataIngestor):
                     expr = groups[0]
                     for g in groups[1:]:
                         expr = expr & g
-                    service.add_retrieval_gt(row["id"], expr)
-                n += 1
+                    gt_rows.append((row["id"], expr))
+        service.add_queries(query_rows)
+        for qid, expr in gt_rows:
+            service.add_retrieval_gt(qid, expr)
         service.clean()

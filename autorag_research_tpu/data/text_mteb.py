@@ -69,15 +69,12 @@ class TextMTEBIngestor(TextDataIngestor):
             for qid in qids:
                 gold.update(d for d, s in qrels.get(qid, {}).items() if s >= self.score_threshold)
 
+        from autorag_research_tpu.data.hf_util import gold_preserving_subsample
+
         corpus_rows = list(data["corpus"])
         corpus_ids = [str(r["_id"]) for r in corpus_rows]
         if min_corpus_cnt is not None:
-            selected = list(gold & set(corpus_ids))
-            rest = [c for c in corpus_ids if c not in gold]
-            need = min_corpus_cnt - len(selected)
-            if need > 0 and rest:
-                selected.extend(rng.sample(rest, min(need, len(rest))))
-            keep = set(selected)
+            keep = set(gold_preserving_subsample(corpus_ids, gold, min_corpus_cnt, rng))
             corpus_rows = [r for r in corpus_rows if str(r["_id"]) in keep]
             corpus_ids = [str(r["_id"]) for r in corpus_rows]
         corpus_set = set(corpus_ids)

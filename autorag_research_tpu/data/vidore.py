@@ -69,6 +69,8 @@ class ViDoReIngestor(_VidoreBase):
         picked = sample_ids(list(range(len(rows))), query_limit, rng)
 
         pages: dict[str, object] = {}
+        query_rows = []
+        gts = []
         for i in picked:
             row = rows[i]
             qid = f"{self.dataset_name.split('/')[-1]}_q{i}"
@@ -77,7 +79,10 @@ class ViDoReIngestor(_VidoreBase):
             query_text = row.get("query") or row.get("question") or ""
             if not query_text:
                 continue
-            service.add_queries([{"id": qid, "contents": query_text}])
+            query_rows.append({"id": qid, "contents": query_text})
+            gts.append((qid, page_id))
+        service.add_queries(query_rows)
+        for qid, page_id in gts:
             service.add_retrieval_gt(qid, image_gt(page_id), chunk_type="image")
         self._write_pages(service, pages)
 
@@ -119,21 +124,19 @@ class _SplitVidore(_VidoreBase):
         }
         qids = sample_ids([q for q in queries if q in qrels], query_limit, rng)
 
+        from autorag_research_tpu.data.hf_util import gold_preserving_subsample
+
         pages = {}
         for r in data["corpus"]:
             did = str(r.get("corpus-id", r.get("corpus_id", r.get("_id"))))
             pages[did] = r["image"]
         if min_corpus_cnt is not None:
             gold = {d for q in qids for d, s in qrels.get(q, {}).items() if s > 0}
-            keep = list(gold & set(pages))
-            rest = [d for d in pages if d not in gold]
-            need = min_corpus_cnt - len(keep)
-            if need > 0 and rest:
-                keep.extend(rng.sample(rest, min(need, len(rest))))
+            keep = gold_preserving_subsample(list(pages), gold, min_corpus_cnt, rng)
             pages = {d: pages[d] for d in keep}
 
+        service.add_queries([{"id": qid, "contents": queries[qid]} for qid in qids])
         for qid in qids:
-            service.add_queries([{"id": qid, "contents": queries[qid]}])
             gt_ids = [d for d, s in qrels[qid].items() if s > 0 and d in pages]
             if gt_ids:
                 service.add_retrieval_gt(

@@ -74,18 +74,19 @@ class VisRAGIngestor(MultiModalDataIngestor):
                 for d, img in pages.items()
             ]
         )
+        service.add_queries(
+            [
+                {
+                    "id": qid,
+                    "contents": query_rows[qid].get("query") or query_rows[qid].get("text"),
+                    "generation_gt": [query_rows[qid]["answer"]]
+                    if query_rows[qid].get("answer")
+                    else None,
+                }
+                for qid in qids
+            ]
+        )
         for qid in qids:
-            row = query_rows[qid]
-            answer = row.get("answer")
-            service.add_queries(
-                [
-                    {
-                        "id": qid,
-                        "contents": row.get("query") or row.get("text"),
-                        "generation_gt": [answer] if answer else None,
-                    }
-                ]
-            )
             gt_ids = [d for d, s in qrels[qid].items() if s > 0 and d in pages]
             if gt_ids:
                 service.add_retrieval_gt(

@@ -65,10 +65,12 @@ class BaseEvaluationService:
     ) -> EvaluationSummary:
         metric_id = self.catalog.get_or_create_metric(metric_name, self.metric_type)
         if granularity == "dataset":
-            return self._evaluate_dataset(pipeline_id, metric_id, metric_func, query_ids)
-        return self._evaluate_per_query(
-            pipeline_id, metric_id, metric_func, batch_size, query_ids
-        )
+            summary = self._evaluate_dataset(pipeline_id, metric_id, metric_func, query_ids)
+        else:
+            summary = self._evaluate_per_query(
+                pipeline_id, metric_id, metric_func, batch_size, query_ids
+            )
+        return summary
 
     # --------------------------------------------------------------- engines
     def _iter_query_rows(self, batch_size: int, query_ids):
@@ -111,7 +113,7 @@ class BaseEvaluationService:
                     for r, v in zip(pending, values)
                 ],
             )
-        return self._summarize(pipeline_id, metric_id)
+        return self._summarize(pipeline_id, metric_id, query_ids)
 
     def _evaluate_dataset(
         self, pipeline_id, metric_id, metric_func, query_ids
@@ -134,12 +136,16 @@ class BaseEvaluationService:
                 for r, v in zip(all_rows, values)
             ],
         )
-        return self._summarize(pipeline_id, metric_id)
+        return self._summarize(pipeline_id, metric_id, query_ids)
 
-    def _summarize(self, pipeline_id, metric_id) -> EvaluationSummary:
-        values = self.catalog.get_evaluation_values(pipeline_id, metric_id)
+    def _summarize(self, pipeline_id, metric_id, query_ids=None) -> EvaluationSummary:
+        """Average over the evaluated window. With an explicit query_ids
+        window, only that window's rows count (a prior full run's rows must
+        not contaminate a limited run's report); the persisted Summary row is
+        only refreshed by full-set evaluations."""
+        values = self.catalog.get_evaluation_values(pipeline_id, metric_id, query_ids)
         avg = sum(values) / len(values) if values else None
-        if avg is not None:
+        if avg is not None and query_ids is None:
             self.catalog.upsert_summary(pipeline_id, metric_id, avg, len(values))
         return EvaluationSummary(metric_id, len(values), avg)
 

@@ -154,6 +154,12 @@ class Executor:
         hc_config = copy.copy(pconfig)
         hc_config.name = f"{pconfig.name}_health_check"
         hc_config.query_limit = self.config.health_check_queries
+        # purge stale artifacts from a previous run killed mid-health-check
+        # (resume-by-presence would otherwise skip everything and the
+        # total_queries==0 probe would spuriously fail)
+        stale = self.catalog.get_pipeline(hc_config.name)
+        if stale is not None:
+            self.catalog.delete_pipeline_artifacts(int(stale["id"]))
         hc_loader = PipelineLoader(self.catalog, self._hc_context(hc_config))
         pipeline = None
         try:
@@ -220,14 +226,17 @@ class Executor:
         pres.error = last_error
 
     def _verify_completion(self, pipeline, pconfig, stats) -> bool:
-        """Every (limited) query must have persisted rows (reference
-        ``executor.py:465-481``)."""
+        """Every (limited) query must have persisted rows OR have been
+        processed with legitimately empty results this run (reference
+        ``executor.py:465-481``; the empty-result case would otherwise fail
+        verification forever)."""
         if stats.get("failed_queries"):
             return False
         expected = self.catalog.get_all_query_ids()
         if pconfig.query_limit is not None:
             expected = expected[: pconfig.query_limit]
         done = set(self._result_query_ids(pipeline))
+        done |= set(stats.get("empty_queries", []))
         return set(expected) <= done
 
     # ------------------------------------------------------------ evaluation

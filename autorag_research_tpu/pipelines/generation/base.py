@@ -93,22 +93,26 @@ class BaseGenerationPipeline(BasePipeline):
         query_limit: int | None = None,
     ) -> dict[str, Any]:
         completed = self.catalog.get_queries_with_executor_results(self.pipeline_id)
+        # fixed first-N window, matching verification/evaluation (see the
+        # retrieval engine's note)
+        allowed = (
+            set(self.catalog.get_all_query_ids()[:query_limit])
+            if query_limit is not None
+            else None
+        )
         total = 0
         failed: list[Any] = []
         offset = 0
-        processed = 0
         while True:
             rows = self.catalog.get_queries(limit=batch_size, offset=offset)
             if not rows:
                 break
             offset += len(rows)
-            pending = [r["id"] for r in rows if r["id"] not in completed]
-            if query_limit is not None:
-                remaining = query_limit - processed
-                if remaining <= 0:
-                    break
-                pending = pending[:remaining]
-            processed += len(pending)
+            pending = [
+                r["id"]
+                for r in rows
+                if r["id"] not in completed and (allowed is None or r["id"] in allowed)
+            ]
             if not pending:
                 continue
 

@@ -94,24 +94,30 @@ class BaseRetrievalPipeline(BasePipeline):
             )
         unit = self.retrieval_unit
         completed = self.catalog.get_queries_with_results(self.pipeline_id, unit)
+        # query_limit defines a FIXED window (the first N catalog query ids) so
+        # retries/resumes never drift into out-of-window queries — the same
+        # window completion verification and evaluation use
+        allowed = (
+            set(self.catalog.get_all_query_ids()[:query_limit])
+            if query_limit is not None
+            else None
+        )
 
         total_queries = 0
         total_results = 0
         failed: list[Any] = []
+        empty: list[Any] = []
         offset = 0
-        processed = 0
         while True:
             rows = self.catalog.get_queries(limit=batch_size, offset=offset)
             if not rows:
                 break
             offset += len(rows)
-            pending = [r["id"] for r in rows if r["id"] not in completed]
-            if query_limit is not None:
-                remaining = query_limit - processed
-                if remaining <= 0:
-                    break
-                pending = pending[:remaining]
-            processed += len(pending)
+            pending = [
+                r["id"]
+                for r in rows
+                if r["id"] not in completed and (allowed is None or r["id"] in allowed)
+            ]
             if not pending:
                 continue
             batch = self._retrieve_batch_by_ids(
@@ -128,6 +134,11 @@ class BaseRetrievalPipeline(BasePipeline):
                     failed.append(qid)
                     continue
                 total_queries += 1
+                if not res:
+                    # legitimately zero hits (e.g. no term overlap in BM25):
+                    # nothing to persist, but the query IS processed
+                    empty.append(qid)
+                    continue
                 for hit in res:
                     persist_rows.append((qid, hit["doc_id"], float(hit["score"])))
             if persist_rows:
@@ -144,4 +155,5 @@ class BaseRetrievalPipeline(BasePipeline):
             "total_queries": total_queries,
             "total_results": total_results,
             "failed_queries": failed,
+            "empty_queries": empty,
         }

@@ -118,12 +118,18 @@ class Catalog:
     EMBEDDABLE_TABLES = ("chunk", "image_chunk", "query")
 
     def __init__(self, path: str | Path = ":memory:", embedding_dim: int | None = None):
+        self._tmpdir = None
+        if str(path) == ":memory:":
+            # ephemeral catalogs back onto a temp FILE, not sqlite's
+            # per-connection :memory: — a single shared in-memory connection
+            # would interleave transactions across threads (one thread's
+            # `with conn` commit/rollback landing mid-way through another's)
+            import tempfile
+
+            self._tmpdir = tempfile.TemporaryDirectory(prefix="autorag_catalog_")
+            path = Path(self._tmpdir.name) / "catalog.db"
         self.path = str(path)
         self._local = threading.local()
-        self._memory_conn: sqlite3.Connection | None = None
-        if self.path == ":memory:":
-            # A :memory: DB is per-connection; keep a single shared connection.
-            self._memory_conn = self._new_conn()
         with self.connect() as conn:
             conn.executescript(_SCHEMA)
         if embedding_dim is not None:
@@ -139,8 +145,6 @@ class Catalog:
         return conn
 
     def connect(self) -> sqlite3.Connection:
-        if self._memory_conn is not None:
-            return self._memory_conn
         conn = getattr(self._local, "conn", None)
         if conn is None:
             conn = self._new_conn()
@@ -148,13 +152,13 @@ class Catalog:
         return conn
 
     def close(self) -> None:
-        if self._memory_conn is not None:
-            self._memory_conn.close()
-            self._memory_conn = None
         conn = getattr(self._local, "conn", None)
         if conn is not None:
             conn.close()
             self._local.conn = None
+        if self._tmpdir is not None:
+            self._tmpdir.cleanup()
+            self._tmpdir = None
 
     # ------------------------------------------------------------------ meta
     def set_meta(self, key: str, value: str) -> None:
@@ -303,16 +307,24 @@ class Catalog:
         (reference ``base_ingestion.py:439-459`` + failed-ID quarantine ``:386-401``)."""
         self._check_table(table)
         col = "multi_embedding" if multi else "embedding"
+        conn = self.connect()
         sql = f"SELECT * FROM {table} WHERE {col} IS NULL"
         if table in ("chunk", "query"):
             sql += " AND contents IS NOT NULL AND TRIM(contents) != ''"
         params: list[Any] = []
         if exclude_ids:
-            sql += f" AND id NOT IN ({','.join('?' for _ in exclude_ids)})"
-            params.extend(exclude_ids)
+            # quarantine lists can exceed SQLite's bind-variable limit; stage
+            # them in a temp table instead of inlining placeholders
+            conn.execute("CREATE TEMP TABLE IF NOT EXISTS _quarantine (id PRIMARY KEY)")
+            conn.execute("DELETE FROM _quarantine")
+            conn.executemany(
+                "INSERT OR IGNORE INTO _quarantine (id) VALUES (?)",
+                [(i,) for i in exclude_ids],
+            )
+            sql += " AND id NOT IN (SELECT id FROM _quarantine)"
         sql += " ORDER BY id LIMIT ?"
         params.append(limit)
-        return self.connect().execute(sql, params).fetchall()
+        return conn.execute(sql, params).fetchall()
 
     def get_embeddings_matrix(
         self, table: str = "chunk", multi: bool = False
@@ -428,14 +440,14 @@ class Catalog:
             "(query_id, group_index, group_order, chunk_id, image_chunk_id, score) "
             "VALUES (:query_id, :group_index, :group_order, :chunk_id, :image_chunk_id, :score)"
         )
-        if upsert:
-            sql += (
-                " ON CONFLICT(query_id, group_index, group_order) DO UPDATE SET "
-                "chunk_id=excluded.chunk_id, image_chunk_id=excluded.image_chunk_id, "
-                "score=excluded.score"
-            )
         try:
             with self.connect() as conn:
+                if upsert:
+                    # replace-set semantics: re-ingesting a query's GT must not
+                    # leave stale rows from a previously larger GT mixed in
+                    conn.execute(
+                        "DELETE FROM retrieval_relation WHERE query_id=?", (query_id,)
+                    )
                 conn.executemany(sql, rows)
         except sqlite3.IntegrityError as exc:
             raise DuplicateRetrievalGTError(str(exc)) from exc
@@ -465,16 +477,15 @@ class Catalog:
     # -------------------------------------------------------------- pipelines
     def get_or_create_pipeline(self, name: str, config: dict | None = None) -> int:
         """Resume identity: same name -> same pipeline id (reference
-        ``orm/service/base_pipeline.py:16-77``)."""
+        ``orm/service/base_pipeline.py:16-77``). Insert-or-ignore + select so
+        concurrent creators race safely instead of raising IntegrityError."""
         with self.connect() as conn:
-            row = conn.execute("SELECT id FROM pipeline WHERE name=?", (name,)).fetchone()
-            if row is not None:
-                return int(row["id"])
-            cur = conn.execute(
-                "INSERT INTO pipeline (name, config) VALUES (?, ?)",
+            conn.execute(
+                "INSERT OR IGNORE INTO pipeline (name, config) VALUES (?, ?)",
                 (name, json.dumps(config or {}, ensure_ascii=False, default=str)),
             )
-            return int(cur.lastrowid)
+            row = conn.execute("SELECT id FROM pipeline WHERE name=?", (name,)).fetchone()
+            return int(row["id"])
 
     def get_pipeline(self, name: str) -> sqlite3.Row | None:
         return self.connect().execute("SELECT * FROM pipeline WHERE name=?", (name,)).fetchone()
@@ -496,15 +507,14 @@ class Catalog:
     # ---------------------------------------------------------------- metrics
     def get_or_create_metric(self, name: str, metric_type: str) -> int:
         with self.connect() as conn:
+            conn.execute(
+                "INSERT OR IGNORE INTO metric (name, type) VALUES (?, ?)",
+                (name, metric_type),
+            )
             row = conn.execute(
                 "SELECT id FROM metric WHERE name=? AND type=?", (name, metric_type)
             ).fetchone()
-            if row is not None:
-                return int(row["id"])
-            cur = conn.execute(
-                "INSERT INTO metric (name, type) VALUES (?, ?)", (name, metric_type)
-            )
-            return int(cur.lastrowid)
+            return int(row["id"])
 
     # ------------------------------------------------------ retrieved results
     def add_retrieved_results(
@@ -614,15 +624,30 @@ class Catalog:
             )
         }
 
-    def get_evaluation_values(self, pipeline_id: int, metric_id: int) -> list[float]:
-        return [
-            r["value"]
-            for r in self.connect().execute(
-                "SELECT value FROM evaluation_result "
-                "WHERE pipeline_id=? AND metric_id=? AND value IS NOT NULL",
-                (pipeline_id, metric_id),
-            )
-        ]
+    def get_evaluation_values(
+        self, pipeline_id: int, metric_id: int, query_ids: Sequence[Any] | None = None
+    ) -> list[float]:
+        sql = (
+            "SELECT value FROM evaluation_result "
+            "WHERE pipeline_id=? AND metric_id=? AND value IS NOT NULL"
+        )
+        params: list[Any] = [pipeline_id, metric_id]
+        if query_ids is not None:
+            ids = list(query_ids)
+            if not ids:
+                return []
+            out: list[float] = []
+            for lo in range(0, len(ids), 500):
+                chunk = ids[lo : lo + 500]
+                qs = ",".join("?" for _ in chunk)
+                out.extend(
+                    r["value"]
+                    for r in self.connect().execute(
+                        sql + f" AND query_id IN ({qs})", params + chunk
+                    )
+                )
+            return out
+        return [r["value"] for r in self.connect().execute(sql, params)]
 
     def delete_evaluation_results(
         self, pipeline_id: int, metric_id: int | None = None

@@ -138,3 +138,40 @@ def test_retrieval_fault_injection(catalog):
     assert not pres.success
     assert len(pres.stats["failed_queries"]) == 3  # all queries failed, none fatal
     assert pres.error is not None
+
+
+def test_zero_hit_query_passes_verification(catalog):
+    """A query that legitimately retrieves nothing must not fail the run."""
+    from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Config
+
+    # query 50 shares no terms with any chunk
+    catalog.add_queries([{"id": 50, "contents": "xylophone zygote quux"}])
+    cfg = make_config(
+        pipelines=[BM25Config(name="bm25_zero", top_k=3)], health_check=False
+    )
+    result = Executor(catalog, cfg).run()
+    assert result.success, result.report()
+    stats = result.pipelines[0].stats
+    assert 50 in stats["empty_queries"]
+    assert stats["failed_queries"] == []
+
+
+def test_query_limit_is_fixed_window(catalog):
+    """Retries/resumes must stay inside the first-N window."""
+    cfg = make_config(
+        pipelines=[VectorSearchConfig(name="vs_win", top_k=2, query_limit=2)],
+        health_check=False,
+    )
+    r1 = Executor(catalog, cfg).run()
+    assert r1.success
+    window = set(catalog.get_all_query_ids()[:2])
+    pid = r1.pipelines[0].stats["pipeline_id"]
+    assert catalog.get_queries_with_results(pid) == window
+    # re-run: still only the window, nothing new processed
+    registry.invalidate()
+    r2 = Executor(catalog, make_config(
+        pipelines=[VectorSearchConfig(name="vs_win", top_k=2, query_limit=2)],
+        health_check=False,
+    )).run()
+    assert r2.success and r2.pipelines[0].stats["total_queries"] == 0
+    assert catalog.get_queries_with_results(pid) == window

@@ -147,3 +147,61 @@ class TestCatalog:
         removed = cat.clean()
         assert removed["chunk"] == 1
         assert cat.count("chunk") == 1
+
+
+class TestReviewRegressions:
+    def test_gt_upsert_replaces_whole_set(self):
+        from autorag_research_tpu.store.gt import or_all
+
+        cat = Catalog()
+        cat.add_queries([{"id": 1, "contents": "q"}])
+        cat.add_retrieval_gt(1, or_all([1, 2, 3, 4, 5]))
+        cat.add_retrieval_gt(1, or_all([7, 8]), upsert=True)
+        rels = cat.get_relations_by_query(1)
+        assert sorted(r["chunk_id"] for r in rels) == [7, 8]  # no stale rows
+
+    def test_fetch_unembedded_huge_quarantine(self):
+        cat = Catalog()
+        cat.add_chunks([{"id": i, "contents": f"doc {i}"} for i in range(50)])
+        exclude = list(range(2, 40000))  # way past SQLite bind limits
+        rows = cat.fetch_unembedded("chunk", 10, exclude_ids=exclude)
+        assert [r["id"] for r in rows] == [0, 1]
+
+    def test_memory_catalog_multithreaded_transactions(self):
+        import threading
+
+        cat = Catalog()
+        cat.add_chunks([{"id": 0, "contents": "seed"}])
+        errors = []
+
+        def writer(tid):
+            try:
+                for i in range(25):
+                    cat.add_queries([{"id": f"t{tid}_{i}", "contents": "x"}])
+                    cat.get_or_create_pipeline(f"p{tid}_{i % 5}")
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+        assert cat.count("query") == 100
+
+    def test_concurrent_get_or_create_pipeline_no_integrity_error(self):
+        import threading
+
+        cat = Catalog()
+        ids = []
+
+        def create():
+            ids.append(cat.get_or_create_pipeline("shared"))
+
+        threads = [threading.Thread(target=create) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(set(ids)) == 1
