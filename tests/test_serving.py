@@ -136,3 +136,31 @@ def test_adhoc_generate_with_dense_retriever(tmp_path):
     finally:
         h.stop()
         registry.invalidate()
+
+
+def test_serving_with_mesh_sharded_index(tmp_path):
+    """Serving over a corpus sharded across the 8-device CPU mesh."""
+    from autorag_research_tpu.embeddings import MockEmbedding
+    from autorag_research_tpu.parallel.mesh import corpus_mesh
+    from autorag_research_tpu.pipelines.retrieval.vector_search import VectorSearchPipeline
+
+    registry.invalidate()
+    emb = MockEmbedding(dim=16)
+    cat = Catalog(tmp_path / "mesh_serve.db", embedding_dim=16)
+    docs = [f"unique document number {i}" for i in range(64)]
+    cat.add_chunks(
+        [{"id": i, "contents": d, "embedding": emb.embed_query(d)} for i, d in enumerate(docs)]
+    )
+    mesh = corpus_mesh(n_corpus=8)
+    vs = VectorSearchPipeline(cat, "vs_mesh", embedding_model=emb, mesh=mesh)
+    h = ServingHandle(cat, {"vs": vs}).start(port=0)
+    try:
+        code, data = post(h, "/search", {"query": docs[42], "top_k": 3})
+        assert code == 200
+        assert data["results"][0][0]["doc_id"] == 42
+        # and a batch across the mesh
+        code, data = post(h, "/search", {"queries": [docs[1], docs[60]], "top_k": 1})
+        assert [r[0]["doc_id"] for r in data["results"]] == [1, 60]
+    finally:
+        h.stop()
+        registry.invalidate()
