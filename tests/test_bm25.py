@@ -81,9 +81,11 @@ class TestKernelParity:
         )
         return scores, order[:, :k]
 
-    @pytest.mark.parametrize("fn_name", ["xla", "pallas"])
+    @pytest.mark.parametrize("fn_name", ["xla", "pallas", "pallas_v2"])
     def test_matches_host_oracle(self, index, fn_name):
         import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.sparse import bm25_topk_pallas_v2
 
         queries = ["quick fox", "lazy dog sleeping", "database search", "zzz unknown"]
         k = 4
@@ -94,8 +96,10 @@ class TestKernelParity:
         )
         if fn_name == "xla":
             s, rows = bm25_topk_xla(*args, k=k, tile_n=128)
-        else:
+        elif fn_name == "pallas":
             s, rows = bm25_topk_pallas(*args, k=k, block_q=8, block_n=128, interpret=True)
+        else:
+            s, rows = bm25_topk_pallas_v2(*args, k=k, block_q=8, block_n=128, interpret=True)
         host_scores, host_rows = self.oracle_topk(index, queries, k)
         s, rows = np.asarray(s), np.asarray(rows)
         for b in range(len(queries)):

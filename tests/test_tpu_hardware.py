@@ -39,7 +39,11 @@ def test_dense_paths_agree_on_tpu(rng):
 def test_bm25_pallas_agrees_on_tpu(rng):
     import jax.numpy as jnp
 
-    from autorag_research_tpu.ops.sparse import bm25_topk_pallas, bm25_topk_xla
+    from autorag_research_tpu.ops.sparse import (
+        bm25_topk_pallas,
+        bm25_topk_pallas_v2,
+        bm25_topk_xla,
+    )
 
     tid = jnp.asarray(rng.integers(0, 30000, size=(20000, 128)).astype(np.int32))
     tw = jnp.asarray(rng.random(size=(20000, 128)).astype(np.float32))
@@ -47,7 +51,9 @@ def test_bm25_pallas_agrees_on_tpu(rng):
     qw = jnp.asarray(rng.random(size=(8, 16)).astype(np.float32))
     s1, i1 = bm25_topk_pallas(qid, qw, tid, tw, 10)
     s2, i2 = bm25_topk_xla(qid, qw, tid, tw, 10)
+    s3, i3 = bm25_topk_pallas_v2(qid, qw, tid, tw, 10)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
 
 
 def test_maxsim_paths_agree_on_tpu(rng):
