@@ -130,14 +130,82 @@ class BiEncoderTrainer:
             batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
         return batch
 
-    def train(self, catalog, epochs: int = 1, max_steps: int | None = None) -> TrainReport:
+    # ------------------------------------------------------------ checkpoints
+    def _ckpt_state(self, step: int):
+        state = {"params": self.params, "step": np.asarray(step, np.int64)}
+        if self._opt_state is not None:
+            state["opt_state"] = self._opt_state
+        return state
+
+    def save_checkpoint(self, directory: str | Path, step: int) -> Path:
+        """Orbax checkpoint of params (+ optimizer state) under
+        ``directory/step_<N>``. The checkpoint/resume role the reference
+        delegates to DB result-presence (SURVEY.md §5) — training state has no
+        DB row, so it gets real checkpoints."""
+        import orbax.checkpoint as ocp
+
+        path = Path(directory).resolve() / f"step_{step}"
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, self._ckpt_state(step), force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    @staticmethod
+    def latest_checkpoint(directory: str | Path) -> Path | None:
+        directory = Path(directory)
+        if not directory.is_dir():
+            return None
+        steps = []
+        for p in directory.iterdir():
+            if p.is_dir() and p.name.startswith("step_"):
+                try:
+                    steps.append((int(p.name[5:]), p))
+                except ValueError:
+                    continue
+        return max(steps)[1] if steps else None
+
+    def restore_checkpoint(self, directory: str | Path) -> int:
+        """Restore params/opt_state from the latest ``step_<N>`` checkpoint.
+        Returns the restored step (0 if no checkpoint exists). Restoring with
+        the live state as the target preserves exact pytree structure
+        (optax opt_state is a NamedTuple chain)."""
+        import jax
+        import orbax.checkpoint as ocp
+
+        path = self.latest_checkpoint(directory)
+        if path is None:
+            return 0
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.tree.map(np.asarray, self._ckpt_state(0))
+        restored = ckptr.restore(path, target)
+        self.params = restored["params"]
+        if self._opt_state is not None:
+            self._opt_state = restored["opt_state"]
+        return int(restored["step"])
+
+    def train(
+        self,
+        catalog,
+        epochs: int = 1,
+        max_steps: int | None = None,
+        checkpoint_dir: str | Path | None = None,
+        checkpoint_every: int = 50,
+    ) -> TrainReport:
+        """Train; with ``checkpoint_dir`` set, auto-resumes from the latest
+        checkpoint there and saves every ``checkpoint_every`` steps plus at
+        the end. ``max_steps`` counts TOTAL steps including restored ones."""
         import jax
 
         pairs = build_pairs(catalog)
         if len(pairs) < 2:
             raise ValueError("need at least 2 (query, gold chunk) pairs to train")
+        start_step = 0
+        if checkpoint_dir is not None:
+            start_step = self.restore_checkpoint(checkpoint_dir)
         self._shard_params()
-        rng = np.random.default_rng(self.seed)
+        # fold the resume step into the data-order seed so a resumed run does
+        # not replay the exact permutations already consumed
+        rng = np.random.default_rng((self.seed, start_step))
         if self._tx is not None:
             from autorag_research_tpu.models.encoder import info_nce_loss
 
@@ -176,7 +244,11 @@ class BiEncoderTrainer:
             bsz = max(dp, bsz - bsz % dp)
         if bsz > len(pairs):  # never let dp alignment silently skip training
             bsz = len(pairs) - len(pairs) % (self.mesh.shape.get("dp", 1) if self.mesh else 1)
+        global_step = start_step
+        done = max_steps is not None and global_step >= max_steps
         for _ in range(epochs):
+            if done:
+                break
             order = rng.permutation(len(pairs))
             for lo in range(0, len(pairs) - bsz + 1, bsz):
                 batch_pairs = [pairs[i] for i in order[lo : lo + bsz]]
@@ -184,10 +256,14 @@ class BiEncoderTrainer:
                 self.params, loss = step_fn(self.params, batch)
                 report.losses.append(float(loss))
                 report.steps += 1
-                if max_steps is not None and report.steps >= max_steps:
+                global_step += 1
+                if checkpoint_dir is not None and global_step % checkpoint_every == 0:
+                    self.save_checkpoint(checkpoint_dir, global_step)
+                if max_steps is not None and global_step >= max_steps:
+                    done = True
                     break
-            if max_steps is not None and report.steps >= max_steps:
-                break
+        if checkpoint_dir is not None and report.steps:
+            self.save_checkpoint(checkpoint_dir, global_step)
         report.seconds = time.perf_counter() - start
         logger.info(
             "trained %d steps in %.1fs (loss %.4f -> %.4f)",
