@@ -35,6 +35,35 @@ def corpus_mesh(
     return Mesh(grid, (DP_AXIS, CORPUS_AXIS))
 
 
+def hybrid_corpus_mesh(n_slices: int | None = None, devices=None) -> Mesh:
+    """DCN-aware (dp, corpus) mesh for multi-slice deployments.
+
+    Layout: the ``corpus`` axis spans each slice's devices (so the per-shard
+    top-k ``all_gather`` in ``parallel/sharded.py`` rides ICI), and ``dp``
+    spans slices (queries partition across slices; nothing crosses DCN in the
+    retrieval hot path — each slice holds a full corpus shard-set replica).
+    Built with ``mesh_utils.create_hybrid_device_mesh`` so device order
+    respects physical ICI topology within each slice.
+
+    Falls back to :func:`corpus_mesh` (all devices on the corpus axis) when
+    the runtime exposes a single slice — e.g. the CPU test mesh or one chip.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    n_slices = n_slices if n_slices is not None else len(slice_ids)
+    if n_slices <= 1 or len(slice_ids) <= 1:
+        return corpus_mesh(devices=devices)
+    from jax.experimental import mesh_utils
+
+    per_slice = len(devices) // n_slices
+    grid = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(1, per_slice),
+        dcn_mesh_shape=(n_slices, 1),
+        devices=devices,
+    )
+    return Mesh(grid, (DP_AXIS, CORPUS_AXIS))
+
+
 def set_default_mesh(mesh: Mesh | None) -> None:
     global _default_mesh
     _default_mesh = mesh

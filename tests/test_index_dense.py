@@ -97,3 +97,31 @@ def test_from_catalog(catalog):
     hits = idx.search(qemb[None, :], 3)
     assert hits[0][0].doc_id == 1
     assert hits[0][0].score == pytest.approx(1.0, abs=1e-5)
+
+
+class TestHybridMesh:
+    def test_single_slice_fallback_shape(self):
+        from autorag_research_tpu.parallel.mesh import CORPUS_AXIS, DP_AXIS, hybrid_corpus_mesh
+
+        # CPU virtual devices expose one slice -> falls back to all-corpus mesh
+        mesh = hybrid_corpus_mesh()
+        assert mesh.axis_names == (DP_AXIS, CORPUS_AXIS)
+        assert mesh.shape[DP_AXIS] == 1
+        assert mesh.shape[CORPUS_AXIS] == 8
+
+    def test_requested_slices_on_single_slice_falls_back(self):
+        from autorag_research_tpu.parallel.mesh import hybrid_corpus_mesh
+
+        mesh = hybrid_corpus_mesh(n_slices=2)
+        assert mesh.shape["corpus"] == 8  # single physical slice -> fallback
+
+    def test_search_under_hybrid_mesh(self, corpus):
+        from autorag_research_tpu.parallel.mesh import hybrid_corpus_mesh
+
+        ids, emb = corpus
+        rng = np.random.default_rng(11)
+        q = rng.normal(size=(2, 32)).astype(np.float32)
+        single = DenseIndex(ids, emb).search(q, 5)
+        hybrid = DenseIndex(ids, emb).to_device(hybrid_corpus_mesh()).search(q, 5)
+        for a, b in zip(single, hybrid):
+            assert [h.doc_id for h in a] == [h.doc_id for h in b]
