@@ -26,8 +26,57 @@ from autorag_research_tpu.index.tokenize import get_tokenizer
 from autorag_research_tpu.ops.sparse import DOC_PAD, QUERY_PAD, bm25_topk
 
 
+def _plan_buckets(counts: np.ndarray, n_buckets: int) -> list[int]:
+    """Bucket max-slot boundaries (ascending, last covers the max count)
+    minimizing total padded slot area sum(bucket_size * bucket_width) — DP
+    over distinct counts. Skewed corpora (most docs short, few long) waste
+    most of a single [N, L_max] layout; 2-3 buckets recover it."""
+    counts = np.maximum(np.asarray(counts, dtype=np.int64), 1)
+    distinct = np.unique(counts)
+    if len(distinct) <= 1 or n_buckets <= 1:
+        return [int(distinct[-1])] if len(distinct) else [1]
+    n_buckets = min(n_buckets, len(distinct))
+    sorted_counts = np.sort(counts)
+    num_le = np.searchsorted(sorted_counts, distinct, side="right")  # docs per prefix
+    m = len(distinct)
+    dp = num_le.astype(np.float64) * distinct  # 1 bucket covering [0..j]
+    choice = np.full((n_buckets, m), -1, dtype=np.int64)
+    for b in range(1, n_buckets):
+        new_dp = np.empty(m)
+        for j in range(m):
+            # split after distinct[i] (i < j): prior buckets cover [0..i]
+            cand = dp[:j] + (num_le[j] - num_le[:j]) * float(distinct[j])
+            if len(cand) == 0 or dp[j] <= cand.min():
+                new_dp[j] = dp[j]
+                choice[b, j] = -1
+            else:
+                i = int(np.argmin(cand))
+                new_dp[j] = cand[i]
+                choice[b, j] = i
+        dp = new_dp
+    bounds = []
+    j = m - 1
+    for b in range(n_buckets - 1, 0, -1):
+        bounds.append(int(distinct[j]))
+        i = choice[b, j]
+        if i < 0:
+            break
+        j = i
+    else:
+        bounds.append(int(distinct[j]))
+    return sorted(set(bounds))
+
+
 class SparseIndex:
-    """Exact BM25 top-k over a slot-padded term-weight layout."""
+    """Exact BM25 top-k over a slot-padded term-weight layout.
+
+    ``bucketize > 1`` opts into the bucketed device layout: docs are
+    partitioned by unique-term count and each bucket gets its own trimmed
+    ``[Nb, Lb]`` slot arrays (one kernel launch per bucket, host merge by the
+    global (-score, row) order). Cuts HBM and kernel work on skewed corpora
+    where a single ``[N, L_max]`` layout pads most rows; the full arrays
+    remain the build/save source of truth.
+    """
 
     def __init__(
         self,
@@ -37,12 +86,15 @@ class SparseIndex:
         k1: float = 1.2,
         b: float = 0.75,
         max_slots: int | None = None,
+        bucketize: int = 1,
     ):
         self.ids = list(ids)
         self.tokenizer_name = tokenizer
         self.k1 = k1
         self.b = b
         self.max_slots = max_slots
+        self.bucketize = bucketize
+        self._device_buckets: list[dict] | None = None
         self.vocab: dict[str, int] = {}
         self.doc_freq: np.ndarray | None = None
         self.n_docs = len(self.ids)
@@ -177,9 +229,60 @@ class SparseIndex:
         return q_ids, q_w
 
     # ----------------------------------------------------------------- search
+    def _term_counts(self) -> np.ndarray:
+        assert self._slot_ids is not None
+        return (self._slot_ids != DOC_PAD).sum(axis=1)
+
+    def _build_device_buckets(self) -> list[dict]:
+        """Partition rows by unique-term count; each bucket keeps ascending
+        global row order so local kernel tie-breaks map monotonically to the
+        global (-score, row) order."""
+        assert self._slot_ids is not None
+        counts = self._term_counts()
+        bounds = _plan_buckets(counts, self.bucketize)
+        buckets = []
+        assigned = np.zeros(self.n_docs, dtype=bool)
+        for bound in bounds:
+            mask = (counts <= bound) & ~assigned
+            rows = np.nonzero(mask)[0]
+            if rows.size == 0:
+                continue
+            assigned[rows] = True
+            width = max(int(counts[rows].max()), 1)
+            buckets.append(
+                {
+                    "rows": rows,
+                    "slot_ids": jax.device_put(jnp.asarray(self._slot_ids[rows, :width])),
+                    "slot_weights": jax.device_put(
+                        jnp.asarray(self._slot_weights[rows, :width])
+                    ),
+                }
+            )
+        return buckets
+
+    def device_bytes(self) -> int:
+        """Slot-array bytes on device under the current layout."""
+        if self._device_buckets is not None:
+            return sum(
+                int(b["slot_ids"].size + b["slot_weights"].size) * 4
+                for b in self._device_buckets
+            )
+        if self._device is not None:
+            ids, w = self._device
+            return int(ids.size + w.size) * 4
+        return 0
+
     def to_device(self, mesh=None) -> "SparseIndex":
         if self._slot_ids is None:
             raise IndexNotBuiltError("sparse index not built")
+        if self.bucketize > 1 and mesh is None:
+            # bucketed layout is single-device; mesh sharding keeps the flat
+            # layout (shards already bound per-device memory)
+            self._device_buckets = self._build_device_buckets()
+            self._mesh = None
+            self._device = None
+            return self
+        self._device_buckets = None
         ids = jnp.asarray(self._slot_ids)
         weights = jnp.asarray(self._slot_weights)
         if mesh is not None:
@@ -203,12 +306,50 @@ class SparseIndex:
         self._device = (ids, weights)
         return self
 
+    def _search_bucketed(self, q_ids, q_w, k: int, method: str):
+        """One kernel launch per bucket; host merge by global (-score, row)."""
+        from autorag_research_tpu.ops.dense import INT_MAX
+
+        nq = q_ids.shape[0]
+        all_scores = []
+        all_rows = []
+        for bucket in self._device_buckets:  # type: ignore[union-attr]
+            s, r = bm25_topk(
+                jnp.asarray(q_ids), jnp.asarray(q_w),
+                bucket["slot_ids"], bucket["slot_weights"],
+                min(k, bucket["rows"].size), method=method,
+            )
+            s = np.asarray(s)
+            r = np.asarray(r)
+            valid = r != INT_MAX
+            g = np.where(valid, bucket["rows"][np.where(valid, r, 0)], INT_MAX)
+            s = np.where(valid, s, -np.inf)
+            all_scores.append(s)
+            all_rows.append(g)
+        scores = np.concatenate(all_scores, axis=1)
+        rows = np.concatenate(all_rows, axis=1)
+        order = np.lexsort((rows, -scores), axis=1)[:, :k]
+        b_idx = np.arange(nq)[:, None]
+        return scores[b_idx, order], rows[b_idx, order]
+
     def search(self, queries: Sequence[str], k: int, method: str = "auto") -> list[list[SearchHit]]:
         if self._slot_ids is None:
             raise IndexNotBuiltError("sparse index not built")
-        if self._device is None:
+        if self._device is None and self._device_buckets is None:
             self.to_device()
         q_ids, q_w = self.encode_queries(queries)
+        if self._device_buckets is not None:
+            scores, rows = self._search_bucketed(q_ids, q_w, k, method)
+            k_eff = min(k, self.n_docs)
+            out = []
+            for qs, qr in zip(scores, rows):
+                hits = []
+                for s, r in zip(qs[:k_eff], qr[:k_eff]):
+                    if not (s > 0.0):  # pads are -inf; zero overlap isn't a hit
+                        break
+                    hits.append(SearchHit(self.ids[int(r)], float(s)))
+                out.append(hits)
+            return out
         doc_ids, doc_w = self._device  # type: ignore[misc]
         if getattr(self, "_mesh", None) is not None:
             from autorag_research_tpu.parallel.sharded import sharded_bm25_topk
@@ -275,6 +416,7 @@ class SparseIndex:
             "tokenizer": self.tokenizer_name,
             "k1": self.k1,
             "b": self.b,
+            "bucketize": self.bucketize,
             "avgdl": self.avgdl,
             "n_docs": self.n_docs,
             "ids": self.ids,
@@ -287,7 +429,10 @@ class SparseIndex:
         path = Path(path)
         meta = json.loads((path / "meta.json").read_text())
         arrays = np.load(path / "sparse.npz")
-        idx = cls(meta["ids"], texts=None, tokenizer=meta["tokenizer"], k1=meta["k1"], b=meta["b"])
+        idx = cls(
+            meta["ids"], texts=None, tokenizer=meta["tokenizer"],
+            k1=meta["k1"], b=meta["b"], bucketize=meta.get("bucketize", 1),
+        )
         idx.vocab = meta["vocab"]
         idx.avgdl = meta["avgdl"]
         idx.doc_freq = arrays["doc_freq"]

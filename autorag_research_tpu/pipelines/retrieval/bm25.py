@@ -29,11 +29,13 @@ class BM25Pipeline(BaseRetrievalPipeline):
         k1: float = 1.2,
         b: float = 0.75,
         table: str = "chunk",
+        bucketize: int = 1,
     ):
         self.tokenizer = tokenizer
         self.k1 = k1
         self.b = b
         self.table = table
+        self.bucketize = bucketize
         super().__init__(catalog, name)
 
     def _get_pipeline_config(self) -> dict[str, Any]:
@@ -42,6 +44,7 @@ class BM25Pipeline(BaseRetrievalPipeline):
             "tokenizer": self.tokenizer,
             "k1": self.k1,
             "b": self.b,
+            "bucketize": self.bucketize,
             "retrieval_unit": self.retrieval_unit,
         }
 
@@ -51,11 +54,13 @@ class BM25Pipeline(BaseRetrievalPipeline):
             "sparse",
             self.table,
             builder=lambda: SparseIndex.from_catalog(
-                self.catalog, self.table, tokenizer=self.tokenizer, k1=self.k1, b=self.b
+                self.catalog, self.table, tokenizer=self.tokenizer, k1=self.k1,
+                b=self.b, bucketize=self.bucketize,
             ),
             tokenizer=self.tokenizer,
             k1=self.k1,
             b=self.b,
+            bucketize=self.bucketize,
         )
 
     def _retrieve_batch_by_ids(
@@ -96,6 +101,7 @@ class BM25Config(BasePipelineConfig):
     k1: float = 1.2
     b: float = 0.75
     table: str = "chunk"
+    bucketize: int = 1
 
     def build(self, catalog, context):
         return BM25Pipeline(
@@ -105,4 +111,5 @@ class BM25Config(BasePipelineConfig):
             k1=self.k1,
             b=self.b,
             table=self.table,
+            bucketize=self.bucketize,
         )

@@ -188,3 +188,85 @@ def test_non_ascii_corpus_matches_python_build():
     assert hits[0].doc_id == "a"
     hits = idx.search(["don’t panic"], 2, method="xla")[0]
     assert hits[0].doc_id == "b"
+
+
+class TestBucketedLayout:
+    def make_skewed(self, n_short=60, n_long=6):
+        # short docs: 2-4 unique terms; long docs: ~40 unique terms
+        docs = [f"alpha{i % 7} beta{i % 5} gamma{i % 3}" for i in range(n_short)]
+        docs += [
+            " ".join(f"term{j}_{i}" for j in range(40)) + " alpha0"
+            for i in range(n_long)
+        ]
+        ids = [f"d{i}" for i in range(len(docs))]
+        return ids, docs
+
+    def test_plan_buckets_reduces_area(self):
+        from autorag_research_tpu.index.sparse import _plan_buckets
+
+        counts = np.array([3] * 60 + [41] * 6)
+        bounds = _plan_buckets(counts, 2)
+        assert bounds == [3, 41]
+        # degenerate inputs
+        assert _plan_buckets(np.array([5, 5, 5]), 3) == [5]
+        assert _plan_buckets(np.array([2, 9]), 1) == [9]
+
+    def test_bucketed_matches_flat(self):
+        ids, docs = self.make_skewed()
+        flat = SparseIndex(ids, docs, tokenizer="simple")
+        bucketed = SparseIndex(ids, docs, tokenizer="simple", bucketize=2)
+        queries = ["alpha0 beta1", "term3_2 term7_2", "gamma2 alpha3 nonexistent"]
+        h_flat = flat.search(queries, 7, method="xla")
+        h_bucket = bucketed.search(queries, 7, method="xla")
+        for a, b in zip(h_flat, h_bucket):
+            assert [(x.doc_id, round(x.score, 5)) for x in a] == [
+                (x.doc_id, round(x.score, 5)) for x in b
+            ]
+
+    def test_bucketed_saves_device_memory(self):
+        ids, docs = self.make_skewed()
+        flat = SparseIndex(ids, docs, tokenizer="simple").to_device()
+        bucketed = SparseIndex(ids, docs, tokenizer="simple", bucketize=2).to_device()
+        assert bucketed.device_bytes() < flat.device_bytes() / 2
+
+    def test_bucketize_one_keeps_flat_layout(self):
+        ids, docs = self.make_skewed()
+        idx = SparseIndex(ids, docs, tokenizer="simple", bucketize=1).to_device()
+        assert idx._device_buckets is None
+        assert idx._device is not None
+
+    def test_bucketize_survives_save_load(self, tmp_path):
+        ids, docs = self.make_skewed()
+        idx = SparseIndex(ids, docs, tokenizer="simple", bucketize=2)
+        idx.save(tmp_path / "bk")
+        loaded = SparseIndex.load(tmp_path / "bk")
+        assert loaded.bucketize == 2
+        a = idx.search(["alpha0 beta1"], 5, method="xla")
+        b = loaded.search(["alpha0 beta1"], 5, method="xla")
+        assert [(h.doc_id, round(h.score, 5)) for h in a[0]] == [
+            (h.doc_id, round(h.score, 5)) for h in b[0]
+        ]
+
+    def test_bm25_pipeline_with_bucketize(self, tmp_path):
+        from autorag_research_tpu.config import BaseMetricConfig, ExecutorConfig
+        from autorag_research_tpu.executor import Executor
+        from autorag_research_tpu.index import registry
+        from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Config
+        from autorag_research_tpu.store.catalog import Catalog
+        from autorag_research_tpu.store.gt import or_all
+
+        registry.invalidate()
+        ids, docs = self.make_skewed()
+        cat = Catalog(tmp_path / "bk.db")
+        cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(docs)])
+        cat.add_queries([{"id": 0, "contents": "term3_2 term7_2"}])
+        cat.add_retrieval_gt(0, or_all([62]))  # long doc index 60+2
+        cfg = ExecutorConfig(
+            pipelines=[BM25Config(name="bm25_bk", top_k=3, bucketize=2)],
+            metrics=[BaseMetricConfig(name="recall")],
+            health_check=False,
+        )
+        result = Executor(cat, cfg).run()
+        assert result.success, result.report()
+        assert result.pipelines[0].metrics[0].average == 1.0
+        registry.invalidate()
