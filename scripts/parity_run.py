@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--pipelines",
         default="dense,bm25,hybrid_rrf,hybrid_cc",
-        help="comma list from {dense,bm25,hybrid_rrf,hybrid_cc}",
+        help="comma list from {dense,bm25,hybrid_rrf,hybrid_cc,maxsim}",
     )
     ap.add_argument(
         "--metrics", default="recall,precision,ndcg,mrr,map", help="retrieval metric names"
@@ -57,7 +57,7 @@ def main(argv=None) -> int:
 
     from autorag_research_tpu.config import BaseMetricConfig, BuildContext, ExecutorConfig
     from autorag_research_tpu.data.registry import get_ingestor
-    from autorag_research_tpu.embeddings.base import MockEmbedding
+    from autorag_research_tpu.embeddings.base import MockEmbedding, MockMultiVectorEmbedding
     from autorag_research_tpu.executor import Executor
     from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Config
     from autorag_research_tpu.pipelines.retrieval.hybrid import HybridCCConfig, HybridRRFConfig
@@ -71,6 +71,10 @@ def main(argv=None) -> int:
     catalog = Catalog(ws / "catalog.db")
 
     embedding = MockEmbedding(dim=args.embedding_dim)
+    wanted = [p.strip() for p in args.pipelines.split(",") if p.strip()]
+    mv_embedding = (
+        MockMultiVectorEmbedding(dim=args.embedding_dim) if "maxsim" in wanted else None
+    )
 
     t0 = time.perf_counter()
     if not args.skip_ingest:
@@ -89,9 +93,12 @@ def main(argv=None) -> int:
         stats = ingestor.embed_all()
         for table, s in stats.items():
             print(f"embedded {table}: {s.embedded}/{s.total}", file=sys.stderr)
+        if mv_embedding is not None:
+            mv_stats = IngestionService(catalog).embed_all_late_interaction(mv_embedding)
+            for table, s in mv_stats.items():
+                print(f"late-interaction {table}: {s.embedded}/{s.total}", file=sys.stderr)
     ingest_s = time.perf_counter() - t0
 
-    wanted = [p.strip() for p in args.pipelines.split(",") if p.strip()]
     k = args.top_k
     pipeline_configs = {
         "dense": VectorSearchConfig(name="dense", top_k=k, embedding_model=embedding),
@@ -108,6 +115,9 @@ def main(argv=None) -> int:
             retrieval_pipeline_1_name="dense",
             retrieval_pipeline_2_name="bm25",
             normalize_method="tmm",
+        ),
+        "maxsim": VectorSearchConfig(
+            name="maxsim", top_k=k, search_mode="multi", embedding_model=mv_embedding
         ),
     }
     unknown = set(wanted) - set(pipeline_configs)
