@@ -265,6 +265,10 @@ def on_tpu() -> bool:
 # Score-matrix budget for the full-materialize path (bytes). Measured on
 # v5e: XLA's fused dot+top_k beats both the Pallas kernel and the scan for
 # any [Q, N] that fits — k-selection dominates once matmuls are cheap.
+# Beyond the budget (measured at 4096q x 500k x 768 = 8GB scores,
+# scripts/bench_dense_big.py): the streaming Pallas kernel at block_n=1024
+# does 17.7k QPS / 13.6 TFLOP/s vs the XLA scan's 17.3k at tile_n=128k;
+# block_n=2048 overflows scoped VMEM. Dispatch below reflects this.
 FULL_MATERIALIZE_BUDGET = 2 << 30
 
 
