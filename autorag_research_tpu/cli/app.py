@@ -277,6 +277,18 @@ def cmd_report(args) -> int:
 
         out = write_html_report(service, Path(args.html))
         print(f"wrote {out}")
+    if args.ui:
+        import time
+
+        from autorag_research_tpu.reporting.ui import serve_report
+
+        handle = serve_report(args.db, port=args.ui_port)
+        print(f"leaderboard UI at {handle.url} (Ctrl-C to stop)")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            handle.shutdown()
     return 0
 
 
@@ -367,6 +379,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--db", required=True, action="append",
                    help="workspace (repeat for cross-dataset comparison)")
     p.add_argument("--html", default=None, help="also write an HTML report")
+    p.add_argument("--ui", action="store_true",
+                   help="serve a live leaderboard web UI (re-reads on refresh)")
+    p.add_argument("--ui-port", type=int, default=8090)
     p.set_defaults(func=cmd_report)
 
     p = sub.add_parser("serve", help="serve a workspace over HTTP (/search, /generate)")

@@ -29,7 +29,9 @@ _PAGE = """<!doctype html>
 """
 
 
-def write_html_report(service, out_path: Path) -> Path:
+def render_html(service) -> str:
+    """Render the three reference-UI views (leaderboard / Borda /
+    cross-dataset) to one self-contained page."""
     lb = service.leaderboard()
     borda = service.borda_ranking()
     cross_sections = []
@@ -41,11 +43,14 @@ def write_html_report(service, out_path: Path) -> Path:
                 cross_sections.append(
                     f"<h2>Cross-dataset: {metric}</h2>" + cross.to_html(index=False)
                 )
-    html = _PAGE.format(
+    return _PAGE.format(
         leaderboard=lb.to_html(index=False) if not lb.empty else "<p>(empty)</p>",
         borda=borda.to_html(index=False) if not borda.empty else "<p>(empty)</p>",
         cross_sections="\n".join(cross_sections),
     )
+
+
+def write_html_report(service, out_path: Path) -> Path:
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    out_path.write_text(html)
+    out_path.write_text(render_html(service))
     return out_path
