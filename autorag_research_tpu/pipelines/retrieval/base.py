@@ -78,6 +78,21 @@ class BaseRetrievalPipeline(BasePipeline):
         results = run_async(runner())
         return dict(zip(query_ids, results))
 
+    def _retrieve_batch_by_texts(
+        self, texts: list[str], top_k: int
+    ) -> list[list[dict[str, Any]]]:
+        """Batched ad-hoc-text retrieval (the serving micro-batch path).
+        Default: async fan-out of `_retrieve_by_text`. Device pipelines
+        override with one embed + one kernel launch for the whole batch."""
+        import asyncio
+
+        async def gather():
+            return await asyncio.gather(
+                *[self._retrieve_by_text(t, top_k) for t in texts]
+            )
+
+        return run_async(gather())
+
     # -------------------------------------------------------------------- run
     def run(
         self,

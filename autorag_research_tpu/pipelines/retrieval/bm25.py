@@ -91,6 +91,13 @@ class BM25Pipeline(BaseRetrievalPipeline):
     async def _retrieve_by_text(self, query_text, top_k):
         return [h.as_dict() for h in self._index().search([query_text], top_k)[0]]
 
+    def _retrieve_batch_by_texts(self, texts, top_k):
+        """Serving hot path: the whole micro-batch in one kernel launch."""
+        return [
+            [h.as_dict() for h in hits]
+            for hits in self._index().search(list(texts), top_k)
+        ]
+
 
 @dataclass(kw_only=True)
 class BM25Config(BasePipelineConfig):

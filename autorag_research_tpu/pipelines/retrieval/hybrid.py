@@ -63,6 +63,13 @@ class _HybridBase(BaseRetrievalPipeline):
         r2 = await self.pipeline_2._retrieve_by_text(query_text, fetch_k)
         return self._fuse(r1, r2, top_k, fetch_k)
 
+    def _retrieve_batch_by_texts(self, texts, top_k):
+        """Serving hot path: both legs run their batched kernels once."""
+        fetch_k = top_k * self.fetch_k_multiplier
+        b1 = self.pipeline_1._retrieve_batch_by_texts(texts, fetch_k)
+        b2 = self.pipeline_2._retrieve_batch_by_texts(texts, fetch_k)
+        return [self._fuse(r1, r2, top_k, fetch_k) for r1, r2 in zip(b1, b2)]
+
 
 class HybridRRFPipeline(_HybridBase):
     def __init__(self, catalog, name, pipeline_1, pipeline_2, rrf_k=60, fetch_k_multiplier=2):

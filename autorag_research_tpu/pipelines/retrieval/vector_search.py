@@ -145,6 +145,20 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
                 out[qid] = [h.as_dict() for h in hits]
         return out
 
+    def _retrieve_batch_by_texts(self, texts, top_k):
+        """Serving hot path: ONE batched embed + ONE kernel launch for the
+        whole micro-batch (the default would run a batch-1 search per text)."""
+        if self.embedding_model is None:
+            raise EmbeddingMissingError("no embedding model configured for text retrieval")
+        idx = self._index()
+        if self.search_mode == "multi":
+            mats = self.embedding_model.embed_texts_multi(list(texts))
+            batches = idx.search(mats, top_k)
+        else:
+            embs = np.asarray(self.embedding_model.embed_texts(list(texts)))
+            batches = idx.search(embs, top_k)
+        return [[h.as_dict() for h in hits] for hits in batches]
+
     async def _retrieve_by_id(self, query_id, top_k):
         res = self._retrieve_batch_by_ids([query_id], top_k)[query_id]
         if isinstance(res, BaseException):

@@ -118,14 +118,9 @@ class ServingHandle:
 
     def _make_batch_fn(self, pipeline):
         def run_batch(queries: list[str], top_k: int) -> list[list[dict]]:
-            async def gather():
-                import asyncio
-
-                return await asyncio.gather(
-                    *[pipeline._retrieve_by_text(q, top_k) for q in queries]
-                )
-
-            return run_async(gather())
+            # device pipelines run the whole micro-batch as ONE embed + ONE
+            # kernel launch; the base-class fallback fans out per query
+            return pipeline._retrieve_batch_by_texts(queries, top_k)
 
         return run_batch
 

@@ -164,3 +164,31 @@ def test_serving_with_mesh_sharded_index(tmp_path):
     finally:
         h.stop()
         registry.invalidate()
+
+
+def test_microbatch_uses_single_batched_kernel_call(tmp_path):
+    """Coalesced requests must hit the device as ONE batched call, not a
+    per-query fan-out (the serving throughput contract)."""
+    registry.invalidate()
+    cat = Catalog(tmp_path / "mb.db")
+    cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(DOCS)])
+
+    calls = []
+
+    class CountingBM25(BM25Pipeline):
+        def _retrieve_batch_by_texts(self, texts, top_k):
+            calls.append(list(texts))
+            return super()._retrieve_batch_by_texts(texts, top_k)
+
+    pipe = CountingBM25(cat, "bm25_count")
+    h = ServingHandle(cat, {"bm25": pipe}, batch_window_ms=50).start(port=0)
+    try:
+        # one multi-query POST -> exactly one batched call with all queries
+        code, data = post(
+            h, "/search", {"queries": ["capital France", "TPU matrix", "term rarity"]}
+        )
+        assert code == 200 and len(data["results"]) == 3
+        assert len(calls) == 1 and len(calls[0]) == 3
+    finally:
+        h.stop()
+        registry.invalidate()
