@@ -1,7 +1,7 @@
 # Developer entry points (role parity with the reference Makefile:20-52,
 # minus the Postgres container lifecycle — there is no container to boot).
 
-.PHONY: test test-tpu bench native lint clean
+.PHONY: test test-tpu bench bench-kernels parity native lint clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -11,6 +11,18 @@ test-tpu:
 
 bench:
 	python bench.py
+
+# per-kernel measurement suite (real TPU; see CLAUDE.md for recorded numbers)
+bench-kernels:
+	python scripts/bench_bm25.py
+	python scripts/bench_maxsim.py
+	python scripts/bench_dense_big.py
+	python scripts/bench_serving.py
+
+# offline BEIR-recipe end-to-end (ingest -> pipelines -> metrics -> leaderboard)
+parity:
+	python scripts/parity_run.py --ingestor local --extra data_dir=$(DATA) \
+		--workspace $(WS)
 
 native:
 	$(MAKE) -C native

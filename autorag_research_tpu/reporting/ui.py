@@ -48,7 +48,11 @@ class ReportUIHandle:
             def log_message(self, fmt, *args):
                 logger.debug("report-ui: " + fmt, *args)
 
-        self._server = ThreadingHTTPServer((host, port), Handler)
+        class Server(ThreadingHTTPServer):
+            daemon_threads = True
+            request_queue_size = 64  # default backlog of 5 drops bursts
+
+        self._server = Server((host, port), Handler)
         self.host, self.port = self._server.server_address[:2]
         self.url = f"http://{self.host}:{self.port}/"
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)

@@ -34,6 +34,15 @@ from autorag_research_tpu.utils.concurrency import run_async
 logger = logging.getLogger("AutoRAG-Research-TPU")
 
 
+class _HTTPServer(ThreadingHTTPServer):
+    """socketserver's default listen backlog is 5 — concurrent client bursts
+    overflow the accept queue and get connection resets. Raise it and don't
+    block shutdown on in-flight handler threads."""
+
+    daemon_threads = True
+    request_queue_size = 128
+
+
 @dataclass
 class _SearchJob:
     query: str
@@ -79,7 +88,14 @@ class _Batcher:
                     break
             top_k = max(j.top_k for j in batch)
             try:
-                results = self.search_batch_fn([j.query for j in batch], top_k)
+                # pad to a power-of-two bucket: every distinct batch size is a
+                # distinct jit shape, and odd sizes would recompile the device
+                # kernel (seconds over a remote-compile tunnel); buckets cap
+                # the shape count at log2(max_batch)
+                queries = [j.query for j in batch]
+                bucket = 1 << (len(queries) - 1).bit_length()
+                queries += [queries[-1]] * (bucket - len(queries))
+                results = self.search_batch_fn(queries, top_k)
                 for job, hits in zip(batch, results):
                     job.result = hits[: job.top_k]
             except Exception as exc:  # noqa: BLE001 - report to each waiter
@@ -184,6 +200,17 @@ class ServingHandle:
             "metadata": result.metadata,
         }
 
+    def warmup(self, max_bucket: int = 256, top_k: int = 10) -> None:
+        """Pre-compile the device kernels for every micro-batch bucket size
+        (1, 2, 4, ... max_bucket) so no live request pays a compile."""
+        for name in self.retrieval_pipelines:
+            fn = self._batchers[name].search_batch_fn
+            b = 1
+            while b <= max_bucket:
+                fn([f"warmup query {i}" for i in range(b)], top_k)
+                b <<= 1
+            logger.info("warmed pipeline '%s' through bucket %d", name, max_bucket)
+
     def health(self) -> dict:
         return {
             "status": "ok",
@@ -247,7 +274,7 @@ class ServingHandle:
                     logger.exception("serving error")
                     self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 
-        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._server = _HTTPServer((host, port), Handler)
         thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         thread.start()
         logger.info("serving on http://%s:%d", host, port)

@@ -1,0 +1,119 @@
+"""End-to-end serving throughput on the real TPU: HTTP -> micro-batcher ->
+one batched embed + dense kernel launch per coalesced batch.
+
+Run: python scripts/bench_serving.py [--docs 100000 --clients 32 --requests 960]
+Prints steady-state QPS and latency percentiles.
+"""
+
+import argparse
+import json
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--requests", type=int, default=960)
+    ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument("--window-ms", type=float, default=5.0)
+    args = ap.parse_args()
+
+    import jax
+
+    print("devices:", jax.devices(), file=sys.stderr)
+
+    from autorag_research_tpu.embeddings.base import MockEmbedding
+    from autorag_research_tpu.index import registry
+    from autorag_research_tpu.pipelines.retrieval.vector_search import VectorSearchPipeline
+    from autorag_research_tpu.serving.server import ServingHandle
+    from autorag_research_tpu.store.catalog import Catalog
+    from autorag_research_tpu.store.ingestion import IngestionService
+
+    import tempfile
+
+    registry.invalidate()
+    tmp = Path(tempfile.mkdtemp(prefix="serve_bench_"))
+    cat = Catalog(tmp / "catalog.db")
+    emb = MockEmbedding(dim=args.dim)
+
+    t0 = time.perf_counter()
+    cat.add_chunks(
+        [{"id": i, "contents": f"document {i} topic {i % 997}"} for i in range(args.docs)]
+    )
+    svc = IngestionService(cat)
+    stats = svc.embed_all(emb, batch_size=4096)
+    print(
+        f"ingest+embed {args.docs} docs in {time.perf_counter()-t0:.1f}s "
+        f"({stats['chunk'].embedded} embedded)",
+        file=sys.stderr,
+    )
+
+    pipe = VectorSearchPipeline(cat, "dense_serve", embedding_model=emb)
+    handle = ServingHandle(
+        cat, {"dense": pipe}, batch_window_ms=args.window_ms, include_contents=False
+    ).start(port=0)
+    url = f"http://127.0.0.1:{handle.port}/search"
+
+    def do_request(q, retries=3, timeout=120):
+        req = urllib.request.Request(
+            url,
+            data=json.dumps({"query": q, "top_k": args.top_k}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        for attempt in range(retries + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    return json.loads(resp.read())
+            except (ConnectionResetError, ConnectionRefusedError, TimeoutError):
+                if attempt == retries:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+
+    # warm (compile)
+    t0 = time.perf_counter()
+    handle.warmup(max_bucket=64, top_k=args.top_k)
+    print(f"first request (compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    latencies = []
+    lat_lock = threading.Lock()
+    per_client = args.requests // args.clients
+
+    def client(cid):
+        for r in range(per_client):
+            q = f"find documents about topic {(cid * per_client + r) % 997}"
+            t = time.perf_counter()
+            do_request(q)
+            with lat_lock:
+                latencies.append(time.perf_counter() - t)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    n = len(latencies)
+    latencies.sort()
+    qps = n / wall
+    p50 = latencies[n // 2] * 1e3
+    p99 = latencies[int(n * 0.99)] * 1e3
+    print(
+        f"served {n} requests in {wall:.1f}s -> {qps:.1f} QPS end-to-end "
+        f"(p50 {p50:.0f}ms, p99 {p99:.0f}ms, {args.clients} clients)",
+        file=sys.stderr,
+    )
+    print(json.dumps({"serving_qps": round(qps, 1), "p50_ms": round(p50), "p99_ms": round(p99)}))
+    handle.stop()
+
+
+if __name__ == "__main__":
+    main()

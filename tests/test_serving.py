@@ -188,7 +188,10 @@ def test_microbatch_uses_single_batched_kernel_call(tmp_path):
             h, "/search", {"queries": ["capital France", "TPU matrix", "term rarity"]}
         )
         assert code == 200 and len(data["results"]) == 3
-        assert len(calls) == 1 and len(calls[0]) == 3
+        # one batched call, padded to the power-of-two bucket (3 -> 4) so the
+        # device sees a bounded set of jit shapes
+        assert len(calls) == 1 and len(calls[0]) == 4
+        assert calls[0][:3] == ["capital France", "TPU matrix", "term rarity"]
     finally:
         h.stop()
         registry.invalidate()
