@@ -189,13 +189,70 @@ class IVFIndex:
         self.members = members
         self.cell_counts = counts
 
-    def to_device(self) -> "IVFIndex":
+    def to_device(self, mesh=None) -> "IVFIndex":
+        if mesh is not None:
+            return self._to_device_sharded(mesh)
+        self._mesh = None
         corpus = np.concatenate([self._host, np.zeros((1, self._host.shape[1]), np.float32)])
         self._device = (
             jax.device_put(jnp.asarray(corpus)),
             jax.device_put(jnp.asarray(self.centroids)),
             jax.device_put(jnp.asarray(self.members)),
         )
+        return self
+
+    def _to_device_sharded(self, mesh) -> "IVFIndex":
+        """Shard over the mesh's corpus axis as P independent sub-indexes:
+        docs partition by row range, each shard trains its own centroids over
+        its slice, and search probes nprobe cells PER SHARD (P x nprobe total)
+        before the deterministic global merge (parallel/sharded.py). Memory
+        and build/search compute scale 1/P per device."""
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        from autorag_research_tpu.parallel.mesh import CORPUS_AXIS
+
+        n_shards = mesh.shape[CORPUS_AXIS]
+        d = self._host.shape[1]
+        ns = max(1, -(-self._n // n_shards))  # ceil rows per shard
+        subs = []
+        for p in range(n_shards):
+            lo, hi = p * ns, min(self._n, (p + 1) * ns)
+            if lo >= hi:  # empty tail shard: a 1-doc dummy sub-index
+                subs.append(None)
+                continue
+            subs.append(
+                IVFIndex(
+                    list(range(lo, hi)),
+                    self._host[lo:hi],
+                    n_cells=max(1, self.n_cells // n_shards),
+                    nprobe=self.nprobe,
+                    seed=p,
+                )
+            )
+        c_max = max((s.n_cells for s in subs if s is not None), default=1)
+        pad_max = max((s.cell_pad for s in subs if s is not None), default=8)
+        corpus_sh = np.zeros((n_shards, ns + 1, d), np.float32)
+        centroids_sh = np.zeros((n_shards, c_max, d), np.float32)
+        # dummy member -> ns (the zero row), masked by _ivf_search (idx < ns)
+        members_sh = np.full((n_shards, c_max, pad_max), ns, np.int32)
+        for p, sub in enumerate(subs):
+            if sub is None:
+                continue
+            n_s = sub._n
+            corpus_sh[p, :n_s] = sub._host
+            centroids_sh[p, : sub.n_cells] = sub.centroids
+            m = np.where(sub.members == n_s, ns, sub.members)
+            members_sh[p, : sub.n_cells, : sub.cell_pad] = m
+        sharding = NamedSharding(mesh, P_(CORPUS_AXIS, None, None))
+        self._device = (
+            jax.device_put(jnp.asarray(corpus_sh), sharding),
+            jax.device_put(jnp.asarray(centroids_sh), sharding),
+            jax.device_put(jnp.asarray(members_sh), sharding),
+        )
+        self._mesh = mesh
+        self._shard_rows = ns
+        self._shard_cell_pad = pad_max
+        self._shard_cells = c_max
         return self
 
     # ----------------------------------------------------------------- search
@@ -206,8 +263,31 @@ class IVFIndex:
             raise IndexNotBuiltError("index has no documents")
         if self._device is None:
             self.to_device()
-        corpus, centroids, members = self._device  # type: ignore[misc]
         q = l2_normalize(np.atleast_2d(np.asarray(query_embeddings, np.float32)))
+        if getattr(self, "_mesh", None) is not None:
+            from autorag_research_tpu.parallel.sharded import sharded_ivf_topk
+
+            corpus_sh, centroids_sh, members_sh = self._device  # type: ignore[misc]
+            scores, rows = sharded_ivf_topk(
+                jnp.asarray(q), corpus_sh, centroids_sh, members_sh,
+                k=min(k, self._n),
+                nprobe=min(nprobe or self.nprobe, self._shard_cells),
+                cell_pad=self._shard_cell_pad,
+                shard_rows=self._shard_rows,
+                n_total=self._n,
+                mesh=self._mesh,
+            )
+            scores = np.asarray(scores)
+            rows = np.asarray(rows)
+            return [
+                [
+                    SearchHit(self.ids[int(r)], float(s))
+                    for s, r in zip(qs, qr)
+                    if r < self._n and s > -1e37
+                ]
+                for qs, qr in zip(scores, rows)
+            ]
+        corpus, centroids, members = self._device  # type: ignore[misc]
         scores, rows = _ivf_search(
             jnp.asarray(q), corpus, centroids, members,
             k=min(k, self._n), nprobe=min(nprobe or self.nprobe, self.n_cells),

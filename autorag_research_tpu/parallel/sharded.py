@@ -132,6 +132,64 @@ def sharded_bm25_topk(
     return scores, ids
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "cell_pad", "shard_rows", "n_total", "mesh")
+)
+def sharded_ivf_topk(
+    queries: jax.Array,        # [Q, d] replicated, normalized
+    corpus_sh: jax.Array,      # [P, Ns+1, d] sharded on corpus axis (last row dummy)
+    centroids_sh: jax.Array,   # [P, C, d] sharded
+    members_sh: jax.Array,     # [P, C, cell_pad] sharded (dummy -> Ns)
+    k: int,
+    nprobe: int,
+    cell_pad: int,
+    shard_rows: int,           # Ns
+    n_total: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """Global IVF top-k over per-shard sub-indexes: each device probes its own
+    centroids/cells and exact-reranks local candidates, then the per-shard
+    lists merge by the global (-score, doc row) order — the ANN analogue of
+    :func:`sharded_dense_topk` (total probed cells = P x nprobe)."""
+    from autorag_research_tpu.index.ivf import _ivf_search
+
+    k_eff = min(k, n_total)
+
+    def local_search(q, corpus, centroids, members):
+        scores, local_ids = _ivf_search(
+            q, corpus[0], centroids[0], members[0],
+            k=k_eff, nprobe=nprobe, cell_pad=cell_pad,
+        )
+        offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
+        # dummy/pad candidates already carry INT_MAX ids; offsetting INT_MAX
+        # would wrap, so validate on the LOCAL id first
+        valid = local_ids < shard_rows
+        gids = jnp.where(valid, local_ids + offset, INT_MAX)
+        valid &= gids < n_total
+        scores = jnp.where(valid, scores, NEG_INF)
+        gids = jnp.where(valid, gids, INT_MAX)
+        all_s = jax.lax.all_gather(scores, CORPUS_AXIS)
+        all_i = jax.lax.all_gather(gids, CORPUS_AXIS)
+        return merge_topk(jnp.swapaxes(all_s, 0, 1), jnp.swapaxes(all_i, 0, 1), k_eff)
+
+    scores, ids = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P(CORPUS_AXIS, None, None),
+            P(CORPUS_AXIS, None, None),
+            P(CORPUS_AXIS, None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(queries, corpus_sh, centroids_sh, members_sh)
+    if k_eff < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return scores, ids
+
+
 @functools.partial(jax.jit, static_argnames=("k", "n_total", "mesh", "method"))
 def sharded_maxsim_topk(
     queries: jax.Array,  # [B, Tq, d] replicated

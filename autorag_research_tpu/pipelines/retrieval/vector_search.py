@@ -94,10 +94,8 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
                 builder=lambda: DenseIndex.from_catalog(self.catalog, self.table),
             )
         if self.mesh is not None and getattr(idx, "_mesh", None) is None and hasattr(idx, "to_device"):
-            try:
-                idx.to_device(self.mesh)
-            except TypeError:  # IVF is single-device for now (ROADMAP #6)
-                pass
+            idx.to_device(self.mesh)  # dense/multi-vector shard rows; IVF
+            # shards as per-device sub-indexes (index/ivf.py)
         return idx
 
     # ----------------------------------------------------------------- search

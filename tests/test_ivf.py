@@ -110,3 +110,75 @@ def test_small_pad_factor_never_crashes(clustered):
     ivf = IVFIndex(ids, points, n_cells=16, pad_factor=0.5)
     packed = ivf.members[ivf.members < len(ids)]
     assert len(set(packed.tolist())) == len(ids)
+
+
+class TestShardedIVF:
+    def test_full_probe_matches_exact(self, clustered):
+        """nprobe = all cells per shard -> every local doc is a candidate, so
+        the sharded ANN must equal the exact dense ranking."""
+        from autorag_research_tpu.parallel.mesh import corpus_mesh
+
+        ids, points, queries = clustered
+        exact = DenseIndex(ids, points).search(queries[:6], 8)
+        ivf = IVFIndex(ids, points, n_cells=32, nprobe=8, seed=0)
+        ivf.to_device(corpus_mesh(n_corpus=8))
+        full = ivf.search(queries[:6], 8, nprobe=10_000)  # clamped to all cells
+        for a, e in zip(full, exact):
+            assert [h.doc_id for h in a] == [h.doc_id for h in e]
+            np.testing.assert_allclose(
+                [h.score for h in a], [h.score for h in e], rtol=1e-4, atol=1e-5
+            )
+
+    def test_sharded_recall(self, clustered):
+        from autorag_research_tpu.parallel.mesh import corpus_mesh
+
+        ids, points, queries = clustered
+        exact = DenseIndex(ids, points).search(queries, 10)
+        ivf = IVFIndex(ids, points, n_cells=32, nprobe=4, seed=0)
+        ivf.to_device(corpus_mesh(n_corpus=4))
+        approx = ivf.search(queries, 10)
+        assert recall_at_k(approx, exact, 10) > 0.9
+
+    def test_uneven_shards(self):
+        """n not divisible by shard count: tail padding must not leak fake
+        hits (zero pad rows score 0 and would pollute low-score queries)."""
+        from autorag_research_tpu.parallel.mesh import corpus_mesh
+
+        rng = np.random.default_rng(3)
+        points = rng.normal(size=(101, 24)).astype(np.float32)
+        ids = list(range(101))
+        ivf = IVFIndex(ids, points, n_cells=8, nprobe=8)
+        ivf.to_device(corpus_mesh(n_corpus=8))
+        hits = ivf.search(points[:5], 7, nprobe=8)
+        exact = DenseIndex(ids, points).search(points[:5], 7)
+        for a, e in zip(hits, exact):
+            assert [h.doc_id for h in a] == [h.doc_id for h in e]
+
+    def test_pipeline_with_mesh_uses_sharded_ivf(self, tmp_path):
+        from autorag_research_tpu.config import BaseMetricConfig, BuildContext, ExecutorConfig
+        from autorag_research_tpu.embeddings import MockEmbedding
+        from autorag_research_tpu.executor import Executor
+        from autorag_research_tpu.index import registry
+        from autorag_research_tpu.parallel.mesh import corpus_mesh
+        from autorag_research_tpu.pipelines.retrieval.vector_search import VectorSearchConfig
+        from autorag_research_tpu.store.catalog import Catalog
+
+        registry.invalidate()
+        emb = MockEmbedding(dim=32)
+        cat = Catalog(tmp_path / "sivf.db", embedding_dim=32)
+        docs = [f"document number {i}" for i in range(64)]
+        cat.add_chunks(
+            [{"id": i, "contents": d, "embedding": emb.embed_query(d)} for i, d in enumerate(docs)]
+        )
+        cat.add_queries([{"id": 0, "contents": docs[9], "embedding": emb.embed_query(docs[9])}])
+        cat.add_retrieval_gt(0, 9)
+        cfg = ExecutorConfig(
+            pipelines=[VectorSearchConfig(name="sivf_vs", index_type="ivf", top_k=3)],
+            metrics=[BaseMetricConfig(name="recall")],
+            health_check=False,
+        )
+        context = BuildContext(mesh=corpus_mesh(n_corpus=8))
+        result = Executor(cat, cfg, context).run()
+        assert result.success, result.report()
+        assert result.pipelines[0].metrics[0].average == 1.0
+        registry.invalidate()
