@@ -150,13 +150,74 @@ def test_dynamic_rag_empty_selection(acat, bm25):
 
 
 def test_et2rag_majority_vote(acat, bm25):
+    """String-vote fallback (no embedding model): partial answers vote, the
+    winning subset generates the FULL answer (reference's two-phase flow)."""
     from autorag_research_tpu.pipelines.generation.et2rag import ET2RAGPipeline
 
-    answers = iter(["Paris", "Paris!", "Lyon", "paris", "Lyon"])
-    llm = MockLLM(responder=lambda p: next(answers))
-    out = generate(ET2RAGPipeline(acat, retrieval_pipeline=bm25, llm=llm, num_subsets=5))
+    calls = []
+
+    def responder(prompt):
+        calls.append(prompt)
+        if "Be complete" in prompt:  # the FULL prompt
+            return "Paris is the capital of France."
+        return ["Paris", "Paris!", "Lyon", "paris", "Lyon"][len(calls) - 1]
+
+    llm = MockLLM(responder=responder)
+    pipe = ET2RAGPipeline(
+        acat, retrieval_pipeline=bm25, llm=llm,
+        organization_strategy="random", num_subsets=5, seed=42,
+    )
+    out = generate(pipe)
     assert "paris" in out.text.lower()
     assert out.metadata["votes"]["paris"] == 3
+    assert out.metadata["num_subsets"] == 5
+    assert out.metadata["selected_subset_index"] == 0  # first 'Paris' answer
+    assert sum("Be complete" in c for c in calls) == 1  # exactly one FULL call
+
+
+def test_et2rag_subset_schedules():
+    """Reference organization strategies (qa/recipe/image schedules)."""
+    import random
+
+    from autorag_research_tpu.pipelines.generation.et2rag import make_subsets
+
+    docs = [(i, f"doc {i}") for i in range(8)]
+    rng = random.Random(0)
+    qa = make_subsets(docs, "qa", 4, None, rng)
+    assert qa[0] == [docs[0]]
+    assert qa[1] == [docs[0], docs[1]] and qa[3] == [docs[0], docs[3]]
+    recipe = make_subsets(docs, "recipe", 3, None, rng)
+    assert recipe == [[docs[0]], [docs[1]], [docs[2]]]
+    image = make_subsets(docs, "image", 3, None, rng)
+    # pairs P0={0,1}, P1={2,3}, ... subsets = two-pair combos
+    assert image[0] == [docs[0], docs[1], docs[2], docs[3]]
+    assert len(image) == 3
+    assert make_subsets([], "qa", 5, None, rng) == []
+
+
+def test_et2rag_embedding_vote(acat, bm25):
+    """Semantic-consistency vote: the odd answer out must lose even when
+    string counts tie."""
+    from autorag_research_tpu.embeddings.base import MockEmbedding
+    from autorag_research_tpu.pipelines.generation.et2rag import ET2RAGPipeline
+
+    calls = []
+
+    def responder(prompt):
+        calls.append(prompt)
+        if "Be complete" in prompt:
+            return "final answer"
+        # two identical answers + one different: embedding vote picks 'Paris'
+        return ["Paris", "Paris", "Lyon"][len(calls) - 1]
+
+    pipe = ET2RAGPipeline(
+        acat, retrieval_pipeline=bm25, llm=MockLLM(responder=responder),
+        embedding_model=MockEmbedding(dim=32),
+        organization_strategy="recipe", num_subsets=3,
+    )
+    out = generate(pipe)
+    assert out.metadata["selected_subset_index"] in (0, 1)  # a 'Paris' subset
+    assert out.text == "final answer"
 
 
 def test_spd_rag_aggregates(acat, bm25):
