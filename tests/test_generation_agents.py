@@ -264,19 +264,74 @@ def test_main_rag_filters(acat, bm25):
 
 
 def test_rag_critic_corrective_loop(acat, bm25):
+    """json_actions critic: revise -> regenerate -> approved."""
     from autorag_research_tpu.pipelines.generation.rag_critic import RAGCriticPipeline
 
     llm = ScriptedLLM(
         responses=[
             "Lyon",  # draft
-            '{"error_type": "unsupported_claim", "fix_query": "", "note": "Lyon is wrong"}',
-            "Paris",  # revision
-            '{"error_type": "no_error", "fix_query": "", "note": ""}',
+            '{"verdict": "revise", "feedback": "Lyon is wrong", '
+            '"recommended_actions": ["generate_answer"]}',
+            "Paris",  # regeneration
+            '{"verdict": "approved", "feedback": "", "recommended_actions": []}',
         ]
     )
     out = generate(RAGCriticPipeline(acat, retrieval_pipeline=bm25, llm=llm))
     assert out.text == "Paris"
-    assert out.metadata["critiques"][0]["error_type"] == "unsupported_claim"
+    assert out.metadata["critiques"][0]["actions"] == ["generate_answer"]
+    assert out.metadata["critiques"][1]["approved"] is True
+
+
+def test_rag_critic_rewrite_action_changes_search_query(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.rag_critic import RAGCriticPipeline
+
+    llm = ScriptedLLM(
+        responses=[
+            "vague",  # draft
+            '{"verdict": "revise", "feedback": "bad evidence", '
+            '"recommended_actions": ["rewrite_query"]}',
+            "capital of France",  # rewritten search query
+            "Paris",  # regeneration
+            '{"verdict": "approved"}',
+        ]
+    )
+    out = generate(RAGCriticPipeline(acat, retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris"
+    assert out.metadata["final_search_query"] == "capital of France"
+
+
+def test_rag_critic_trained_tag_taxonomy(acat, bm25):
+    """rag_critic_tags format: tag2 values map to the reference action set."""
+    from autorag_research_tpu.pipelines.generation.rag_critic import (
+        RAGCriticPipeline,
+        parse_critique,
+    )
+
+    c = parse_critique(
+        '{"Judgement": "Error", "Error_analysis": "missed entity", '
+        '"tag2": ["Entity and Concept Confusion"]}',
+        "rag_critic_tags",
+    )
+    assert c["actions"] == ["rewrite_query", "decompose_query"]
+    assert parse_critique('{"Judgement": "Correct"}', "rag_critic_tags")["approved"]
+
+    llm = ScriptedLLM(
+        responses=[
+            "Lyon",  # draft
+            '{"Judgement": "Error", "Error_analysis": "wrong fact", '
+            '"tag2": ["Factual Inaccuracies"]}',
+            "Paris",  # regeneration (generate_answer action)
+            '{"Judgement": "Correct"}',
+        ]
+    )
+    out = generate(
+        RAGCriticPipeline(
+            acat, retrieval_pipeline=bm25, llm=llm,
+            critic_output_format="rag_critic_tags",
+        )
+    )
+    assert out.text == "Paris"
+    assert out.metadata["critiques"][0]["actions"] == ["generate_answer"]
 
 
 def test_interact_rag_commands(acat, bm25):
