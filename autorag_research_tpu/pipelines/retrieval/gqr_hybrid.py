@@ -80,14 +80,66 @@ class GQRHybridPipeline(BaseRetrievalPipeline):
             "retrieval_unit": self.retrieval_unit,
         }
 
-    def _candidate_embeddings(self, doc_ids: list) -> dict[Any, np.ndarray]:
+    def _candidate_embeddings(self, doc_ids: list, multi: bool = False) -> dict[Any, np.ndarray]:
         out = {}
         for did in doc_ids:
-            emb = self.catalog.get_embedding("chunk", did)
+            emb = self.catalog.get_embedding("chunk", did, multi=multi)
             if emb is not None:
-                n = np.linalg.norm(emb)
-                out[did] = emb / n if n > 0 else emb
+                if multi:
+                    n = np.linalg.norm(emb, axis=1, keepdims=True)
+                    out[did] = emb / np.where(n == 0, 1.0, n)
+                else:
+                    n = np.linalg.norm(emb)
+                    out[did] = emb / n if n > 0 else emb
         return out
+
+    def _refine_multi(
+        self,
+        q_mat: np.ndarray,           # [T, d] query token vectors
+        cand_mats: list[np.ndarray],
+        comp_dist: np.ndarray,
+        pool_ids: list,
+        top_k: int,
+    ) -> list[dict]:
+        """MaxSim variant (reference ``_maxsim_scores``/``_maxsim_gradients``
+        ``gqr_hybrid.py:93-122``): score = sum of per-query-token maxes / nq;
+        the argmax doc vectors are the subgradient wrt the query matrix."""
+        nq = max(len(q_mat), 1)
+        norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+        q = q_mat / np.where(norms == 0, 1.0, norms)
+
+        def scores_and_grads(qm):
+            scores = np.empty(len(cand_mats))
+            grads = []
+            for i, m in enumerate(cand_mats):
+                sims = qm @ m.T  # [T, Ti]
+                arg = sims.argmax(axis=1)
+                scores[i] = sims.max(axis=1).sum() / nq
+                grads.append(m[arg] / nq)  # [T, d]
+            return scores, grads
+
+        for _ in range(self.n_steps):
+            scores, grads = scores_and_grads(q)
+            primary_dist = _softmax(scores, self.temperature)
+            target = (
+                self.consensus_weight * primary_dist
+                + (1 - self.consensus_weight) * comp_dist
+            )
+            weights = target - primary_dist
+            step = np.zeros_like(q)
+            for w, g in zip(weights, grads):
+                step += w * g
+            q = q + self.lr * step
+            n = np.linalg.norm(q, axis=1, keepdims=True)
+            q = q / np.where(n == 0, 1.0, n)
+        final, _ = scores_and_grads(q)
+
+        from autorag_research_tpu.ops.fusion import id_tiebreak_sort
+
+        order = id_tiebreak_sort(
+            zip(pool_ids, final), lambda t: t[1], lambda t: t[0]
+        )[:top_k]
+        return [{"doc_id": d, "score": float(s)} for d, s in order]
 
     def _refine(
         self,
@@ -102,6 +154,19 @@ class GQRHybridPipeline(BaseRetrievalPipeline):
         comp_map = {h["doc_id"]: float(h["score"]) for h in comp_hits}
         comp_floor = _missing_floor(comp_map)
         comp_scores = np.array([comp_map.get(d, comp_floor) for d in pool_ids])
+
+        if query_vec is not None and np.asarray(query_vec).ndim == 2:
+            # multi-vector primary: MaxSim refinement (argmax subgradients)
+            mv_map = self._candidate_embeddings(pool_ids, multi=True)
+            if len(mv_map) == len(pool_ids):
+                return self._refine_multi(
+                    np.asarray(query_vec, np.float32),
+                    [mv_map[d] for d in pool_ids],
+                    _softmax(comp_scores, self.temperature),
+                    pool_ids,
+                    top_k,
+                )
+            query_vec = None  # degrade to score-space below
         emb_map = self._candidate_embeddings(pool_ids)
 
         if len(emb_map) == len(pool_ids) and query_vec is not None:
@@ -147,7 +212,8 @@ class GQRHybridPipeline(BaseRetrievalPipeline):
         fetch_k = top_k * self.pool_multiplier
         primary_hits = await self.primary._retrieve_by_id(query_id, fetch_k)
         comp_hits = await self.complementary._retrieve_by_id(query_id, fetch_k)
-        qvec = self.catalog.get_embedding("query", query_id)
+        multi = getattr(self.primary, "search_mode", "single") == "multi"
+        qvec = self.catalog.get_embedding("query", query_id, multi=multi)
         return self._refine(qvec, primary_hits, comp_hits, top_k)
 
     async def _retrieve_by_text(self, query_text, top_k):

@@ -219,6 +219,42 @@ class TestGQR:
         # refined scores are cosines in [-1, 1]
         assert all(-1.01 <= r["rel_score"] <= 1.01 for r in rows)
 
+    def test_multi_vector_maxsim_refinement(self, tmp_path):
+        """MaxSim GQR: argmax-subgradient ascent over a multi-vector primary
+        (reference _maxsim_gradients path)."""
+        import numpy as np
+
+        from autorag_research_tpu.embeddings import MockMultiVectorEmbedding
+        from autorag_research_tpu.pipelines.retrieval.gqr_hybrid import GQRHybridPipeline
+        from autorag_research_tpu.pipelines.retrieval.vector_search import VectorSearchPipeline
+        from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Pipeline
+        from autorag_research_tpu.store.catalog import Catalog
+
+        registry.invalidate()
+        memb = MockMultiVectorEmbedding(dim=16, max_tokens=4)
+        docs = [f"topic {chr(97 + i)} words here" for i in range(6)]
+        cat = Catalog(tmp_path / "gqrm.db", embedding_dim=16)
+        cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(docs)])
+        cat.set_multi_embeddings(
+            "chunk", [(i, memb.embed_texts_multi([d])[0]) for i, d in enumerate(docs)]
+        )
+        cat.add_queries([{"id": 0, "contents": docs[2]}])
+        cat.set_multi_embeddings("query", [(0, memb.embed_texts_multi([docs[2]])[0])])
+
+        primary = VectorSearchPipeline(cat, "mv", search_mode="multi")
+        comp = BM25Pipeline(cat, "bm25_gqr")
+        gqr = GQRHybridPipeline(
+            cat, "gqr_mv",
+            primary_retrieval_pipeline=primary,
+            complementary_retrieval_pipeline=comp,
+            n_steps=5,
+        )
+        hits = run_async(gqr._retrieve_by_id(0, 3))
+        assert len(hits) == 3
+        assert hits[0]["doc_id"] == 2  # exact-match doc stays on top
+        assert all(np.isfinite(h["score"]) for h in hits)
+        registry.invalidate()
+
 
 @pytest.fixture
 def image_catalog(tmp_path):
