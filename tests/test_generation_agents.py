@@ -436,3 +436,43 @@ def test_visrag_gen_passes_images(tmp_path):
     assert out.text == "The page shows A"
     assert received["images"] == [b"img-a"]
     registry.invalidate()
+
+
+def test_interact_rag_weighted_fusion_and_id_controls(acat, bm25):
+    """Reference primitives: weighted fusion (normalized weighted sum),
+    include/exclude by chunk id, scale cap."""
+    from autorag_research_tpu.pipelines.generation.interact_rag import (
+        InteractRAGPipeline,
+        _coerce_id,
+        _parse_fusion_arg,
+    )
+
+    assert _parse_fusion_arg("capital, semantic=0.7, exact=0.3") == ("capital", 0.7, 0.3)
+    assert _parse_fusion_arg("plain query") == ("plain query", 0.5, 0.5)
+    assert _coerce_id("0", {}, acat) == 0          # corpus id
+    assert _coerce_id("paris", {}, acat) is None   # term fallback
+
+    llm = ScriptedLLM(
+        responses=[
+            "scale(500)",  # capped to max_scale
+            "fusion(capital of France, semantic=0.8, exact=0.2)",
+            "exclude(1)",  # drop the Berlin doc by id
+            "answer(Paris)",
+        ]
+    )
+    pipe = InteractRAGPipeline(
+        acat, retrieval_pipeline=bm25, llm=llm, max_turns=6, max_scale=20
+    )
+    out = generate(pipe)
+    assert out.text == "Paris"
+    assert 1 not in out.metadata["context_chunk_ids"]
+    assert any(log.startswith("fusion") for log in out.metadata["interaction_log"])
+
+
+def test_interact_rag_entity_top3(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.interact_rag import InteractRAGPipeline
+
+    llm = ScriptedLLM(responses=["entity(capital)", "answer(Paris)"])
+    out = generate(InteractRAGPipeline(acat, "ir3", retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris"
+    assert 0 < len(out.metadata["context_chunk_ids"]) <= 3
