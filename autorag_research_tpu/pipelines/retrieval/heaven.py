@@ -142,10 +142,16 @@ class HEAVENPipeline(BaseRetrievalPipeline):
             else {}
         )
 
+        # reference ``_combine_heaven_scores`` (heaven.py:83-103): every
+        # stage-1 candidate is scored (key + stage1); only refined candidates
+        # also receive the non-key contribution
+        refined_set = set(refined)
         stage1_map = {h["doc_id"]: h["score"] for h in stage1_hits}
         final = []
-        for did in refined:
-            late = key_scores.get(did, 0.0) + non_key_scores.get(did, 0.0)
+        for did in candidate_ids:
+            late = key_scores.get(did, 0.0) + (
+                non_key_scores.get(did, 0.0) if did in refined_set else 0.0
+            )
             score = self.stage1_weight * stage1_map.get(did, 0.0) + (1 - self.stage1_weight) * late
             final.append({"doc_id": did, "score": float(score)})
         from autorag_research_tpu.ops.fusion import id_tiebreak_sort
