@@ -21,11 +21,12 @@ from autorag_research_tpu.schema import GENERATION_CONTEXT_CHUNK_ID_KEY
 from autorag_research_tpu.utils.tokens import TokenUsageTracker
 
 DECISION_PROMPT = (
-    "You answer complex questions step by step. Given the trace so far, decide "
-    "the next move. Return JSON only:\n"
-    '{{"action": "terminate"|"subquery", "final_answer": "...", '
-    '"subquery": "...", "use_retrieval": true/false}}\n\n'
-    "Question: {query}\n\nTrace:\n{trace}\n\nDecision:"
+    "You are a DeepRAG controller. Given the trace so far, return exactly one "
+    "action:\n"
+    "- <retrieve>standalone subquery</retrieve> when external evidence is needed\n"
+    "- <parametric>standalone subquery</parametric> when model knowledge suffices\n"
+    "- <answer>final answer</answer> when the trace is sufficient\n\n"
+    "Question: {query}\n\nTrace:\n{trace}\n\nNext action:"
 )
 
 SUBANSWER_PROMPT = (
@@ -39,7 +40,25 @@ FINAL_PROMPT = (
 )
 
 
+_TAG_RE = re.compile(
+    r"<(retrieve|parametric|answer)>\s*(.*?)\s*</\1>", re.IGNORECASE | re.DOTALL
+)
+
+
 def _parse_decision(text: str) -> dict:
+    """Accepts the trained-controller tag protocol (reference
+    ``parse_deeprag_action`` deep_rag.py:88 — ``<retrieve>``/``<parametric>``/
+    ``<answer>``) or this framework's JSON form; unparseable -> terminate."""
+    m = _TAG_RE.search(text)
+    if m:
+        kind, payload = m.group(1).lower(), m.group(2).strip()
+        if kind == "answer":
+            return {"action": "terminate", "final_answer": payload}
+        return {
+            "action": "subquery",
+            "subquery": payload,
+            "use_retrieval": kind == "retrieve",
+        }
     m = re.search(r"\{.*\}", text, re.DOTALL)
     if m:
         try:

@@ -476,3 +476,23 @@ def test_interact_rag_entity_top3(acat, bm25):
     out = generate(InteractRAGPipeline(acat, "ir3", retrieval_pipeline=bm25, llm=llm))
     assert out.text == "Paris"
     assert 0 < len(out.metadata["context_chunk_ids"]) <= 3
+
+
+def test_deep_rag_tag_protocol(acat, bm25):
+    """Trained-controller tag protocol (reference parse_deeprag_action)."""
+    from autorag_research_tpu.pipelines.generation.deep_rag import DeepRAGPipeline
+
+    llm = ScriptedLLM(
+        responses=[
+            "<retrieve>capital of France</retrieve>",
+            "Paris",  # intermediate answer (retrieval)
+            "<parametric>is Paris in Europe</parametric>",
+            "yes",  # intermediate answer (parametric)
+            "<answer>Paris</answer>",
+        ]
+    )
+    out = generate(DeepRAGPipeline(acat, "dr_tags", retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris"
+    assert "[retrieval]" in out.metadata["trace"][0]
+    assert "[parametric]" in out.metadata["trace"][1]
+    assert out.metadata["context_chunk_ids"]
