@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--tile-n", type=int, default=65536)
     ap.add_argument("--block-n", type=int, default=1024)
     ap.add_argument("--block-q", type=int, default=128)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     print("devices:", jax.devices(), file=sys.stderr)
@@ -36,8 +37,9 @@ def main():
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
     queries = rng.normal(size=(Q, D)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
-    c_d = jnp.asarray(corpus)
-    q_d = jnp.asarray(queries)
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    c_d = jnp.asarray(corpus, dtype=dt)
+    q_d = jnp.asarray(queries, dtype=dt)
 
     fns = {
         "pallas": lambda q, c: dense_topk_pallas(
