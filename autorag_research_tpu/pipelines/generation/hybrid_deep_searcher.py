@@ -33,6 +33,40 @@ FINAL_PROMPT = (
 
 _SEARCH_RE = re.compile(r"<search>\s*(.*?)\s*</search>", re.IGNORECASE | re.DOTALL)
 _ANSWER_RE = re.compile(r"<answer>\s*(.*?)\s*</answer>", re.IGNORECASE | re.DOTALL)
+# the paper/trained-model protocol (reference DEFAULT_HDS_PLAN_PROMPT,
+# hybrid_deep_searcher.py:28-41): parallel queries between
+# <|begin search queries|> ... <|end search queries|> separated by semicolons
+# or newlines, final answer in \boxed{...}
+_HDS_BLOCK_RE = re.compile(
+    r"<\|begin search queries\|>\s*(.*?)\s*<\|end search queries\|>",
+    re.IGNORECASE | re.DOTALL,
+)
+_BOXED_RE = re.compile(r"\\boxed\{(.*?)\}", re.DOTALL)
+
+
+def parse_hds_action(text: str, max_queries: int) -> tuple[str | None, list[str]]:
+    """-> (final_answer | None, [search queries]); accepts both the paper's
+    token protocol and this framework's <search>/<answer> tags."""
+    m = _BOXED_RE.search(text) or _ANSWER_RE.search(text)
+    if m:
+        return m.group(1).strip(), []
+    queries: list[str] = []
+    block = _HDS_BLOCK_RE.search(text)
+    if block:
+        queries = [
+            q.strip()
+            for part in block.group(1).splitlines()
+            for q in part.split(";")
+            if q.strip()
+        ]
+    else:
+        queries = [q.strip() for q in _SEARCH_RE.findall(text) if q.strip()]
+    # dedup preserving order, capped
+    seen: list[str] = []
+    for q in queries:
+        if q not in seen:
+            seen.append(q)
+    return None, seen[:max_queries]
 
 
 class HybridDeepSearcherPipeline(BaseGenerationPipeline):
@@ -74,12 +108,12 @@ class HybridDeepSearcherPipeline(BaseGenerationPipeline):
                 )
             )
             tracker.record(response)
-            m = _ANSWER_RE.search(response.text)
-            if m:
-                answer = m.group(1).strip()
+            final, searches = parse_hds_action(
+                response.text, max(0, self.search_budget - used)
+            )
+            if final is not None:
+                answer = final
                 break
-            searches = _SEARCH_RE.findall(response.text)
-            searches = searches[: max(0, self.search_budget - used)]
             if not searches:
                 log.append(f"(no action) {response.text.strip()[:100]}")
                 continue

@@ -496,3 +496,31 @@ def test_deep_rag_tag_protocol(acat, bm25):
     assert "[retrieval]" in out.metadata["trace"][0]
     assert "[parametric]" in out.metadata["trace"][1]
     assert out.metadata["context_chunk_ids"]
+
+
+def test_hds_paper_token_protocol(acat, bm25):
+    """The trained-model protocol: <|begin search queries|> blocks with
+    semicolon-separated queries, \\boxed{} answers."""
+    from autorag_research_tpu.pipelines.generation.hybrid_deep_searcher import (
+        HybridDeepSearcherPipeline,
+        parse_hds_action,
+    )
+
+    final, qs = parse_hds_action(
+        "thinking <|begin search queries|>capital of France; Seine river\n"
+        "Germany borders<|end search queries|>", 8,
+    )
+    assert final is None
+    assert qs == ["capital of France", "Seine river", "Germany borders"]
+    final, qs = parse_hds_action(r"so the answer is \boxed{Paris}", 8)
+    assert final == "Paris" and qs == []
+
+    llm = ScriptedLLM(
+        responses=[
+            "<|begin search queries|>capital of France; river in Paris<|end search queries|>",
+            r"\boxed{Paris}",
+        ]
+    )
+    out = generate(HybridDeepSearcherPipeline(acat, "hds_tok", retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris"
+    assert out.metadata["searches_used"] == 2
