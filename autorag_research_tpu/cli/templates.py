@@ -118,7 +118,7 @@ DEFAULT_CONFIGS: dict[str, str] = {
         "max_turns: 4\nsearch_budget: 8\ntop_k: 5\n"
     ),
     "pipelines/generation/ras.yaml": (
-        "type: ras\nretrieval_pipeline_name: bm25\nllm: mock\nmax_needs: 3\ntop_k: 5\n"
+        "type: ras\nretrieval_pipeline_name: bm25\nllm: mock\nmax_iterations: 3\ntop_k: 5\n"
     ),
     "pipelines/generation/autothinkrag.yaml": (
         "type: autothinkrag\nretrieval_pipeline_name: bm25\nllm: mock\ntop_k: 5\n"

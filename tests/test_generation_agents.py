@@ -371,19 +371,43 @@ def test_hybrid_deep_searcher_parallel(acat, bm25):
 
 
 def test_ras_triples(acat, bm25):
+    """Paper-protocol planner: [SUBQ] -> retrieve + extract -> [SUFFICIENT]."""
     from autorag_research_tpu.pipelines.generation.ras import RASPipeline
 
     llm = ScriptedLLM(
         responses=[
-            "capital of France",  # plan
-            "(Paris; is capital of; France)",  # triples
-            "Yes",  # sufficient
-            "Paris",  # final
+            "[SUBQ] capital of France",  # plan round 1
+            "<triple>Paris | is capital of | France</triple>",  # triples
+            "[SUFFICIENT]",  # plan round 2
+            "Paris",  # final from graph + history
         ]
     )
     out = generate(RASPipeline(acat, retrieval_pipeline=bm25, llm=llm))
     assert out.text == "Paris"
     assert out.metadata["triples"] == [["Paris", "is capital of", "France"]]
+    assert out.metadata["subquery_history"][0].startswith("capital of France ->")
+
+
+def test_ras_no_retrieval_first_action(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.ras import RASPipeline
+
+    llm = ScriptedLLM(responses=["[NO_RETRIEVAL]", "Paris from memory"])
+    out = generate(RASPipeline(acat, "ras_nr", retrieval_pipeline=bm25, llm=llm))
+    assert out.text == "Paris from memory"
+    assert out.metadata["triples"] == []
+    assert out.metadata["context_chunk_ids"] == []
+
+
+def test_ras_plan_parsing():
+    from autorag_research_tpu.pipelines.generation.ras import parse_plan_action, parse_triples
+
+    assert parse_plan_action("[SUBQ] who founded Paris") == ("subquery", "who founded Paris")
+    assert parse_plan_action("...[SUFFICIENT]") == ("sufficient", "")
+    assert parse_plan_action("[NO_RETRIEVAL]") == ("no_retrieval", "")
+    assert parse_plan_action("garbage")[0] == "invalid"
+    # both triple formats accepted
+    got = parse_triples("<triple>a | b | c</triple> and (x; y; z)")
+    assert got == [("a", "b", "c"), ("x", "y", "z")]
 
 
 def test_autothinkrag_routes(acat, bm25):
