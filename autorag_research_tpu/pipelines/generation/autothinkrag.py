@@ -1,10 +1,15 @@
 """AutoThinkRAG: complexity router + perception/reasoning decomposition.
 
-Capability parity with the reference ``pipelines/generation/autothinkrag.py:147``
-(multimodal-capable): simple queries answer directly from retrieved context;
-complex queries run a two-phase loop — *perception* (extract query-relevant
-facts from each retrieved item, including image chunks via a vision-capable
-LLM) then *reasoning* (compose the answer from the perceived facts).
+Behavioral parity with the reference ``pipelines/generation/autothinkrag.py:147``
+(QCR + DPR, multimodal-capable) with its three differentiated paths
+(reference ``:24-62``, tiers ``:98``, ``max_reasoning_steps`` ``:99``):
+
+- **simple** — factual lookup: answer directly from retrieved context;
+- **moderate** — synthesis: answer while showing the reasoning process;
+- **complex** — decomposed perception (extract query-relevant facts per
+  retrieved item, image chunks via a vision-capable LLM) followed by an
+  ITERATIVE reasoning chain of up to ``max_reasoning_steps`` steps
+  (``THOUGHT:`` continues the chain, ``ANSWER:`` terminates).
 """
 
 from __future__ import annotations
@@ -18,10 +23,18 @@ from autorag_research_tpu.pipelines.generation.base import BaseGenerationPipelin
 from autorag_research_tpu.schema import GENERATION_CONTEXT_CHUNK_ID_KEY
 from autorag_research_tpu.utils.tokens import TokenUsageTracker
 
+import re
+
+_ANSWER_RE = re.compile(r"ANSWER:\s*(.*)", re.IGNORECASE | re.DOTALL)
+
 ROUTE_PROMPT = (
-    "Is this question simple (single fact lookup) or complex (requires "
-    "combining multiple pieces of information)? Reply 'simple' or 'complex'.\n\n"
-    "Question: {query}\nReply:"
+    "Classify the query's complexity as exactly one of: simple, moderate, "
+    "complex.\n"
+    "- simple: factual lookup, single-hop, direct answer from context\n"
+    "- moderate: synthesis across multiple pieces of information\n"
+    "- complex: multi-hop reasoning or combining visual and textual "
+    "evidence step by step\n\n"
+    "Query: {query}\nClassification (one word):"
 )
 DIRECT_PROMPT = (
     "Answer using the context.\n\nContext:\n{context}\n\nQuestion: {query}\nAnswer:"
@@ -30,9 +43,17 @@ PERCEIVE_PROMPT = (
     "Extract the facts from this item that are relevant to the question. "
     "Reply 'NONE' if nothing is relevant.\n\nQuestion: {query}\n\nItem:\n{item}\n\nFacts:"
 )
-REASON_PROMPT = (
-    "Reason over the perceived facts to answer the question.\n\nFacts:\n{facts}\n\n"
-    "Question: {query}\nAnswer:"
+MODERATE_PROMPT = (
+    "Answer the question by synthesizing information from the context. Show "
+    "your reasoning process.\n\nContext:\n{context}\n\nQuestion: {query}\n"
+    "Answer (explain your reasoning):"
+)
+REASON_STEP_PROMPT = (
+    "You are solving a complex question with multi-step reasoning over "
+    "perceived facts.\nEither continue the chain with 'THOUGHT: <next "
+    "deduction>' or finish with 'ANSWER: <final answer>'.\n\n"
+    "Facts:\n{facts}\n\nReasoning chain so far:\n{chain}\n\n"
+    "Question: {query}\nNext step:"
 )
 
 
@@ -44,12 +65,17 @@ class AutoThinkRAGPipeline(BaseGenerationPipeline):
         retrieval_pipeline=None,
         llm=None,
         max_perception_concurrency: int = 8,
+        max_reasoning_steps: int = 3,
     ):
         self.max_perception_concurrency = max_perception_concurrency
+        self.max_reasoning_steps = max_reasoning_steps
         super().__init__(catalog, name, retrieval_pipeline, llm)
 
     def _get_pipeline_config(self) -> dict[str, Any]:
-        return {"type": "autothinkrag"}
+        return {
+            "type": "autothinkrag",
+            "max_reasoning_steps": self.max_reasoning_steps,
+        }
 
     def _resolve_items(self, hits) -> list[tuple[Any, str, bytes | None]]:
         """(doc_id, text, image_bytes) per hit — image chunks resolve to their
@@ -70,16 +96,24 @@ class AutoThinkRAGPipeline(BaseGenerationPipeline):
         tracker = TokenUsageTracker()
         response = await self.llm.agenerate(ROUTE_PROMPT.format(query=query))
         tracker.record(response)
-        complexity = "complex" if "complex" in response.text.lower() else "simple"
+        lowered = response.text.lower()
+        if "complex" in lowered:
+            complexity = "complex"
+        elif "moderate" in lowered:
+            complexity = "moderate"
+        else:
+            complexity = "simple"
 
         hits = await self.retrieve_for(query_id, top_k)
         items = self._resolve_items(hits)
         final_ids = [d for d, _, _ in items]
+        chain: list[str] = []
 
-        if complexity == "simple":
+        if complexity in ("simple", "moderate"):
             context = "\n".join(text for _, text, _ in items)
+            template = DIRECT_PROMPT if complexity == "simple" else MODERATE_PROMPT
             response = await self.llm.agenerate(
-                DIRECT_PROMPT.format(context=context, query=query)
+                template.format(context=context, query=query)
             )
             tracker.record(response)
             answer = response.text.strip()
@@ -98,11 +132,31 @@ class AutoThinkRAGPipeline(BaseGenerationPipeline):
 
             perceived = await asyncio.gather(*[perceive(*item) for item in items])
             facts = [f for f in perceived if f and "none" != f.lower().strip()]
-            response = await self.llm.agenerate(
-                REASON_PROMPT.format(facts="\n".join(f"- {f}" for f in facts) or "(none)", query=query)
-            )
-            tracker.record(response)
-            answer = response.text.strip()
+            facts_text = "\n".join(f"- {f}" for f in facts) or "(none)"
+            answer = None
+            for _ in range(self.max_reasoning_steps):
+                response = await self.llm.agenerate(
+                    REASON_STEP_PROMPT.format(
+                        facts=facts_text,
+                        chain="\n".join(chain) or "(start)",
+                        query=query,
+                    )
+                )
+                tracker.record(response)
+                step = response.text.strip()
+                m = _ANSWER_RE.search(step)
+                if m:
+                    answer = m.group(1).strip()
+                    break
+                chain.append(step if step.upper().startswith("THOUGHT") else f"THOUGHT: {step}")
+            if answer is None:  # budget exhausted: answer from the chain
+                response = await self.llm.agenerate(
+                    DIRECT_PROMPT.format(
+                        context=facts_text + "\n" + "\n".join(chain), query=query
+                    )
+                )
+                tracker.record(response)
+                answer = response.text.strip()
 
         return GenerationResult(
             text=answer,
@@ -111,6 +165,7 @@ class AutoThinkRAGPipeline(BaseGenerationPipeline):
                 GENERATION_CONTEXT_CHUNK_ID_KEY: final_ids,
                 "complexity": complexity,
                 "perceived_facts": facts,
+                "reasoning_chain": chain,
             },
             retrieved=hits,
         )
@@ -124,6 +179,7 @@ class AutoThinkRAGConfig(BasePipelineConfig):
     retrieval_pipeline_name: str
     llm: Any = None
     max_perception_concurrency: int = 8
+    max_reasoning_steps: int = 3
 
     def build(self, catalog, context):
         return AutoThinkRAGPipeline(
@@ -132,4 +188,5 @@ class AutoThinkRAGConfig(BasePipelineConfig):
             retrieval_pipeline=context.load_pipeline(self.retrieval_pipeline_name),
             llm=context.load_llm(self.llm),
             max_perception_concurrency=self.max_perception_concurrency,
+            max_reasoning_steps=self.max_reasoning_steps,
         )

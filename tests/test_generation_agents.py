@@ -418,15 +418,24 @@ def test_autothinkrag_routes(acat, bm25):
     assert out.text == "Paris" and out.metadata["complexity"] == "simple"
 
     def responder(prompt):
-        if "Facts:" in prompt and "Item:" in prompt:
+        if "Item:" in prompt:  # perception phase
             return "Paris is the capital" if "Paris" in prompt else "NONE"
-        if "Reason over" in prompt:
-            return "Paris"
+        if "Reasoning chain so far" in prompt:  # iterative reasoning
+            if "(start)" in prompt:
+                return "THOUGHT: the facts point to Paris"
+            return "ANSWER: Paris"
         return "complex"
 
     out = generate(AutoThinkRAGPipeline(acat, "atr2", retrieval_pipeline=bm25, llm=MockLLM(responder=responder)))
     assert out.text == "Paris" and out.metadata["complexity"] == "complex"
     assert out.metadata["perceived_facts"]
+    assert out.metadata["reasoning_chain"] == ["THOUGHT: the facts point to Paris"]
+
+    # moderate tier: synthesis prompt
+    llm = ScriptedLLM(responses=["moderate", "Synthesis: therefore Paris"])
+    out = generate(AutoThinkRAGPipeline(acat, "atr3", retrieval_pipeline=bm25, llm=llm))
+    assert out.metadata["complexity"] == "moderate"
+    assert "Paris" in out.text
 
 
 def test_visrag_gen_passes_images(tmp_path):
