@@ -24,17 +24,28 @@ DEFAULT_RELEVANCE_DEFINITION = (
 
 DEFAULT_PROMPT = (
     "{relevance_definition}\n\n"
-    "Rate how relevant the {document_type} is to the {query_type} on a scale "
-    "of 0 to 10. Output only the number.\n\n"
+    "Rate how relevant the {document_type} is to the {query_type}. Assign one "
+    "integer relevance score from 0 to 100 and end your response with the "
+    "final score inside <score> tags, for example <score>87</score>.\n\n"
     "{query_type}: {query}\n\n{document_type}: {doc}\n\nScore:"
 )
 
+_SCORE_TAG_RE = re.compile(r"<score>\s*(-?\d{1,3})\s*</score>", re.IGNORECASE | re.DOTALL)
+
 
 def _parse_score(text: str) -> float:
-    m = re.search(r"\d+(?:\.\d+)?", text)
+    """Reference scoring contract (retro_star.py:55,67-82): the LAST
+    <score>N</score> tag, clamped to [0, 100]; a bare trailing number is
+    accepted as a fallback for untrained raters."""
+    matches = list(_SCORE_TAG_RE.finditer(text))
+    if matches:
+        return max(0.0, min(100.0, float(matches[-1].group(1))))
+    m = re.search(r"(\d+(?:\.\d+)?)\s*$", text.strip())
+    if m is None:
+        m = re.search(r"\d+(?:\.\d+)?", text)
     if m is None:
         return 0.0
-    return max(0.0, min(10.0, float(m.group(0))))
+    return max(0.0, min(100.0, float(m.group(0))))
 
 
 class RetroStarPipeline(BaseRetrievalPipeline):

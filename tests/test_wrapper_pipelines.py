@@ -359,3 +359,13 @@ def test_colbert_reranker_offline():
     assert out[0].text == "quick fox"
     assert out[0].score > out[1].score
     assert out[0].score == pytest.approx(1.0, abs=1e-5)
+
+
+def test_retro_star_score_tag_contract():
+    from autorag_research_tpu.pipelines.retrieval.retro_star import _parse_score
+
+    assert _parse_score("reasoning... <score>87</score>") == 87.0
+    assert _parse_score("<score>10</score> draft <score>92</score>") == 92.0  # last wins
+    assert _parse_score("<score>150</score>") == 100.0  # clamped
+    assert _parse_score("I rate this 7") == 7.0  # bare-number fallback
+    assert _parse_score("no score") == 0.0
