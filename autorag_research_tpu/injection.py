@@ -90,6 +90,20 @@ def _builtin_factories() -> None:
 
     register_model_type("reranker", "colbert", _colbert)
 
+    def _jax_cross(**kw):
+        from autorag_research_tpu.models.encoder import EncoderConfig
+        from autorag_research_tpu.rerankers.jax_cross import JaxCrossEncoderReranker
+
+        cfg_kw = {
+            k: kw.pop(k)
+            for k in ("vocab_size", "hidden", "layers", "heads", "max_len", "out_dim")
+            if k in kw
+        }
+        config = EncoderConfig(**cfg_kw) if cfg_kw else None
+        return JaxCrossEncoderReranker(config=config, **kw)
+
+    register_model_type("reranker", "jax_cross_encoder", _jax_cross)
+
     def _lazy(path: str):
         def factory(**kw):
             module, cls = path.rsplit(".", 1)
