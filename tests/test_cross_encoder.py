@@ -117,3 +117,39 @@ def test_injection_preset():
     assert registry._resolve_spec("reranker", "jax_cross_encoder") == {
         "type": "jax_cross_encoder"
     }
+
+
+def test_rerank_pipeline_with_jax_cross_encoder(tmp_path):
+    """End-to-end: BM25 candidates reranked by the TPU-native cross-encoder
+    through the executor (the rerank wrapper + injection preset path)."""
+    from autorag_research_tpu.config import BaseMetricConfig, BuildContext, ExecutorConfig
+    from autorag_research_tpu.executor import Executor
+    from autorag_research_tpu.index import registry
+    from autorag_research_tpu.injection import ModelRegistry
+    from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Config
+    from autorag_research_tpu.pipelines.retrieval.rerank import RerankConfig
+    from autorag_research_tpu.store.catalog import Catalog
+
+    registry.invalidate()
+    cat = Catalog(tmp_path / "rr.db")
+    docs = ["Paris is the capital of France", "Berlin is in Germany", "dogs are pets"]
+    cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(docs)])
+    cat.add_queries([{"id": 0, "contents": "capital of France"}])
+    cat.add_retrieval_gt(0, 0)
+    cfg = ExecutorConfig(
+        pipelines=[
+            RerankConfig(
+                name="rr", inner_retrieval_pipeline_name="bm25_leg",
+                reranker="jax_cross_encoder", top_k=2,
+            )
+        ],
+        metrics=[BaseMetricConfig(name="recall")],
+        health_check=False,
+    )
+    context = BuildContext(
+        models=ModelRegistry(health_check=False),
+        pipeline_configs={"bm25_leg": BM25Config(name="bm25_leg", top_k=3)},
+    )
+    result = Executor(cat, cfg, context).run()
+    assert result.success, result.report()
+    registry.invalidate()
