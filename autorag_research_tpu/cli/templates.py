@@ -163,6 +163,9 @@ DEFAULT_CONFIGS: dict[str, str] = {
     ),
     "reranker/mock.yaml": "type: mock\n",
     "reranker/llm_listwise.yaml": "type: llm_listwise\nllm: mock\n",
+    "reranker/jax_cross_encoder.yaml": (
+        "type: jax_cross_encoder\n# params_path: /path/to/trained.npz\n"
+    ),
 }
 
 

@@ -195,3 +195,31 @@ def test_microbatch_uses_single_batched_kernel_call(tmp_path):
     finally:
         h.stop()
         registry.invalidate()
+
+
+def test_serving_multi_vector_pipeline(tmp_path):
+    """MaxSim (late-interaction) retrieval behind the HTTP API — batched
+    embed_texts_multi + one maxsim kernel launch per micro-batch."""
+    from autorag_research_tpu.embeddings import MockMultiVectorEmbedding
+    from autorag_research_tpu.pipelines.retrieval.vector_search import VectorSearchPipeline
+
+    registry.invalidate()
+    memb = MockMultiVectorEmbedding(dim=16, max_tokens=4)
+    cat = Catalog(tmp_path / "mv.db", embedding_dim=16)
+    cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(DOCS)])
+    cat.set_multi_embeddings(
+        "chunk", [(i, memb.embed_texts_multi([d])[0]) for i, d in enumerate(DOCS)]
+    )
+    pipe = VectorSearchPipeline(cat, "mv_serve", search_mode="multi", embedding_model=memb)
+    h = ServingHandle(cat, {"maxsim": pipe}, batch_window_ms=10).start(port=0)
+    try:
+        code, data = post(
+            h, "/search",
+            {"queries": [DOCS[0], DOCS[2]], "top_k": 1, "pipeline": "maxsim"},
+        )
+        assert code == 200
+        assert data["results"][0][0]["doc_id"] == 0  # self-match wins
+        assert data["results"][1][0]["doc_id"] == 2
+    finally:
+        h.stop()
+        registry.invalidate()
