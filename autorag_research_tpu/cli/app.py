@@ -292,6 +292,55 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Fine-tune the TPU-native bi-encoder or cross-encoder on a workspace's
+    ground truth (no reference counterpart — the reference only consumes
+    external checkpoints, SURVEY.md §2.6)."""
+    from autorag_research_tpu.models.encoder import EncoderConfig
+
+    catalog = _open_catalog(args.db)
+    cfg_kwargs = {}
+    if args.hidden:
+        cfg_kwargs.update(hidden=args.hidden, out_dim=args.hidden // 2)
+    if args.layers:
+        cfg_kwargs["layers"] = args.layers
+    config = EncoderConfig(**cfg_kwargs) if cfg_kwargs else None
+
+    if args.model == "cross":
+        from autorag_research_tpu.models.cross_encoder import CrossEncoderTrainer
+
+        trainer = CrossEncoderTrainer(config, lr=args.lr, batch_size=args.batch_size)
+        report = trainer.train(catalog, epochs=args.epochs, max_steps=args.max_steps)
+    else:
+        from autorag_research_tpu.models.trainer import BiEncoderTrainer
+
+        mesh = None
+        if args.mesh:
+            from autorag_research_tpu.parallel.mesh import corpus_mesh  # noqa: F401
+            import jax
+            import numpy as np
+            from jax.sharding import Mesh
+
+            n = len(jax.devices())
+            tp = 2 if n % 2 == 0 and n > 1 else 1
+            mesh = Mesh(np.array(jax.devices()).reshape(n // tp, tp), ("dp", "tp"))
+        trainer = BiEncoderTrainer(
+            config, lr=args.lr, batch_size=args.batch_size,
+            optimizer=args.optimizer, mesh=mesh,
+        )
+        report = trainer.train(
+            catalog, epochs=args.epochs, max_steps=args.max_steps,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    print(
+        f"trained {report.steps} steps in {report.seconds:.1f}s "
+        f"(loss {report.losses[0]:.4f} -> {report.final_loss:.4f})"
+    )
+    trainer.save(args.out)
+    print(f"saved params to {args.out}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from autorag_research_tpu.serving.server import serve_workspace
 
@@ -329,6 +378,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--experiment", default=None, help="experiment yaml (default configs/experiment.yaml)")
     p.add_argument("--mesh", action="store_true", help="shard indexes over all devices")
     p.set_defaults(func=cmd_run)
+
+    p = sub.add_parser("train", help="fine-tune the native encoder on workspace GT")
+    p.add_argument("--db", required=True)
+    p.add_argument("--model", choices=["bi", "cross"], default="bi")
+    p.add_argument("--out", required=True, help="output params .npz path")
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--optimizer", choices=["sgd", "adamw"], default="adamw")
+    p.add_argument("--hidden", type=int, default=None)
+    p.add_argument("--layers", type=int, default=None)
+    p.add_argument("--mesh", action="store_true", help="(bi) shard over a (dp, tp) mesh")
+    p.add_argument("--checkpoint-dir", default=None, help="(bi) orbax save/auto-resume dir")
+    p.set_defaults(func=cmd_train)
 
     p = sub.add_parser("ingest", help="ingest a benchmark dataset")
     p.add_argument("--name", required=True)

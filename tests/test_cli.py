@@ -245,3 +245,34 @@ def test_every_template_pipeline_config_resolves(tmp_path, monkeypatch):
             config = resolver.resolve_pipeline(kind, name)
             assert config.name == name
             assert config.kind == kind, f"{name}: {config.kind} != {kind}"
+
+
+def test_cli_train_command(tmp_path, capsys):
+    from autorag_research_tpu.cli.app import main
+    from autorag_research_tpu.store.catalog import Catalog
+    from autorag_research_tpu.store.gt import or_all
+
+    ws = tmp_path / "trainws"
+    ws.mkdir()
+    cat = Catalog(ws / "catalog.db")
+    docs = [f"topic {chr(97 + i)} text" for i in range(6)]
+    cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(docs)])
+    cat.add_queries([{"id": i, "contents": f"find {chr(97 + i)}"} for i in range(6)])
+    for i in range(6):
+        cat.add_retrieval_gt(i, or_all([i]))
+
+    out = tmp_path / "params.npz"
+    rc = main([
+        "train", "--db", str(ws), "--out", str(out), "--epochs", "3",
+        "--batch-size", "6", "--hidden", "32", "--layers", "1",
+    ])
+    assert rc == 0 and out.exists()
+    captured = capsys.readouterr().out
+    assert "trained" in captured and "saved params" in captured
+
+    out2 = tmp_path / "cross.npz"
+    rc = main([
+        "train", "--db", str(ws), "--model", "cross", "--out", str(out2),
+        "--epochs", "3", "--batch-size", "6", "--hidden", "32", "--layers", "1",
+    ])
+    assert rc == 0 and out2.exists()
