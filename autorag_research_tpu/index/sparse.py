@@ -73,8 +73,12 @@ class SparseIndex:
     ``bucketize > 1`` opts into the bucketed device layout: docs are
     partitioned by unique-term count and each bucket gets its own trimmed
     ``[Nb, Lb]`` slot arrays (one kernel launch per bucket, host merge by the
-    global (-score, row) order). Cuts HBM and kernel work on skewed corpora
-    where a single ``[N, L_max]`` layout pads most rows; the full arrays
+    global (-score, row) order). Measured on v5e (500k skewed docs, 90% at
+    16 terms / 10% at 128, scripts/bench_bm25_bucketed.py): 4.7x less
+    persistent HBM (104 vs 488 MiB) at identical QPS (475 both) — compute
+    does not shrink below one 128-lane tile per doc because the kernel pads
+    the slot axis to the lane width, so bucketing pays off for memory (and
+    for compute only when bucket widths differ by >=128). The full arrays
     remain the build/save source of truth.
     """
 

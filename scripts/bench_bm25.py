@@ -66,10 +66,14 @@ def main():
         # constants into the HLO -> remote-compile HTTP 413)
         @jax.jit
         def run(q, w, di, dw):
-            def step(c, _):
-                s, i = fn(q, w, di, dw)
+            # per-step perturbation defeats loop-invariant code motion (a
+            # constant body can be hoisted -> one kernel run, bogus QPS)
+            def step(c, t):
+                s, i = fn(q, w * (1.0 + 1e-6 * t), di, dw)
                 return c + s.sum(), i
-            tot, ids = jax.lax.scan(step, 0.0, None, length=args.reps)
+            tot, ids = jax.lax.scan(
+                step, 0.0, jnp.arange(args.reps, dtype=jnp.float32)
+            )
             return tot, ids[0]
 
         t0 = time.perf_counter()
