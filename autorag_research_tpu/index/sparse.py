@@ -240,7 +240,11 @@ class SparseIndex:
     def _build_device_buckets(self) -> list[dict]:
         """Partition rows by unique-term count; each bucket keeps ascending
         global row order so local kernel tie-breaks map monotonically to the
-        global (-score, row) order."""
+        global (-score, row) order. Buckets whose width fits >=2 docs per
+        128-lane row use the lane-packed layout + kernel (measured 3.4x
+        faster at width 16 — see ops/sparse.bm25_topk_pallas_packed)."""
+        from autorag_research_tpu.ops.sparse import pack_slots
+
         assert self._slot_ids is not None
         counts = self._term_counts()
         bounds = _plan_buckets(counts, self.bucketize)
@@ -253,15 +257,30 @@ class SparseIndex:
                 continue
             assigned[rows] = True
             width = max(int(counts[rows].max()), 1)
-            buckets.append(
-                {
-                    "rows": rows,
-                    "slot_ids": jax.device_put(jnp.asarray(self._slot_ids[rows, :width])),
-                    "slot_weights": jax.device_put(
-                        jnp.asarray(self._slot_weights[rows, :width])
-                    ),
-                }
-            )
+            pack = max(1, 128 // width)
+            if pack >= 2:
+                pids, pw, pack = pack_slots(
+                    self._slot_ids[rows], self._slot_weights[rows], width
+                )
+                buckets.append(
+                    {
+                        "rows": rows,
+                        "pack": pack,
+                        "slot_ids": jax.device_put(jnp.asarray(pids)),
+                        "slot_weights": jax.device_put(jnp.asarray(pw)),
+                    }
+                )
+            else:
+                buckets.append(
+                    {
+                        "rows": rows,
+                        "pack": 1,
+                        "slot_ids": jax.device_put(jnp.asarray(self._slot_ids[rows, :width])),
+                        "slot_weights": jax.device_put(
+                            jnp.asarray(self._slot_weights[rows, :width])
+                        ),
+                    }
+                )
         return buckets
 
     def device_bytes(self) -> int:
@@ -312,17 +331,27 @@ class SparseIndex:
 
     def _search_bucketed(self, q_ids, q_w, k: int, method: str):
         """One kernel launch per bucket; host merge by global (-score, row)."""
-        from autorag_research_tpu.ops.dense import INT_MAX
+        from autorag_research_tpu.ops.dense import INT_MAX, on_tpu
+        from autorag_research_tpu.ops.sparse import bm25_topk_pallas_packed
 
         nq = q_ids.shape[0]
         all_scores = []
         all_rows = []
         for bucket in self._device_buckets:  # type: ignore[union-attr]
-            s, r = bm25_topk(
-                jnp.asarray(q_ids), jnp.asarray(q_w),
-                bucket["slot_ids"], bucket["slot_weights"],
-                min(k, bucket["rows"].size), method=method,
-            )
+            if bucket.get("pack", 1) > 1:
+                s, r = bm25_topk_pallas_packed(
+                    jnp.asarray(q_ids), jnp.asarray(q_w),
+                    bucket["slot_ids"], bucket["slot_weights"],
+                    int(bucket["rows"].size), min(k, bucket["rows"].size),
+                    bucket["pack"],
+                    interpret=not on_tpu(),
+                )
+            else:
+                s, r = bm25_topk(
+                    jnp.asarray(q_ids), jnp.asarray(q_w),
+                    bucket["slot_ids"], bucket["slot_weights"],
+                    min(k, bucket["rows"].size), method=method,
+                )
             s = np.asarray(s)
             r = np.asarray(r)
             valid = r != INT_MAX

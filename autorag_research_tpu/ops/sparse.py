@@ -332,6 +332,195 @@ def _bm25_kernel_v2(
         out_i_ref[:] = acc_i[:]
 
 
+def pack_slots(
+    doc_ids: "np.ndarray", doc_weights: "np.ndarray", width: int
+) -> tuple["np.ndarray", "np.ndarray", int]:
+    """Pack P = 128 // width docs per 128-lane row (doc d -> row d // P,
+    lane group d % P). Returns (packed_ids [ceil(N/P), 128], packed_weights,
+    P). Requires every doc's terms to fit in ``width`` slots."""
+    import numpy as np
+
+    p = max(1, 128 // width)
+    if p == 1:
+        return doc_ids, doc_weights, 1
+    # layout stride MUST be 128 // p — the kernel derives its lane->group
+    # mapping from pack alone, so the layout and mapping share one formula
+    # (laying out at the raw width broke widths where 128 // (128 // width)
+    # != width, e.g. 24 -> stride 25)
+    stride = 128 // p
+    n = doc_ids.shape[0]
+    rows = -(-n // p)
+    ids = np.full((rows * p, stride), DOC_PAD, doc_ids.dtype)
+    w = np.zeros((rows * p, stride), doc_weights.dtype)
+    ids[:n, :width] = doc_ids[:, :width]
+    w[:n, :width] = doc_weights[:, :width]
+    # exactly 128 lanes; lanes beyond p*stride are DOC_PAD/0 (dead — never
+    # match a real term), otherwise pallas would pad the block with UNDEFINED
+    # lanes that alias the last doc group
+    out_ids = np.full((rows, 128), DOC_PAD, doc_ids.dtype)
+    out_w = np.zeros((rows, 128), doc_weights.dtype)
+    out_ids[:, : p * stride] = ids.reshape(rows, p * stride)
+    out_w[:, : p * stride] = w.reshape(rows, p * stride)
+    return out_ids, out_w, p
+
+
+def _bm25_kernel_packed(
+    qid_ref,  # SMEM [bq, T]
+    qw_ref,   # SMEM [bq, T]
+    tid_ref,  # VMEM [BN, 128] — P packed docs per row
+    tw_ref,   # VMEM [BN, 128]
+    g_ref,    # VMEM [128, P_pad] 0/1 lane->doc-group indicator
+    out_s_ref, out_i_ref, acc_s, acc_i,
+    *, k, n, block_n, bq, n_query_terms, pack,
+):
+    """Packed variant: P short docs share one 128-lane row; per (query, term)
+    the [BN, 128] match row-reduces into per-doc contributions via ONE
+    grouping matmul on the MXU ([BN,128] x [128,P]), so each VPU compare
+    covers P x more docs than the slot-per-lane kernels. Top-k extracts per
+    (query, lane-group) sub-row; the P sub-lists merge OUTSIDE the kernel
+    (ids are globally consistent)."""
+    from autorag_research_tpu.ops.dense import _extract_topk
+
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    p_pad = g_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, INT_MAX)
+
+    tid = tid_ref[:]  # [BN, 128]
+    tw = tw_ref[:]
+    g = g_ref[:]      # [128, P_pad]
+    bn = tid.shape[0]
+
+    def term_body(t, carry):  # carry: tuple of bq [P_pad, BN] accumulators
+        new = []
+        for b in range(bq):  # static unroll over the query tile
+            term_id = qid_ref[b, t]
+            term_w = qw_ref[b, t]
+            match = jnp.where(tid == term_id, tw, 0.0)  # [BN, 128]
+            # contributions per packed doc: [P_pad, BN] via MXU
+            c = jax.lax.dot_general(
+                g, match,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            new.append(carry[b] + c * term_w)
+        return tuple(new)
+
+    init = tuple(jnp.zeros((p_pad, bn), jnp.float32) for _ in range(bq))
+    carry = jax.lax.fori_loop(0, n_query_terms, term_body, init)
+    scores = jnp.concatenate(carry, axis=0)  # [bq * P_pad, BN]
+    # candidate doc id at (sub-row p of query b, lane r) = (j*BN + r)*pack + p
+    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % p_pad
+    gids = (j * block_n + lane) * pack + sub
+    valid = (sub < pack) & (gids < n)
+    scores = jnp.where(valid, scores, NEG_INF)
+    gids = jnp.where(valid, gids, INT_MAX)
+
+    tile_s, tile_i = _extract_topk(scores, gids, k)  # [bq*P_pad, k]
+    new_s, new_i = _extract_topk(
+        jnp.concatenate([acc_s[:], tile_s], axis=1),
+        jnp.concatenate([acc_i[:], tile_i], axis=1),
+        k,
+    )
+    acc_s[:] = new_s
+    acc_i[:] = new_i
+
+    @pl.when(j == nj - 1)
+    def _write():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_docs", "k", "pack", "block_q", "block_n", "interpret"),
+)
+def bm25_topk_pallas_packed(
+    q_ids: jax.Array,
+    q_weights: jax.Array,
+    packed_ids: jax.Array,    # [R, 128] from pack_slots
+    packed_weights: jax.Array,
+    n_docs: int,
+    k: int,
+    pack: int,
+    block_q: int = 8,
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """BM25 over a lane-packed layout (see ``pack_slots`` / kernel docstring).
+    Each kernel compare covers ``pack`` x more docs than the per-doc-row
+    kernels; per-(query, sub-row) top-k lists merge here via sort_topk."""
+    bsz, n_terms = q_ids.shape
+    rows = packed_ids.shape[0]
+    k_eff = min(k, n_docs)
+    p_pad = _round_up(pack, 8)  # sublane granularity for the scores tile
+    width = 128 // pack
+
+    bq = min(block_q, _round_up(bsz, 8))
+    bsz_pad = _round_up(bsz, bq)
+    block_n = max(block_n, _round_up(k_eff, 128))
+    rows_pad = _round_up(rows, block_n)
+    packed_ids = jnp.pad(
+        packed_ids, ((0, rows_pad - rows), (0, 0)), constant_values=DOC_PAD
+    )
+    packed_weights = jnp.pad(packed_weights, ((0, rows_pad - rows), (0, 0)))
+    terms_pad = _round_up(n_terms, 128)
+    q_ids = jnp.pad(
+        q_ids, ((0, bsz_pad - bsz), (0, terms_pad - n_terms)), constant_values=QUERY_PAD
+    )
+    q_weights = jnp.pad(q_weights, ((0, bsz_pad - bsz), (0, terms_pad - n_terms)))
+    # lane l belongs to doc-group l // width
+    import numpy as _np
+
+    g_host = _np.zeros((128, p_pad), _np.float32)
+    g_host[_np.arange(128), _np.minimum(_np.arange(128) // width, pack - 1)] = 1.0
+    g = jnp.asarray(g_host)
+
+    grid = (bsz_pad // bq, rows_pad // block_n)
+    kernel = functools.partial(
+        _bm25_kernel_packed, k=k_eff, n=n_docs, block_n=block_n,
+        bq=bq, n_query_terms=n_terms, pack=pack,
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, terms_pad), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, terms_pad), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_n, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, p_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq * p_pad, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq * p_pad, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz_pad * p_pad, k_eff), jnp.float32),
+            jax.ShapeDtypeStruct((bsz_pad * p_pad, k_eff), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq * p_pad, k_eff), jnp.float32),
+            pltpu.VMEM((bq * p_pad, k_eff), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_ids, q_weights, packed_ids, packed_weights, g)
+    # merge each query's P sub-row lists: [bsz, P_pad * k] -> top k
+    out_s = out_s.reshape(bsz_pad, p_pad * k_eff)[:bsz]
+    out_i = out_i.reshape(bsz_pad, p_pad * k_eff)[:bsz]
+    out_s, out_i = sort_topk(out_s, out_i, k_eff)
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return out_s, out_i
+
+
 def bm25_topk(q_ids, q_weights, doc_ids, doc_weights, k, method: str = "auto"):
     from autorag_research_tpu.ops.dense import on_tpu
 

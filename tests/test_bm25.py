@@ -270,3 +270,78 @@ class TestBucketedLayout:
         assert result.success, result.report()
         assert result.pipelines[0].metrics[0].average == 1.0
         registry.invalidate()
+
+
+class TestPackedKernel:
+    def test_pack_slots_layout(self):
+        from autorag_research_tpu.ops.sparse import DOC_PAD, pack_slots
+
+        ids = np.arange(10 * 16, dtype=np.int32).reshape(10, 16)
+        w = np.ones((10, 16), np.float32)
+        pids, pw, pack = pack_slots(ids, w, 16)
+        assert pack == 8
+        assert pids.shape == (2, 128)
+        np.testing.assert_array_equal(pids[0, :16], ids[0])   # doc 0 -> row 0 group 0
+        np.testing.assert_array_equal(pids[1, :16], ids[8])   # doc 8 -> row 1 group 0
+        assert (pids[1, 32:] == DOC_PAD).all()  # pad docs beyond n
+
+    def test_packed_matches_oracle(self, index):
+        """Lane-packed kernel vs the host oracle on the shared tiny corpus
+        (slot width padded up to a pack-friendly 16)."""
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.sparse import (
+            DOC_PAD,
+            bm25_topk_pallas_packed,
+            bm25_topk_xla,
+            pack_slots,
+        )
+
+        width = 16
+        n, l = index._slot_ids.shape
+        assert l <= width
+        ids = np.full((n, width), DOC_PAD, np.int32)
+        w = np.zeros((n, width), np.float32)
+        ids[:, :l] = index._slot_ids
+        w[:, :l] = index._slot_weights
+        queries = ["quick fox", "lazy dog sleeping", "database search"]
+        q_ids, q_w = index.encode_queries(queries)
+        s0, i0 = bm25_topk_xla(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(ids), jnp.asarray(w), 4
+        )
+        pids, pw, pack = pack_slots(ids, w, width)
+        s1, i1 = bm25_topk_pallas_packed(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(pids), jnp.asarray(pw),
+            n, 4, pack, block_n=128, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
+
+    def test_packed_odd_width_tail_lanes_dead(self):
+        """width 3 -> pack 42 covers 126 lanes; the 2 tail lanes must be dead
+        (regression: pallas block-padding would alias them onto a real doc)."""
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.sparse import (
+            bm25_topk_pallas_packed,
+            bm25_topk_xla,
+            pack_slots,
+        )
+
+        rng = np.random.default_rng(5)
+        n, width, vocab = 301, 3, 120
+        ids = rng.integers(0, vocab, (n, width)).astype(np.int32)
+        w = rng.random((n, width)).astype(np.float32)
+        q_ids = rng.integers(0, vocab, (4, 6)).astype(np.int32)
+        q_w = rng.random((4, 6)).astype(np.float32)
+        s0, i0 = bm25_topk_xla(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(ids), jnp.asarray(w), 5
+        )
+        pids, pw, pack = pack_slots(ids, w, width)
+        assert pids.shape[1] == 128 and pack == 42
+        s1, i1 = bm25_topk_pallas_packed(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(pids), jnp.asarray(pw),
+            n, 5, pack, block_n=128, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)

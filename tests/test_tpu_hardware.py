@@ -55,6 +55,18 @@ def test_bm25_pallas_agrees_on_tpu(rng):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
 
+    # lane-packed kernel on a short-doc (width 16 -> pack 8) corpus
+    from autorag_research_tpu.ops.sparse import bm25_topk_pallas_packed, pack_slots
+
+    tid16 = np.asarray(tid)[:, :16].copy()
+    tw16 = np.asarray(tw)[:, :16].copy()
+    s4, i4 = bm25_topk_pallas_v2(qid, qw, jnp.asarray(tid16), jnp.asarray(tw16), 10)
+    pids, pw, pack = pack_slots(tid16, tw16, 16)
+    s5, i5 = bm25_topk_pallas_packed(
+        qid, qw, jnp.asarray(pids), jnp.asarray(pw), tid16.shape[0], 10, pack
+    )
+    np.testing.assert_array_equal(np.asarray(i4), np.asarray(i5))
+
 
 def test_maxsim_paths_agree_on_tpu(rng):
     import jax.numpy as jnp
