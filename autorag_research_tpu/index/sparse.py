@@ -75,11 +75,14 @@ class SparseIndex:
     ``[Nb, Lb]`` slot arrays (one kernel launch per bucket, host merge by the
     global (-score, row) order). Measured on v5e (500k skewed docs, 90% at
     16 terms / 10% at 128, scripts/bench_bm25_bucketed.py): 4.7x less
-    persistent HBM (104 vs 488 MiB) at identical QPS (475 both) — compute
-    does not shrink below one 128-lane tile per doc because the kernel pads
-    the slot axis to the lane width, so bucketing pays off for memory (and
-    for compute only when bucket widths differ by >=128). The full arrays
-    remain the build/save source of truth.
+    persistent HBM (104 vs 488 MiB); buckets with width <= 64 use the
+    lane-packed kernel (3.4x faster at width 16). HOWEVER on a realistic
+    BEIR-like width distribution (lognormal mean ~55,
+    scripts/bench_bm25_index_e2e.py) bucketize=3 measured 2x SLOWER
+    end-to-end than flat (48.7 vs 124.4 QPS): multiple launches + host merge
+    outweigh one bucket's pack-2 gain. Use bucketize ONLY for corpora that
+    are predominantly short (titles, captions, sentences) or memory-bound.
+    The full arrays remain the build/save source of truth.
     """
 
     def __init__(
