@@ -309,6 +309,32 @@ class SparseIndex:
             self._device = None
             return self
         self._device_buckets = None
+        self._device_pack = 1
+        from autorag_research_tpu.ops.dense import on_tpu
+
+        if (
+            mesh is None
+            and self._slot_ids.shape[1] <= 64
+            and self.n_docs
+            # off-TPU the packed kernel runs in interpret mode — fine for
+            # test-sized corpora, glacial at scale
+            and (on_tpu() or self.n_docs <= 10_000)
+        ):
+            # whole corpus is short-doc: ONE lane-packed launch, no merge —
+            # pure gain (measured 3.4x at width 16, bm25_topk_pallas_packed)
+            from autorag_research_tpu.ops.sparse import pack_slots
+
+            pids, pw, pack = pack_slots(
+                self._slot_ids, self._slot_weights, self._slot_ids.shape[1]
+            )
+            if pack > 1:
+                self._device = (
+                    jax.device_put(jnp.asarray(pids)),
+                    jax.device_put(jnp.asarray(pw)),
+                )
+                self._device_pack = pack
+                self._mesh = None
+                return self
         ids = jnp.asarray(self._slot_ids)
         weights = jnp.asarray(self._slot_weights)
         if mesh is not None:
@@ -387,7 +413,15 @@ class SparseIndex:
                 out.append(hits)
             return out
         doc_ids, doc_w = self._device  # type: ignore[misc]
-        if getattr(self, "_mesh", None) is not None:
+        if getattr(self, "_device_pack", 1) > 1:
+            from autorag_research_tpu.ops.dense import on_tpu
+            from autorag_research_tpu.ops.sparse import bm25_topk_pallas_packed
+
+            scores, rows = bm25_topk_pallas_packed(
+                jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
+                self.n_docs, k, self._device_pack, interpret=not on_tpu(),
+            )
+        elif getattr(self, "_mesh", None) is not None:
             from autorag_research_tpu.parallel.sharded import sharded_bm25_topk
 
             scores, rows = sharded_bm25_topk(

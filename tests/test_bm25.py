@@ -345,3 +345,21 @@ class TestPackedKernel:
         )
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
         np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
+
+    def test_flat_index_auto_packs_short_corpora(self):
+        """A whole-corpus width <= 64 flat index should auto-pack (single
+        launch) and return identical results to the unpacked kernels."""
+        ids, docs = TestBucketedLayout().make_skewed(n_short=40, n_long=0)
+        idx = SparseIndex(ids, docs, tokenizer="simple")
+        idx.to_device()
+        assert getattr(idx, "_device_pack", 1) > 1
+        hits = idx.search(["alpha0 beta1"], 5)
+        ref = SparseIndex(ids, docs, tokenizer="simple")
+        ref._slot_ids = np.pad(ref._slot_ids, ((0, 0), (0, 128 - ref._slot_ids.shape[1])),
+                               constant_values=-1)
+        ref._slot_weights = np.pad(ref._slot_weights,
+                                   ((0, 0), (0, 128 - ref._slot_weights.shape[1])))
+        ref_hits = ref.search(["alpha0 beta1"], 5, method="xla")
+        assert [(h.doc_id, round(h.score, 5)) for h in hits[0]] == [
+            (h.doc_id, round(h.score, 5)) for h in ref_hits[0]
+        ]
