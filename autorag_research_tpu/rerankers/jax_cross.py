@@ -46,9 +46,12 @@ class JaxCrossEncoderReranker(BaseReranker):
         cfg = self.config
         for lo in range(0, len(texts), self.batch_size):
             chunk = list(texts[lo : lo + self.batch_size])
+            n = len(chunk)
+            if n < self.batch_size:  # pad to ONE compiled shape per instance
+                chunk = chunk + [""] * (self.batch_size - n)
             ids, mask = pair_tokenize([query] * len(chunk), chunk, cfg.vocab_size, cfg.max_len)
             out = self._score(self.params, ids, mask)
-            scores.extend(np.asarray(out, np.float64).tolist())
+            scores.extend(np.asarray(out, np.float64)[:n].tolist())
         return self._finalize(
             [(i, t, float(s)) for i, (t, s) in enumerate(zip(texts, scores))], top_k
         )
