@@ -70,10 +70,31 @@ def _kmeans(data: jax.Array, init_idx: jax.Array, n_cells: int, iterations: int)
 
 
 @functools.partial(jax.jit, static_argnames=("n_prefs",))
-def _assign_prefs(data: jax.Array, centroids: jax.Array, n_prefs: int):
+def _assign_prefs_chunk(data: jax.Array, centroids: jax.Array, n_prefs: int):
     sims = jnp.dot(data, centroids.T, preferred_element_type=jnp.float32)
     pref_sims, pref_cells = jax.lax.top_k(sims, n_prefs)
     return pref_cells, pref_sims
+
+
+def _assign_prefs(data: jax.Array, centroids: jax.Array, n_prefs: int):
+    """Top-``n_prefs`` cells per doc, chunked over rows: the full [N, C] sim
+    matrix is 22 GB at 2M docs x 2.8k cells — only [chunk, C] ever
+    materializes (one fixed chunk shape -> one compile)."""
+    n = data.shape[0]
+    chunk = 131072
+    if n <= chunk:
+        return _assign_prefs_chunk(data, centroids, n_prefs)
+    cells_parts = []
+    sims_parts = []
+    for lo in range(0, n, chunk):
+        part = jax.lax.dynamic_slice_in_dim(data, min(lo, n - chunk), chunk, 0)
+        c, s = _assign_prefs_chunk(part, centroids, n_prefs)
+        if lo + chunk > n:  # final overlap-aligned chunk: keep only the tail
+            keep = n - lo
+            c, s = c[-keep:], s[-keep:]
+        cells_parts.append(c)
+        sims_parts.append(s)
+    return jnp.concatenate(cells_parts), jnp.concatenate(sims_parts)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "cell_pad"))
