@@ -1,9 +1,11 @@
-"""SPD-RAG: one sub-agent per document, then aggregate.
+"""SPD-RAG: one sub-agent per document -> coordinator -> synthesis.
 
-Capability parity with the reference ``pipelines/generation/spd_rag.py:90``:
-each retrieved document is summarized/answered by its own LLM call ("does this
-document help? what does it say?"), and an aggregator LLM composes the final
-answer from the per-document findings.
+Behavioral parity with the reference ``pipelines/generation/spd_rag.py:90``
+three-role protocol: a SUB-AGENT answers the question from each document in
+isolation; a COORDINATOR judges each partial answer Yes/No for usefulness
+(reference DEFAULT_COORDINATOR_* prompts); a SYNTHESIS agent merges the
+useful partials into one coherent answer (not a concatenation). Sub-agents
+may also self-filter with 'No relevant information'.
 """
 
 from __future__ import annotations
@@ -18,14 +20,21 @@ from autorag_research_tpu.schema import GENERATION_CONTEXT_CHUNK_ID_KEY
 from autorag_research_tpu.utils.tokens import TokenUsageTracker
 
 PER_DOC_PROMPT = (
-    "You are analyzing one document for the question. If the document is "
-    "irrelevant, reply 'IRRELEVANT'. Otherwise state what it contributes in "
-    "one or two sentences.\n\nQuestion: {query}\n\nDocument:\n{doc}\n\nFinding:"
+    "You are a focused document analyst: answer the question using ONLY this "
+    "document. If it holds no relevant information, reply 'IRRELEVANT'.\n\n"
+    "Question: {query}\n\nDocument:\n{doc}\n\nFinding:"
+)
+
+COORDINATOR_PROMPT = (
+    "Does this partial answer provide useful information for the question? "
+    "Reply Yes or No.\n\nQuestion: {query}\nPartial answer: {partial}\nReply:"
 )
 
 AGGREGATE_PROMPT = (
-    "Combine the per-document findings into a final answer.\n\n"
-    "Question: {query}\n\nFindings:\n{findings}\n\nAnswer:"
+    "Synthesize the useful partial answers into ONE coherent answer — resolve "
+    "conflicts by preferring the more specific, better-supported information; "
+    "do not just concatenate.\n\n"
+    "Question: {query}\n\nPartial answers:\n{findings}\n\nAnswer:"
 )
 
 
@@ -63,7 +72,18 @@ class SPDRAGPipeline(BaseGenerationPipeline):
         findings = await asyncio.gather(
             *[analyze(did, lookup[did]) for did in ids if did in lookup]
         )
-        useful = [(d, f) for d, f in findings if "irrelevant" not in f.lower()]
+        candidates = [(d, f) for d, f in findings if "irrelevant" not in f.lower()]
+
+        async def coordinate(doc_id, partial):
+            async with semaphore:
+                response = await self.llm.agenerate(
+                    COORDINATOR_PROMPT.format(query=query, partial=partial)
+                )
+            tracker.record(response)
+            return doc_id, partial, response.text.strip().lower().startswith("yes")
+
+        judged = await asyncio.gather(*[coordinate(d, f) for d, f in candidates])
+        useful = [(d, f) for d, f, ok in judged if ok]
         findings_block = "\n".join(f"- {f}" for _, f in useful) or "(no useful documents)"
         response = await self.llm.agenerate(
             AGGREGATE_PROMPT.format(query=query, findings=findings_block)

@@ -221,16 +221,27 @@ def test_et2rag_embedding_vote(acat, bm25):
 
 
 def test_spd_rag_aggregates(acat, bm25):
+    """Three-role protocol: sub-agent per doc -> coordinator Yes/No ->
+    synthesis; the Berlin doc is filtered by the sub-agent, and a useless
+    partial is filtered by the coordinator."""
     from autorag_research_tpu.pipelines.generation.spd_rag import SPDRAGPipeline
 
     def responder(prompt):
-        if "Finding:" in prompt:
-            return "IRRELEVANT" if "Berlin" in prompt else "Mentions Paris as capital"
-        return "Paris"
+        if "Finding:" in prompt:  # sub-agent
+            if "Berlin" in prompt:
+                return "IRRELEVANT"
+            if "Seine" in prompt:
+                return "Talks about a river only"
+            return "Mentions Paris as capital"
+        if "Partial answer:" in prompt:  # coordinator
+            return "No" if "river" in prompt else "Yes"
+        return "Paris"  # synthesis
 
     out = generate(SPDRAGPipeline(acat, retrieval_pipeline=bm25, llm=MockLLM(responder=responder)))
     assert out.text == "Paris"
-    assert 1 not in out.metadata["context_chunk_ids"]  # Berlin doc filtered
+    assert 1 not in out.metadata["context_chunk_ids"]  # Berlin doc: sub-agent filter
+    assert 2 not in out.metadata["context_chunk_ids"]  # river doc: coordinator filter
+    assert 0 in out.metadata["context_chunk_ids"]
 
 
 def test_deep_rag_trace(acat, bm25):
