@@ -19,12 +19,16 @@ embeddings and nprobe ~= 5-10% of cells, top-10 recall is typically >95%
 (tested on clustered synthetics). Exact search remains the default pipeline
 path; IVF is opted into via ``VectorSearchConfig(index_type="ivf")``.
 
-Measured guidance (v5e, 500k x 768, nprobe=32/1024 cells): recall@10 = 1.00
-but 537 QPS vs 886 QPS for batched exact — the MXU makes whole-corpus exact
-matmuls cheap enough that per-query candidate gathers only pay off at much
-larger corpora (the break-even scales with N; expect IVF wins at ~5M+ rows
-or single-query latency paths). This matches why the reference needs ANN
-(CPU Postgres) while the TPU default stays exact.
+Measured guidance (v5e): at 500k x 768, recall@10 = 1.00 but 537 QPS vs 886
+for batched exact; at 2M x 768 (scripts/bench_ann_scale.py) exact does
+5,181 QPS (15.9 TFLOP/s streaming) while this gather-based IVF collapses to
+21.8 QPS at default nprobe — per-query random-access gathers are 2+ orders
+of magnitude slower than brute-force MXU matmul at any corpus that fits in
+HBM. Conclusion: on TPU, exact stays the default at all single-chip scales;
+a TPU-shaped ANN would need a CLUSTER-CONTIGUOUS corpus layout (probed cells
+as dense row blocks -> per-cell matmuls, no gathers) — see ROADMAP. This
+module remains the functional vchordrq counterpart and the mesh-sharded
+variant (per-device sub-indexes) for capability parity.
 """
 
 from __future__ import annotations
