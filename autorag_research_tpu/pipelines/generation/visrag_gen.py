@@ -32,13 +32,25 @@ class VisRAGGenerationPipeline(BaseGenerationPipeline):
         llm=None,
         prompt_template: str = VISRAG_PROMPT,
         max_images: int = 3,
+        image_processing_mode: str = "multi_image",
+        concatenation_direction: str = "horizontal",
     ):
+        if image_processing_mode not in ("multi_image", "concatenate"):
+            raise ValueError(
+                f"unknown image_processing_mode '{image_processing_mode}'"
+            )
         self.prompt_template = prompt_template
         self.max_images = max_images
+        self.image_processing_mode = image_processing_mode
+        self.concatenation_direction = concatenation_direction
         super().__init__(catalog, name, retrieval_pipeline, llm)
 
     def _get_pipeline_config(self) -> dict[str, Any]:
-        return {"type": "visrag_gen", "max_images": self.max_images}
+        return {
+            "type": "visrag_gen",
+            "max_images": self.max_images,
+            "image_processing_mode": self.image_processing_mode,
+        }
 
     async def _generate(self, query_id, top_k) -> GenerationResult:
         query = self.get_query_text(query_id)
@@ -47,6 +59,12 @@ class VisRAGGenerationPipeline(BaseGenerationPipeline):
         ids = [h["doc_id"] for h in hits][: self.max_images]
         rows = self.catalog.get_image_chunks(ids)
         images = [rows[i]["image"] for i in ids if i in rows and rows[i]["image"]]
+        if self.image_processing_mode == "concatenate" and len(images) > 1:
+            # single-image VLM fallback (reference visrag_gen.py:40-43):
+            # merge the pages into one composite
+            from autorag_research_tpu.utils.images import concatenate_images
+
+            images = [concatenate_images(images, self.concatenation_direction)]
         response = await self.llm.agenerate(
             self.prompt_template.format(query=query), images=images
         )
@@ -69,6 +87,8 @@ class VisRAGGenConfig(BasePipelineConfig):
     retrieval_pipeline_name: str
     llm: Any = None
     max_images: int = 3
+    image_processing_mode: str = "multi_image"
+    concatenation_direction: str = "horizontal"
 
     def build(self, catalog, context):
         return VisRAGGenerationPipeline(
@@ -77,4 +97,6 @@ class VisRAGGenConfig(BasePipelineConfig):
             retrieval_pipeline=context.load_pipeline(self.retrieval_pipeline_name),
             llm=context.load_llm(self.llm),
             max_images=self.max_images,
+            image_processing_mode=self.image_processing_mode,
+            concatenation_direction=self.concatenation_direction,
         )

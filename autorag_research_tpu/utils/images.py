@@ -40,3 +40,39 @@ def resize_image(image_bytes: bytes, max_side: int = 1024) -> bytes:
     buf = io.BytesIO()
     img.save(buf, format="PNG")
     return buf.getvalue()
+
+
+def concatenate_images(
+    images: list[bytes], direction: str = "horizontal"
+) -> bytes:
+    """Merge page images into ONE composite PNG (the reference VisRAG
+    ``image_processing_mode="concatenate"`` fallback for single-image VLMs,
+    ``pipelines/generation/visrag_gen.py:40-43``)."""
+    import io
+
+    from PIL import Image
+
+    if not images:
+        raise ValueError("no images to concatenate")
+    pils = [Image.open(io.BytesIO(b)).convert("RGB") for b in images]
+    if direction == "horizontal":
+        h = max(im.height for im in pils)
+        w = sum(im.width for im in pils)
+        canvas = Image.new("RGB", (w, h), "white")
+        x = 0
+        for im in pils:
+            canvas.paste(im, (x, 0))
+            x += im.width
+    elif direction == "vertical":
+        w = max(im.width for im in pils)
+        h = sum(im.height for im in pils)
+        canvas = Image.new("RGB", (w, h), "white")
+        y = 0
+        for im in pils:
+            canvas.paste(im, (0, y))
+            y += im.height
+    else:
+        raise ValueError(f"unknown direction '{direction}'")
+    out = io.BytesIO()
+    canvas.save(out, format="PNG")
+    return out.getvalue()

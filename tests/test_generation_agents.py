@@ -568,3 +568,59 @@ def test_hds_paper_token_protocol(acat, bm25):
     out = generate(HybridDeepSearcherPipeline(acat, "hds_tok", retrieval_pipeline=bm25, llm=llm))
     assert out.text == "Paris"
     assert out.metadata["searches_used"] == 2
+
+
+def test_visrag_concatenate_mode(tmp_path):
+    """concatenate mode merges pages into ONE composite for single-image VLMs
+    (reference image_processing_mode)."""
+    import io
+
+    from PIL import Image
+
+    from autorag_research_tpu.embeddings import MockEmbedding
+    from autorag_research_tpu.pipelines.generation.visrag_gen import VisRAGGenerationPipeline
+    from autorag_research_tpu.pipelines.retrieval.image_vector_search import (
+        ImageVectorSearchPipeline,
+    )
+    from autorag_research_tpu.utils.images import concatenate_images
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), "red").save(buf, format="PNG")
+        return buf.getvalue()
+
+    # unit: composite dimensions
+    combo = concatenate_images([png(10, 20), png(30, 15)], "horizontal")
+    im = Image.open(io.BytesIO(combo))
+    assert (im.width, im.height) == (40, 20)
+    combo = concatenate_images([png(10, 20), png(30, 15)], "vertical")
+    im = Image.open(io.BytesIO(combo))
+    assert (im.width, im.height) == (30, 35)
+
+    # pipeline: the VLM must receive exactly one image
+    registry.invalidate()
+    emb = MockEmbedding(dim=16)
+    cat = Catalog(tmp_path / "vr.db", embedding_dim=16)
+    imgs = [png(8, 8), png(8, 8)]
+    cat.add_image_chunks(
+        [{"id": i, "image": b, "mimetype": "image/png",
+          "embedding": emb.embed_images([b])[0]} for i, b in enumerate(imgs)]
+    )
+    cat.add_queries([{"id": 0, "contents": "what is on the pages",
+                      "embedding": emb.embed_images([imgs[0]])[0]}])
+    seen = {}
+
+    class VLM(MockLLM):
+        async def agenerate(self, prompt, images=None, **kw):
+            seen["n_images"] = len(images or [])
+            return LLMResult(text="red pages")
+
+    retr = ImageVectorSearchPipeline(cat, "ivs_cc", embedding_model=emb)
+    pipe = VisRAGGenerationPipeline(
+        cat, "vr_cc", retrieval_pipeline=retr, llm=VLM(),
+        image_processing_mode="concatenate",
+    )
+    out = generate(pipe, top_k=2)
+    assert out.text == "red pages"
+    assert seen["n_images"] == 1
+    registry.invalidate()
