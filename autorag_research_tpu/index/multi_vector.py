@@ -59,7 +59,17 @@ class MultiVectorIndex:
         ]
         self._docs, self._lens = pad_ragged(mats, max_tokens)
         self._n = len(self.ids)
+        # single-vector proxy per doc (mean of token vectors, normalized) —
+        # the PLAID-style candidate-generation stage (see ``search``'s
+        # ``prefilter`` and ops/maxsim.maxsim_rerank)
+        if self._n:
+            sums = self._docs.sum(axis=1)
+            counts = np.maximum(self._lens[:, None], 1)
+            self._proxies = l2_normalize(sums / counts)
+        else:
+            self._proxies = np.zeros((0, self._docs.shape[2]), np.float32)
         self._device: tuple[jax.Array, jax.Array] | None = None
+        self._proxies_device: jax.Array | None = None
 
     @classmethod
     def from_catalog(cls, catalog, table: str = "chunk", **kwargs) -> "MultiVectorIndex":
@@ -104,9 +114,20 @@ class MultiVectorIndex:
         return self
 
     def search(
-        self, query_matrices: Sequence[np.ndarray], k: int, method: str = "auto"
+        self,
+        query_matrices: Sequence[np.ndarray],
+        k: int,
+        method: str = "auto",
+        prefilter: int | None = None,
     ) -> list[list[SearchHit]]:
-        """query_matrices: list of [Tq_i, d]. Scores = MaxSim / Tq_i."""
+        """query_matrices: list of [Tq_i, d]. Scores = MaxSim / Tq_i.
+
+        ``prefilter=M`` enables the two-stage PLAID-style search: a dense
+        top-(k*M) pass over single-vector doc proxies generates candidates,
+        then exact MaxSim reranks only those — trading a little recall for a
+        large speedup on big corpora (measure with
+        scripts/bench_maxsim_prefilter.py). None = exact full scan.
+        """
         if self._n == 0:
             raise IndexNotBuiltError("index has no documents")
         if self._device is None:
@@ -124,6 +145,23 @@ class MultiVectorIndex:
 
             scores, rows = sharded_maxsim_topk(
                 jnp.asarray(q), jnp.asarray(q_lens), docs, lens, k, self._n, self._mesh
+            )
+        elif prefilter is not None:
+            from autorag_research_tpu.ops.dense import dense_topk
+            from autorag_research_tpu.ops.maxsim import maxsim_rerank
+
+            if self._proxies_device is None:
+                self._proxies_device = jax.device_put(jnp.asarray(self._proxies))
+            # stage 1: candidate generation over mean-token proxies
+            q_proxy = q.sum(axis=1) / np.maximum(q_lens[:, None], 1)
+            q_proxy = l2_normalize(q_proxy)
+            n_cand = min(self._n, max(k, k * prefilter))
+            _, cand = dense_topk(
+                jnp.asarray(q_proxy), self._proxies_device, n_cand
+            )
+            # stage 2: exact MaxSim over the candidates only
+            scores, rows = maxsim_rerank(
+                jnp.asarray(q), jnp.asarray(q_lens), docs, lens, cand, k
             )
         else:
             scores, rows = maxsim_topk(

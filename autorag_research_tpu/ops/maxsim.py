@@ -388,6 +388,54 @@ def maxsim_topk_pallas_v2(
     return out_s, out_i
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def maxsim_rerank(
+    queries: jax.Array,     # [B, Tq, d]
+    query_lens: jax.Array,  # [B]
+    docs: jax.Array,        # [N, Td, d]
+    doc_lens: jax.Array,    # [N]
+    cand: jax.Array,        # [B, C] int32 candidate rows (INT_MAX = pad)
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact MaxSim over per-query CANDIDATE subsets (the rerank stage of the
+    PLAID-style two-stage search — proxy prefilter then exact late
+    interaction; cf. the late-interaction efficiency literature in PAPERS.md).
+    Returns (scores [B, k], doc rows [B, k]) in global (-score, row) order."""
+    b, tq, d = queries.shape
+    n, td, _ = docs.shape
+    c = cand.shape[1]
+    safe = jnp.where(cand < n, cand, 0)
+    cand_docs = docs[safe]          # [B, C, Td, d]
+    cand_lens = doc_lens[safe]      # [B, C]
+    sims = jnp.einsum(
+        "bqd,bctd->bqct", queries, cand_docs,
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(queries.dtype),
+    )  # [B, Tq, C, Td]
+    tok_ok = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, c, td), 2) < cand_lens[:, :, None]
+    )  # [B, C, Td]
+    sims = jnp.where(tok_ok[:, None, :, :], sims, NEG_INF)
+    per_token = jnp.max(sims, axis=3)  # [B, Tq, C]
+    q_ok = jax.lax.broadcasted_iota(jnp.int32, (b, tq), 1) < query_lens[:, None]
+    per_token = jnp.where(q_ok[:, :, None], per_token, 0.0)
+    # an empty candidate doc would sum Tq x NEG_INF into -inf; clamp per
+    # token (empty docs are overridden to NEG_INF below anyway)
+    per_token = jnp.maximum(per_token, -1e30)
+    scores = per_token.sum(axis=1)  # [B, C]
+    # empty docs (len 0) are not real hits
+    scores = jnp.where(cand_lens > 0, scores, NEG_INF)
+    valid = cand < n
+    scores = jnp.where(valid, scores, NEG_INF)
+    ids = jnp.where(valid, cand, INT_MAX)
+    k_eff = min(k, c)
+    s, i = sort_topk(scores, ids, k_eff)
+    if k_eff < k:
+        s = jnp.pad(s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        i = jnp.pad(i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return s, i
+
+
 def maxsim_topk(queries, query_lens, docs, doc_lens, k, method: str = "auto"):
     # Measured on v5e (50k docs x 128 tok x 128 d, f32 HIGHEST): the XLA scan
     # with large tiles hits 12.4 TFLOP/s with second-scale compiles, while the

@@ -40,6 +40,7 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
         table: str = "chunk",
         index_type: Literal["exact", "ivf"] = "exact",
         index_options: dict | None = None,
+        maxsim_prefilter: int | None = None,
     ):
         self.search_mode = search_mode
         self.embedding_model = embedding_model
@@ -47,6 +48,9 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
         self.table = table
         self.index_type = index_type
         self.index_options = index_options or {}
+        # multi mode only: PLAID-style two-stage search (proxy prefilter ->
+        # exact MaxSim rerank over k * maxsim_prefilter candidates)
+        self.maxsim_prefilter = maxsim_prefilter
         # result persistence must route by the searched table, or image hits
         # would land in the chunk result table and silently zero all metrics
         self.retrieval_unit = "image_chunk" if table == "image_chunk" else "chunk"
@@ -59,6 +63,7 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
             "retrieval_unit": self.retrieval_unit,
             "table": self.table,
             "index_type": self.index_type,
+            "maxsim_prefilter": self.maxsim_prefilter,
         }
 
     # ------------------------------------------------------------------ index
@@ -111,12 +116,17 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
             embs.append(e)
         return embs
 
+    def _multi_search(self, idx, mats, top_k):
+        if self.maxsim_prefilter and getattr(idx, "_mesh", None) is None:
+            return idx.search(mats, top_k, prefilter=self.maxsim_prefilter)
+        return idx.search(mats, top_k)
+
     def search_by_embedding(self, embedding, top_k: int) -> list[dict[str, Any]]:
         """Direct dense search from a raw embedding (HyDE path — reference
         ``vector_search_by_embedding``, ``orm/service/retrieval_pipeline.py:526+``)."""
         idx = self._index()
         if self.search_mode == "multi":
-            hits = idx.search([np.atleast_2d(embedding)], top_k)[0]
+            hits = self._multi_search(idx, [np.atleast_2d(embedding)], top_k)[0]
         else:
             hits = idx.search(np.atleast_2d(embedding), top_k)[0]
         return [h.as_dict() for h in hits]
@@ -136,7 +146,7 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
                 out[qid] = exc
         if valid_ids:
             if self.search_mode == "multi":
-                batches = idx.search(embs, top_k)
+                batches = self._multi_search(idx, embs, top_k)
             else:
                 batches = idx.search(np.stack(embs), top_k)
             for qid, hits in zip(valid_ids, batches):
@@ -151,7 +161,7 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
         idx = self._index()
         if self.search_mode == "multi":
             mats = self.embedding_model.embed_texts_multi(list(texts))
-            batches = idx.search(mats, top_k)
+            batches = self._multi_search(idx, mats, top_k)
         else:
             embs = np.asarray(self.embedding_model.embed_texts(list(texts)))
             batches = idx.search(embs, top_k)
@@ -185,6 +195,7 @@ class VectorSearchConfig(BasePipelineConfig):
     table: str = "chunk"
     index_type: str = "exact"
     index_options: dict | None = None
+    maxsim_prefilter: int | None = None
 
     def build(self, catalog, context):
         return VectorSearchPipeline(
@@ -196,4 +207,5 @@ class VectorSearchConfig(BasePipelineConfig):
             table=self.table,
             index_type=self.index_type,  # type: ignore[arg-type]
             index_options=self.index_options,
+            maxsim_prefilter=self.maxsim_prefilter,
         )

@@ -142,3 +142,43 @@ def test_multi_mode_pipeline(tmp_path):
     assert result.success, result.report()
     assert result.pipelines[0].metrics[0].average == 1.0
     registry.invalidate()
+
+
+class TestPrefilter:
+    def make_index(self, n=200, d=24, seed=0):
+        from autorag_research_tpu.index.multi_vector import MultiVectorIndex
+
+        rng = np.random.default_rng(seed)
+        mats = [rng.normal(size=(rng.integers(2, 9), d)).astype(np.float32) for _ in range(n)]
+        return MultiVectorIndex([f"d{i}" for i in range(n)], mats), mats
+
+    def test_full_prefilter_matches_exact(self):
+        """prefilter covering the whole corpus must reproduce the exact
+        full-scan ranking (candidate stage loses nothing)."""
+        idx, mats = self.make_index()
+        rng = np.random.default_rng(1)
+        queries = [rng.normal(size=(4, 24)).astype(np.float32) for _ in range(5)]
+        exact = idx.search(queries, 7)
+        two_stage = idx.search(queries, 7, prefilter=1000)  # k*M >= n
+        for a, b in zip(exact, two_stage):
+            assert [h.doc_id for h in a] == [h.doc_id for h in b]
+            np.testing.assert_allclose(
+                [h.score for h in a], [h.score for h in b], rtol=1e-4, atol=1e-6
+            )
+
+    def test_small_prefilter_recall(self):
+        """Self-match queries: the proxy stage must keep the gold doc."""
+        idx, mats = self.make_index()
+        queries = [mats[i] for i in (3, 57, 123)]
+        hits = idx.search(queries, 3, prefilter=8)
+        for qi, i in enumerate((3, 57, 123)):
+            assert hits[qi][0].doc_id == f"d{i}"
+
+    def test_rerank_handles_pad_candidates(self):
+        """Candidate lists shorter than requested (n < k*M) pad with INT_MAX
+        rows — those must never surface as hits."""
+        idx, mats = self.make_index(n=5)
+        q = [mats[0]]
+        hits = idx.search(q, 5, prefilter=100)
+        assert len(hits[0]) == 5
+        assert hits[0][0].doc_id == "d0"
