@@ -64,40 +64,47 @@ def retrieval_f1(metric_input: MetricInput) -> float:
 
 @metric(fields_to_check=["retrieval_gt"])
 def retrieval_ndcg(metric_input: MetricInput) -> float:
+    """AND/OR-group nDCG with graded relevance.
+
+    Contract (reference ``retrieval.py:71-144``, bit-parity enforced by
+    ``tests/test_reference_oracle.py``): a retrieved doc earns gain
+    ``2^rel - 1`` at its rank iff it is the *first* doc in the ranking to
+    satisfy some group; redundant hits of already-satisfied groups earn
+    nothing. IDCG places each group's best achievable gain at the top ranks.
+
+    Computed here as a group-satisfaction fold: per group, find the rank of
+    its earliest hit; the set of those first-hit ranks is exactly the set of
+    gain-earning positions (a doc first-hitting several groups at once still
+    earns its gain once, since rank positions dedup).
+    """
     gt, pred = metric_input.retrieval_gt, metric_input.retrieved_ids
     if pred is None or gt is None:
         return 0.0
 
-    valid_groups = [g for g in gt if g and g != [""]]
-    if not valid_groups:
+    groups = [frozenset(it for it in g if it) for g in gt if g and g != [""]]
+    if not groups:
         return 0.0
 
-    item_to_groups: dict[str, list[int]] = {}
-    for gi, group in enumerate(valid_groups):
-        for item in group:
-            if item:
-                item_to_groups.setdefault(item, []).append(gi)
+    grade = metric_input.relevance_scores or dict.fromkeys(
+        itertools.chain.from_iterable(groups), 1
+    )
 
-    gt_flat = set(itertools.chain.from_iterable(valid_groups))
-    relevance_map = metric_input.relevance_scores or dict.fromkeys(gt_flat, 1)
+    def gain_at(rank: int) -> float:
+        return (2 ** grade.get(pred[rank], 0) - 1) / math.log2(rank + 2)
 
-    satisfied: set[int] = set()
-    dcg = 0.0
-    for rank, doc_id in enumerate(pred):
-        groups = item_to_groups.get(doc_id)
-        if not groups:
-            continue
-        new_groups = [g for g in groups if g not in satisfied]
-        if new_groups:
-            satisfied.update(new_groups)
-            dcg += (2 ** relevance_map.get(doc_id, 0) - 1) / math.log2(rank + 2)
+    earning_ranks = {
+        rank
+        for members in groups
+        for rank in (next((r for r, d in enumerate(pred) if d in members), None),)
+        if rank is not None
+    }
+    dcg = sum(gain_at(r) for r in earning_ranks)
 
-    best_per_group = [
-        max((relevance_map.get(item, 0) for item in group if item), default=0)
-        for group in valid_groups
-    ]
-    ideal = sorted(best_per_group, reverse=True)
-    idcg = sum((2**s - 1) / math.log2(i + 2) for i, s in enumerate(ideal))
+    ideal_gains = sorted(
+        (max((grade.get(it, 0) for it in members), default=0) for members in groups),
+        reverse=True,
+    )
+    idcg = sum((2**s - 1) / math.log2(i + 2) for i, s in enumerate(ideal_gains))
     return dcg / idcg if idcg > 0 else 0.0
 
 

@@ -63,6 +63,18 @@ def normalize_tmm(scores: list[float | None], theoretical_min: float) -> list[fl
     return _emit((arr - theoretical_min) / rng, mask)
 
 
+def _py_mean_std(valid: np.ndarray) -> tuple[float, float]:
+    """Sequential-sum mean/population-std, bit-matching the reference's plain
+    Python ``sum()`` (``util.py:471-474``). Numpy's pairwise summation rounds
+    differently, which flips the sign of near-zero stds on all-equal inputs —
+    and then ±1.0 z-scores diverge. Found by the oracle fuzz tests."""
+    vals = [float(v) for v in valid]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n
+    return mean, var**0.5
+
+
 def normalize_zscore(scores: list[float | None]) -> list[float | None]:
     """Population z-score; zero-std -> all zeros (reference ``util.py:448-486``)."""
     if not scores:
@@ -70,9 +82,7 @@ def normalize_zscore(scores: list[float | None]) -> list[float | None]:
     arr, mask = _split(scores)
     if not mask.any():
         return list(scores)
-    valid = arr[mask]
-    mean = valid.mean()
-    std = valid.std()  # population std (ddof=0), matching reference
+    mean, std = _py_mean_std(arr[mask])
     if std == 0:
         return _emit(np.zeros_like(arr), mask)
     return _emit((arr - mean) / std, mask)
@@ -85,11 +95,11 @@ def normalize_dbsf(scores: list[float | None]) -> list[float | None]:
     arr, mask = _split(scores)
     if not mask.any():
         return list(scores)
-    valid = arr[mask]
-    mean = valid.mean()
-    std = valid.std()
+    mean, std = _py_mean_std(arr[mask])
     if std == 0:
         return _emit(np.full_like(arr, 0.5), mask)
-    lo = mean - 3 * std
-    out = np.clip((arr - lo) / (6 * std), 0.0, 1.0)
+    # range computed as hi - lo (not 6*std): differs by an ulp, and the
+    # reference (util.py:525-527) uses hi - lo
+    lo, hi = mean - 3 * std, mean + 3 * std
+    out = np.clip((arr - lo) / (hi - lo), 0.0, 1.0)
     return _emit(out, mask)
