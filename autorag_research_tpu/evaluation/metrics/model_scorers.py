@@ -10,8 +10,8 @@ This image has no network egress, so these scorers require a *local* HF
 checkpoint directory (``checkpoint=...``). The implementations below run the
 models through ``transformers`` on CPU/JAX-adjacent torch; when no checkpoint
 is resolvable they raise ``ModelLoadError`` with guidance instead of failing
-obscurely. Structure now, weights later — the metric registry, config plumb-
-through, and scoring math are all exercised by tests with tiny stub models.
+obscurely. The full scoring math executes in ``tests/test_model_scorers.py``
+against tiny random-init checkpoints built offline (``tests/tiny_models.py``).
 """
 
 from __future__ import annotations
