@@ -147,6 +147,12 @@ DEFAULT_CONFIGS: dict[str, str] = {
         "name: rouge\nmetric_type: generation\nkwargs:\n  rouge_type: rougeL\n"
     ),
     "llm/mock.yaml": "type: mock\n",
+    "llm/jax_lm.yaml": (
+        "type: jax_lm\n# local on-TPU causal decoder (models/decoder.py);\n"
+        "# point checkpoint at a trained .npz for non-random output\n"
+        "max_prompt_len: 384\nmax_new_tokens: 96\ntemperature: 0.0\n"
+        "# checkpoint: /path/to/lm.npz\n"
+    ),
     "llm/openai.yaml": (
         "type: openai_compat\nmodel: gpt-4o-mini\nbase_url: https://api.openai.com/v1\n"
     ),

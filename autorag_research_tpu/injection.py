@@ -55,6 +55,18 @@ def _builtin_factories() -> None:
     register_model_type("llm", "vllm", _openai_compat)
     register_model_type("llm", "ollama", _openai_compat)
 
+    def _jax_lm(**kw):
+        from autorag_research_tpu.llm.jax_lm import JaxLM
+        from autorag_research_tpu.models.decoder import DecoderConfig
+
+        config_keys = set(DecoderConfig.__dataclass_fields__)
+        config_kw = {k: v for k, v in kw.items() if k in config_keys}
+        rest = {k: v for k, v in kw.items() if k not in config_keys}
+        config = DecoderConfig(**config_kw) if config_kw else None
+        return JaxLM(config=config, **rest)
+
+    register_model_type("llm", "jax_lm", _jax_lm)
+
     def _jax_encoder(multi_vector: bool = False, **kw):
         from autorag_research_tpu.embeddings.jax_encoder import (
             JaxEncoderEmbedding,

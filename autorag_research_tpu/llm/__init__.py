@@ -1,3 +1,13 @@
 from autorag_research_tpu.llm.base import BaseLLM, LLMResult, MockLLM, ScriptedLLM
 
-__all__ = ["BaseLLM", "LLMResult", "MockLLM", "ScriptedLLM"]
+
+def __getattr__(name):
+    # lazy: JaxLM pulls in jax + the decoder stack; keep `import ...llm` light
+    if name == "JaxLM":
+        from autorag_research_tpu.llm.jax_lm import JaxLM
+
+        return JaxLM
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["BaseLLM", "LLMResult", "MockLLM", "ScriptedLLM", "JaxLM"]

@@ -10,7 +10,8 @@ LLMResult(text, token_usage, logprobs)`` — implemented by:
   the ``mock`` LLM preset);
 - ``OpenAICompatLLM`` (``llm/openai_compat.py``): any OpenAI-compatible HTTP
   endpoint (openai/vllm/ollama/...), usable when the deployment has egress;
-- ``JaxLM`` (``models/``): local JAX decoding (future rounds).
+- ``JaxLM`` (``llm/jax_lm.py``): local on-device JAX decoding over the causal
+  decoder in ``models/decoder.py`` — generation pipelines run 100% on TPU.
 """
 
 from __future__ import annotations
