@@ -30,12 +30,13 @@ _LOADERS = {
     "sparse": ("autorag_research_tpu.index.sparse", "SparseIndex"),
     "multi_vector": ("autorag_research_tpu.index.multi_vector", "MultiVectorIndex"),
     "ivf": ("autorag_research_tpu.index.ivf", "IVFIndex"),
+    "ivf_contiguous": ("autorag_research_tpu.index.ivf_contiguous", "IVFContiguousIndex"),
 }
 
 
 def _fingerprint(catalog, kind: str, table: str) -> int:
     conn = catalog.connect()
-    if kind in ("dense", "ivf"):
+    if kind in ("dense", "ivf", "ivf_contiguous"):
         sql = f"SELECT COUNT(*) AS n FROM {table} WHERE embedding IS NOT NULL"
     elif kind == "multi_vector":
         sql = f"SELECT COUNT(*) AS n FROM {table} WHERE multi_embedding IS NOT NULL"

@@ -38,7 +38,7 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
         embedding_model=None,
         mesh=None,
         table: str = "chunk",
-        index_type: Literal["exact", "ivf"] = "exact",
+        index_type: Literal["exact", "ivf", "ivf_contiguous"] = "exact",
         index_options: dict | None = None,
         maxsim_prefilter: int | None = None,
     ):
@@ -76,6 +76,18 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
                 "multi_vector",
                 self.table,
                 builder=lambda: MultiVectorIndex.from_catalog(self.catalog, self.table),
+            )
+        elif self.index_type == "ivf_contiguous":
+            from autorag_research_tpu.index.ivf_contiguous import IVFContiguousIndex
+
+            idx = registry.get_or_build(
+                self.catalog,
+                "ivf_contiguous",
+                self.table,
+                builder=lambda: IVFContiguousIndex.from_catalog(
+                    self.catalog, self.table, **self.index_options
+                ),
+                **{str(k): str(v) for k, v in sorted(self.index_options.items())},
             )
         elif self.index_type == "ivf":
             from autorag_research_tpu.index.ivf import IVFIndex
