@@ -36,6 +36,21 @@ from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, _extract_topk, _pre
 from autorag_research_tpu.ops.topk import sort_topk
 
 
+# score-intermediate budget for auto tile sizing: the scan materializes a
+# [B, Tq, tile_n, Td] f32 tensor per step, so the tile must shrink as doc
+# token counts grow (ViDoRe pages carry ~1k patches vs ~128 text tokens).
+# Measured v5e (scripts/bench_maxsim_vidore.py, 10k pages x 1024 patches,
+# 8q x 32tok): tiles 128/256/512 all ~160 QPS bf16 — flat within noise —
+# so the budget only needs to keep the intermediate comfortably in HBM.
+MAXSIM_TILE_BUDGET = 512 << 20
+
+
+def _auto_tile_n(b: int, tq: int, td: int, n: int) -> int:
+    per_doc = b * tq * td * 4
+    tile = max(8, (MAXSIM_TILE_BUDGET // max(per_doc, 1)) // 8 * 8)
+    return min(tile, 4096, _round_up(n, 8))
+
+
 # ---------------------------------------------------------------------- XLA
 @functools.partial(jax.jit, static_argnames=("k", "tile_n"))
 def maxsim_topk_xla(
@@ -44,11 +59,13 @@ def maxsim_topk_xla(
     docs: jax.Array,  # [N, Td, d]
     doc_lens: jax.Array,  # [N]
     k: int,
-    tile_n: int = 4096,
+    tile_n: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     b, tq, d = queries.shape
     n, td, _ = docs.shape
     k_eff = min(k, n)
+    if tile_n is None:
+        tile_n = _auto_tile_n(b, tq, td, n)
     tile_n = min(tile_n, _round_up(n, 8))
     n_pad = _round_up(n, tile_n)
     if n_pad != n:

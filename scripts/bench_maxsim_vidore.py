@@ -24,6 +24,22 @@ from autorag_research_tpu.ops.maxsim import maxsim_rerank, maxsim_topk_xla  # no
 TD, D, B, TQ, K = 1024, 128, 8, 32, 10
 
 
+def to_device_chunked(arr, dtype, chunk_rows=1000):
+    """Large one-shot transfers wedge the axon tunnel; stream in ~0.5GB pieces."""
+    parts = []
+    for lo in range(0, arr.shape[0], chunk_rows):
+        # ship in the host dtype and cast ON DEVICE: ml_dtypes' host-side
+        # f32->bf16 conversion is single-threaded and dominates the transfer
+        part = jax.device_put(jnp.asarray(arr[lo : lo + chunk_rows])).astype(dtype)
+        _ = float(part.ravel()[0])  # force the chunk through before the next
+        parts.append(part)
+        print(f"  transferred {min(lo + chunk_rows, arr.shape[0])}/{arr.shape[0]} rows",
+              file=sys.stderr, flush=True)
+    out = jnp.concatenate(parts, axis=0)
+    _ = float(out.ravel()[0])
+    return out
+
+
 def timed(fn, qs, reps):
     # warmup + compile on the first query batch
     out = fn(qs[0])
@@ -73,7 +89,7 @@ def main():
     if args.dtype != "both":
         dtypes = [(x, t) for x, t in dtypes if x == args.dtype]
     for dtype_name, dtype in dtypes:
-        docs_d = jnp.asarray(docs, dtype=dtype)
+        docs_d = to_device_chunked(docs, dtype)
         lens_d = jnp.asarray(lens)
         gb = docs_d.size * docs_d.dtype.itemsize / 1e9
         print(f"--- docs dtype {dtype_name} ({gb:.1f} GB on device)", file=sys.stderr)
