@@ -143,14 +143,28 @@ def _builtin_factories() -> None:
 
     for name, ckpt in [
         ("flag_embedding", "BAAI/bge-reranker-v2-m3"),
-        ("flag_embedding_llm", "BAAI/bge-reranker-v2-gemma"),
         ("koreranker", "Dongjin-kr/ko-reranker"),
         ("sentence_transformer", "cross-encoder/ms-marco-MiniLM-L-6-v2"),
-        ("flashrank", "cross-encoder/ms-marco-MiniLM-L-12-v2"),
-        ("openvino", "cross-encoder/ms-marco-MiniLM-L-6-v2"),
-        ("tart", "facebook/tart-full-flan-t5-xl"),
     ]:
         register_model_type("reranker", name, _cross_encoder_preset(ckpt))
+
+    # format-specific variants (causal-LM yes/no, instruction-conditioned,
+    # ONNX, OpenVINO) with the reference's default checkpoints
+    def _hf_preset(cls_name: str, default_checkpoint: str):
+        def factory(checkpoint: str | None = None, **kw):
+            import autorag_research_tpu.rerankers.hf as hf_mod
+
+            return getattr(hf_mod, cls_name)(checkpoint or default_checkpoint, **kw)
+
+        return factory
+
+    for name, cls, ckpt in [
+        ("flag_embedding_llm", "FlagLLMReranker", "BAAI/bge-reranker-v2-gemma"),
+        ("tart", "TARTReranker", "facebook/tart-full-flan-t5-xl"),
+        ("flashrank", "FlashRankReranker", "cross-encoder/ms-marco-MiniLM-L-12-v2"),
+        ("openvino", "OpenVINOReranker", "cross-encoder/ms-marco-MiniLM-L-6-v2"),
+    ]:
+        register_model_type("reranker", name, _hf_preset(cls, ckpt))
     for name, cls in [
         ("cohere", "CohereReranker"),
         ("jina", "JinaReranker"),

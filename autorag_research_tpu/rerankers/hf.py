@@ -124,3 +124,213 @@ class UPRReranker(BaseReranker):
         return self._finalize(
             [(i, t, float(s)) for i, (t, s) in enumerate(zip(texts, scores))], top_k
         )
+
+
+class FlagLLMReranker(BaseReranker):
+    """FlagEmbedding LLM reranker (bge-reranker-v2-gemma class): a causal LM
+    judges '(query, passage)' with the published yes/no prompt; the score is
+    p('Yes') from the final-position logits. Reference role:
+    ``rerankers/flag_embedding_llm.py``."""
+
+    PROMPT = (
+        "Given a query A and a passage B, determine whether the passage "
+        "contains an answer to the query by providing a prediction of either "
+        "'Yes' or 'No'.\nA: {query}\nB: {passage}\nPrediction:"
+    )
+
+    def __init__(self, checkpoint: str, batch_size: int = 4, max_length: int = 1024):
+        self.checkpoint = checkpoint
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self.model_name = f"flag_llm({checkpoint})"
+
+    @staticmethod
+    @functools.lru_cache(maxsize=2)
+    def _load(checkpoint: str):
+        try:
+            from transformers import AutoModelForCausalLM, AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(checkpoint, local_files_only=True)
+            if tok.pad_token is None:
+                tok.pad_token = tok.eos_token or tok.unk_token
+            model = AutoModelForCausalLM.from_pretrained(checkpoint, local_files_only=True)
+            model.eval()
+            return tok, model
+        except Exception as exc:  # noqa: BLE001
+            raise ModelLoadError(
+                f"cannot load local causal-LM reranker '{checkpoint}'"
+            ) from exc
+
+    def rerank(self, query: str, texts: Sequence[str], top_k: int | None = None):
+        import torch
+
+        tok, model = self._load(self.checkpoint)
+        yes_id = tok("Yes", add_special_tokens=False)["input_ids"][0]
+        no_id = tok("No", add_special_tokens=False)["input_ids"][0]
+        scores: list[float] = []
+        with torch.no_grad():
+            for i in range(0, len(texts), self.batch_size):
+                batch = list(texts[i : i + self.batch_size])
+                prompts = [self.PROMPT.format(query=query, passage=t) for t in batch]
+                enc = tok(
+                    prompts, truncation=True, padding=True,
+                    max_length=self.max_length, return_tensors="pt",
+                )
+                logits = model(**enc).logits  # [B, T, V]
+                # final REAL position per row (right padding)
+                last = enc["attention_mask"].sum(dim=1) - 1
+                rows = torch.arange(len(batch))
+                final = logits[rows, last]
+                pair = torch.stack([final[:, yes_id], final[:, no_id]], dim=1)
+                scores.extend(torch.softmax(pair, 1)[:, 0].tolist())
+        return self._finalize(
+            [(i, t, float(s)) for i, (t, s) in enumerate(zip(texts, scores))], top_k
+        )
+
+
+class TARTReranker(BaseReranker):
+    """TART: instruction-conditioned cross-encoder — the instruction prefixes
+    the query ('{instruction} [SEP] {query}') so one model serves many intents.
+    Reference role: ``rerankers/tart.py``."""
+
+    def __init__(
+        self,
+        checkpoint: str,
+        instruction: str = "Retrieve a passage that answers the question",
+        batch_size: int = 16,
+        max_length: int = 512,
+    ):
+        self.checkpoint = checkpoint
+        self.instruction = instruction
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self.model_name = f"tart({checkpoint})"
+
+    def rerank(self, query: str, texts: Sequence[str], top_k: int | None = None):
+        import torch
+
+        tok, model = _load_cross_encoder(self.checkpoint)
+        sep = tok.sep_token or "[SEP]"
+        directed = f"{self.instruction} {sep} {query}"
+        scores: list[float] = []
+        with torch.no_grad():
+            for i in range(0, len(texts), self.batch_size):
+                batch = list(texts[i : i + self.batch_size])
+                enc = tok(
+                    [directed] * len(batch), batch, truncation=True, padding=True,
+                    max_length=self.max_length, return_tensors="pt",
+                )
+                logits = model(**enc).logits
+                if logits.shape[-1] == 1:
+                    scores.extend(logits[:, 0].tolist())
+                else:
+                    scores.extend(torch.softmax(logits, -1)[:, -1].tolist())
+        return self._finalize(
+            [(i, t, float(s)) for i, (t, s) in enumerate(zip(texts, scores))], top_k
+        )
+
+
+class FlashRankReranker(BaseReranker):
+    """FlashRank-class ONNX cross-encoder: quantized int8 inference through
+    onnxruntime (reference role: ``rerankers/flashrank.py``). The checkpoint
+    directory must hold the tokenizer plus an exported ``model.onnx``."""
+
+    def __init__(self, checkpoint: str, batch_size: int = 32, max_length: int = 512):
+        self.checkpoint = checkpoint
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self.model_name = f"flashrank({checkpoint})"
+
+    @staticmethod
+    @functools.lru_cache(maxsize=2)
+    def _load(checkpoint: str):
+        try:
+            import onnxruntime  # noqa: F401
+            from transformers import AutoTokenizer
+        except ImportError as exc:
+            raise ModelLoadError(
+                "flashrank reranker needs the onnxruntime package (not in this "
+                "image); use reranker type 'cross_encoder' for the torch path"
+            ) from exc
+        try:
+            import os
+
+            tok = AutoTokenizer.from_pretrained(checkpoint, local_files_only=True)
+            sess = onnxruntime.InferenceSession(os.path.join(checkpoint, "model.onnx"))
+            return tok, sess
+        except Exception as exc:  # noqa: BLE001
+            raise ModelLoadError(
+                f"cannot load ONNX reranker from '{checkpoint}'"
+            ) from exc
+
+    def rerank(self, query: str, texts: Sequence[str], top_k: int | None = None):
+        import numpy as np
+
+        tok, sess = self._load(self.checkpoint)
+        input_names = {i.name for i in sess.get_inputs()}
+        scores: list[float] = []
+        for i in range(0, len(texts), self.batch_size):
+            batch = list(texts[i : i + self.batch_size])
+            enc = tok(
+                [query] * len(batch), batch, truncation=True, padding=True,
+                max_length=self.max_length, return_tensors="np",
+            )
+            feed = {k: v.astype(np.int64) for k, v in enc.items() if k in input_names}
+            logits = sess.run(None, feed)[0]
+            if logits.shape[-1] == 1:
+                scores.extend(logits[:, 0].tolist())
+            else:
+                e = np.exp(logits - logits.max(-1, keepdims=True))
+                scores.extend((e / e.sum(-1, keepdims=True))[:, -1].tolist())
+        return self._finalize(
+            [(i, t, float(s)) for i, (t, s) in enumerate(zip(texts, scores))], top_k
+        )
+
+
+class OpenVINOReranker(BaseReranker):
+    """OpenVINO-compiled cross-encoder (reference role: ``rerankers/openvino.py``).
+    Requires the optimum-intel/openvino runtime; absent here, it raises with
+    guidance toward the torch cross_encoder."""
+
+    def __init__(self, checkpoint: str, batch_size: int = 32, max_length: int = 512):
+        self.checkpoint = checkpoint
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self.model_name = f"openvino({checkpoint})"
+
+    @staticmethod
+    @functools.lru_cache(maxsize=2)
+    def _load(checkpoint: str):
+        try:
+            from optimum.intel import OVModelForSequenceClassification
+            from transformers import AutoTokenizer
+        except ImportError as exc:
+            raise ModelLoadError(
+                "openvino reranker needs optimum-intel (not in this image); "
+                "use reranker type 'cross_encoder' for the torch path"
+            ) from exc
+        tok = AutoTokenizer.from_pretrained(checkpoint, local_files_only=True)
+        model = OVModelForSequenceClassification.from_pretrained(
+            checkpoint, local_files_only=True
+        )
+        return tok, model
+
+    def rerank(self, query: str, texts: Sequence[str], top_k: int | None = None):
+        import torch
+
+        tok, model = self._load(self.checkpoint)
+        scores: list[float] = []
+        for i in range(0, len(texts), self.batch_size):
+            batch = list(texts[i : i + self.batch_size])
+            enc = tok(
+                [query] * len(batch), batch, truncation=True, padding=True,
+                max_length=self.max_length, return_tensors="pt",
+            )
+            logits = torch.as_tensor(model(**enc).logits)
+            if logits.shape[-1] == 1:
+                scores.extend(logits[:, 0].tolist())
+            else:
+                scores.extend(torch.softmax(logits, -1)[:, -1].tolist())
+        return self._finalize(
+            [(i, t, float(s)) for i, (t, s) in enumerate(zip(texts, scores))], top_k
+        )

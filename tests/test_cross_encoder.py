@@ -153,3 +153,54 @@ def test_rerank_pipeline_with_jax_cross_encoder(tmp_path):
     result = Executor(cat, cfg, context).run()
     assert result.success, result.report()
     registry.invalidate()
+
+
+class TestFormatSpecificRerankers:
+    """The reference's reranker long tail: flag-LLM, TART, flashrank, openvino."""
+
+    def test_flag_llm_reranker_runs(self, tmp_path):
+        from tiny_models import build_causal_checkpoint
+
+        from autorag_research_tpu.rerankers.hf import FlagLLMReranker
+
+        ckpt = build_causal_checkpoint(str(tmp_path / "gpt"))
+        rr = FlagLLMReranker(ckpt, batch_size=2)
+        out = rr.rerank("the capital of france", ["paris city", "cats sit on mats", "europe"])
+        assert len(out) == 3
+        assert all(0.0 <= r.score <= 1.0 for r in out)
+        # sorted descending, deterministic
+        assert [r.score for r in out] == sorted((r.score for r in out), reverse=True)
+        again = rr.rerank("the capital of france", ["paris city", "cats sit on mats", "europe"])
+        assert [r.index for r in again] == [r.index for r in out]
+
+    def test_tart_reranker_instruction_changes_scores(self, tmp_path):
+        from tiny_models import build_seqcls_checkpoint
+
+        from autorag_research_tpu.rerankers.hf import TARTReranker
+
+        ckpt = build_seqcls_checkpoint(str(tmp_path / "cls"))
+        a = TARTReranker(ckpt, instruction="retrieval question answer")
+        b = TARTReranker(ckpt, instruction="entirely unrelated gibberish alpha beta")
+        texts = ["paris is the capital", "cats sit on mats"]
+        sa = {r.index: r.score for r in a.rerank("capital of france", texts)}
+        sb = {r.index: r.score for r in b.rerank("capital of france", texts)}
+        assert sa != sb  # the instruction is part of the model input
+        assert len(sa) == len(sb) == 2
+
+    def test_flashrank_and_openvino_raise_cleanly(self, tmp_path):
+        import pytest as _pytest
+
+        from autorag_research_tpu.exceptions import ModelLoadError
+        from autorag_research_tpu.rerankers.hf import FlashRankReranker, OpenVINOReranker
+
+        with _pytest.raises(ModelLoadError, match="onnxruntime"):
+            FlashRankReranker(str(tmp_path)).rerank("q", ["a"])
+        with _pytest.raises(ModelLoadError, match="optimum-intel"):
+            OpenVINOReranker(str(tmp_path)).rerank("q", ["a"])
+
+    def test_injection_names_resolve(self):
+        from autorag_research_tpu.injection import _FACTORIES
+
+        for name in ("flag_embedding_llm", "tart", "flashrank", "openvino",
+                     "koreranker", "sentence_transformer", "flag_embedding"):
+            assert name in _FACTORIES["reranker"], name

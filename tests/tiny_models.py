@@ -122,3 +122,28 @@ def _save_bert_tokenizer(path: str) -> int:
         f.write("\n".join(words) + "\n")
     BertTokenizerFast(vocab_file=vocab_file).save_pretrained(path)
     return len(words)
+
+
+def build_causal_checkpoint(path: str, seed: int = 3) -> str:
+    """Tiny GPT-2 causal LM + word-level tokenizer; for FlagLLM rerankers."""
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    os.makedirs(path, exist_ok=True)
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "Yes": 4, "No": 5}
+    for w in _WORDS:
+        vocab.setdefault(w, len(vocab))
+    _save_wordlevel_tokenizer(path, vocab)
+    torch.manual_seed(seed)
+    config = GPT2Config(
+        vocab_size=len(vocab),
+        n_embd=16,
+        n_layer=2,
+        n_head=2,
+        n_positions=256,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    GPT2LMHeadModel(config).save_pretrained(path)
+    return path
