@@ -94,6 +94,8 @@ class SparseIndex:
         b: float = 0.75,
         max_slots: int | None = None,
         bucketize: int = 1,
+        tile_skip: bool = True,
+        cluster_layout: bool = False,
     ):
         self.ids = list(ids)
         self.tokenizer_name = tokenizer
@@ -101,6 +103,14 @@ class SparseIndex:
         self.b = b
         self.max_slots = max_slots
         self.bucketize = bucketize
+        # term-driven doc-tile pruning for the flat TPU kernel (bit-identical
+        # results; see ops/sparse.bm25_topk_pallas_v2_skip)
+        self.tile_skip = tile_skip
+        # opt-in physical reorder: group docs by rarest term so tile_skip can
+        # prune (ops/sparse.cluster_doc_order); equal-score boundary ties may
+        # resolve to different docs than the id-ordered layout
+        self.cluster_layout = cluster_layout
+        self._bitmaps_device = None
         self._device_buckets: list[dict] | None = None
         self.vocab: dict[str, int] = {}
         self.doc_freq: np.ndarray | None = None
@@ -201,8 +211,18 @@ class SparseIndex:
             for s, (tid, w) in enumerate(items):
                 slot_ids[i, s] = tid
                 slot_w[i, s] = w
+        if self.cluster_layout and len(self.ids):
+            from autorag_research_tpu.ops.sparse import cluster_doc_order
+
+            order = cluster_doc_order(slot_ids, self.doc_freq)
+            slot_ids = slot_ids[order]
+            slot_w = slot_w[order]
+            self.ids = [self.ids[i] for i in order]
+            if getattr(self, "doc_lengths", None) is not None:
+                self.doc_lengths = self.doc_lengths[order]
         self._slot_ids = slot_ids
         self._slot_weights = slot_w
+        self._bitmaps_device = None  # layout changed; rebuild lazily
 
     # ---------------------------------------------------------------- queries
     def idf(self, term_id: int) -> float:
@@ -429,9 +449,25 @@ class SparseIndex:
                 k, self.n_docs, self._mesh, method=method,
             )
         else:
-            scores, rows = bm25_topk(
-                jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w, k, method=method
-            )
+            from autorag_research_tpu.ops.dense import on_tpu
+
+            if (
+                method in ("auto", "pallas_v2_skip")
+                and self.tile_skip
+                and on_tpu()
+            ):
+                from autorag_research_tpu.ops.sparse import bm25_topk_pallas_v2_skip
+
+                # positive_only: search() drops zero-overlap hits anyway, and
+                # it lets a tile skip on the term-presence predicate alone
+                scores, rows = bm25_topk_pallas_v2_skip(
+                    jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
+                    self._ensure_bitmaps(), k, positive_only=True,
+                )
+            else:
+                scores, rows = bm25_topk(
+                    jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w, k, method=method
+                )
         scores = np.asarray(scores)
         rows = np.asarray(rows)
         k_eff = min(k, self.n_docs)
@@ -444,6 +480,18 @@ class SparseIndex:
                 hits.append(SearchHit(self.ids[int(r)], float(s)))
             out.append(hits)
         return out
+
+    def _ensure_bitmaps(self, block_n: int = 2048):
+        """Tile term-presence bitmaps for the skip kernel, built once per
+        layout. block_n MUST match the kernel launch default."""
+        if self._bitmaps_device is None:
+            from autorag_research_tpu.ops.sparse import build_tile_bitmaps
+
+            assert self._slot_ids is not None
+            self._bitmaps_device = jax.device_put(
+                jnp.asarray(build_tile_bitmaps(self._slot_ids, block_n))
+            )
+        return self._bitmaps_device
 
     def score_host(self, queries: Sequence[str]) -> np.ndarray:
         """Host scipy CSR oracle: full [B, N] BM25 score matrix."""

@@ -258,6 +258,49 @@ def dense_topk_pallas(
     return out_s, out_i
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def dense_topk_xla_two_stage(
+    queries: jax.Array, corpus: jax.Array, k: int, tile: int = 2048
+) -> tuple[jax.Array, jax.Array]:
+    """Exact dense top-k via hierarchical k-selection: dot, reshape the score
+    row into [T, tile] segments, one parallel ``lax.top_k`` per segment, then
+    a global ``lax.top_k`` over the T*k survivors.
+
+    Replaces the single ``lax.top_k`` over the full [Q, N] row, whose sort
+    network dominates the fused path (measured v5e, 256q x 500k x 768: the
+    matmul is ~1 ms of an 8.3 ms bf16 batch — see scripts/bench_dense_topk2.py).
+
+    Exactness: the global winners are contained in the per-segment winners,
+    and (-score, doc_id) ordering survives both stages — concat order is
+    (segment, rank), both top_k calls break ties toward the lower position,
+    and within a segment lower rank at equal score means lower doc id.
+    """
+    n = corpus.shape[0]
+    k_eff = min(k, n)
+    tile = max(tile, _round_up(k_eff, 128))
+    n_pad = _round_up(n, tile)
+    scores = jax.lax.dot_general(
+        queries,
+        corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(queries.dtype),
+    )
+    if n_pad != n:
+        scores = jnp.pad(scores, ((0, 0), (0, n_pad - n)), constant_values=NEG_INF)
+    t = n_pad // tile
+    tile_s, tile_loc = jax.lax.top_k(scores.reshape(-1, t, tile), k_eff)
+    base = (jnp.arange(t, dtype=jnp.int32) * tile)[None, :, None]
+    cand_i = (tile_loc + base).reshape(-1, t * k_eff)
+    cand_s = tile_s.reshape(-1, t * k_eff)
+    out_s, pos = jax.lax.top_k(cand_s, k_eff)
+    out_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return out_s, out_i
+
+
 def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -285,6 +328,8 @@ def dense_topk(
             method = "pallas" if on_tpu() else "xla"
     if method == "xla_full":
         return dense_topk_xla_full(queries, corpus, k)
+    if method == "xla_two_stage":
+        return dense_topk_xla_two_stage(queries, corpus, k)
     if method == "pallas":
         return dense_topk_pallas(queries, corpus, k)
     if method == "xla":

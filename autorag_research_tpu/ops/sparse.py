@@ -332,6 +332,286 @@ def _bm25_kernel_v2(
         out_i_ref[:] = acc_i[:]
 
 
+BITMAP_WORDS = 4096  # fallback per-tile filter size (int32 words)
+
+# Knuth-style odd multipliers for the 4 Bloom probes. A single-probe bitmap
+# saturates: ~30k distinct terms/tile over 128k bits is 0.21 density, and the
+# skip predicate ORs over every query term in the tile, so per-term false
+# positives must be << 1/n_terms. Four probes take fp to density^4.
+_BLOOM_MULTS = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
+
+
+def _bloom_positions(terms: "np.ndarray", space: int):
+    import numpy as np
+
+    t = terms.astype(np.uint64)
+    return [
+        ((t * np.uint64(m)) % np.uint64(space)).astype(np.int64) for m in _BLOOM_MULTS
+    ]
+
+
+def bitmap_words_for(doc_ids: "np.ndarray", block_n: int) -> int:
+    """Size the per-tile Bloom filter at ~16 bits per distinct term (4 probes
+    -> ~20% fill, ~0.2% per-term false positives). Distinct-terms-per-tile is
+    estimated as the MAX over up to 8 evenly spaced tiles — clustered layouts
+    make tile densities wildly uneven, and an undersized filter saturates
+    (measured: density 0.84 -> zero skips)."""
+    import numpy as np
+
+    n = doc_ids.shape[0]
+    if n == 0:
+        return 64
+    n_tiles = -(-n // block_n)
+    distinct = 1
+    for t in np.unique(np.linspace(0, n_tiles - 1, num=min(8, n_tiles), dtype=int)):
+        tile = doc_ids[t * block_n : (t + 1) * block_n]
+        distinct = max(distinct, len(np.unique(tile[tile >= 0])) or 1)
+    return max(64, int(2 ** np.ceil(np.log2(distinct * 16 / 32))))
+
+
+def build_tile_bitmaps(
+    doc_ids: "np.ndarray", block_n: int, n_words: int | None = None
+) -> "np.ndarray":
+    """Per-doc-tile 4-probe Bloom term filters for the v2_skip kernel.
+
+    Tile t covers doc rows [t*block_n, (t+1)*block_n); a term is *possibly
+    present* iff all 4 probe bits are set. False positives only cost a missed
+    skip, never a wrong result.
+    """
+    import numpy as np
+
+    n = doc_ids.shape[0]
+    n_tiles = -(-n // block_n)
+    if n_words is None:
+        n_words = bitmap_words_for(doc_ids, block_n)
+    space = 32 * n_words
+    if space & (space - 1):
+        raise ValueError(
+            f"n_words must make 32*n_words a power of two (got {n_words}): the "
+            "query-side probe multiplies in uint32, and its residues only match "
+            "this builder's uint64 math when the space divides 2^32"
+        )
+    bitmaps = np.zeros((n_tiles, n_words), dtype=np.int32)
+    for t in range(n_tiles):
+        tile = doc_ids[t * block_n : (t + 1) * block_n].reshape(-1)
+        terms = np.unique(tile[tile >= 0])
+        for pos in _bloom_positions(terms, space):
+            np.bitwise_or.at(
+                bitmaps[t], pos // 32, (np.int64(1) << (pos % 32)).astype(np.int32)
+            )
+    return bitmaps
+
+
+def cluster_doc_order(doc_ids: "np.ndarray", doc_freq: "np.ndarray") -> "np.ndarray":
+    """Permutation grouping docs by their RAREST term (lowest df), so that
+    selective terms co-locate in few tiles and the v2_skip predicate can
+    actually prune. On a shuffled corpus every 2048-doc tile contains nearly
+    every live term and nothing skips (measured: 0 gain at density 0.21);
+    after this ordering, a rare query term touches only the tiles that hold
+    its group. Exactness caveat: tie-breaking inside the kernel is by
+    physical row, so EQUAL-score candidates at the k boundary may resolve to
+    different (equally-scored) docs than the unclustered layout.
+    """
+    import numpy as np
+
+    n, _ = doc_ids.shape
+    safe = np.where(doc_ids >= 0, doc_ids, 0)
+    dfs = np.where(doc_ids >= 0, doc_freq[safe], np.iinfo(np.int64).max)
+    rarest_slot = np.argmin(dfs, axis=1)
+    rarest_term = doc_ids[np.arange(n), rarest_slot]
+    return np.argsort(rarest_term, kind="stable")
+
+
+def _bm25_kernel_v2_skip(
+    qid_ref,   # SMEM [bq, T] int32
+    qw_ref,    # SMEM [bq, T] f32
+    match_ref,  # SMEM [q_tiles, n_tiles] int32 (whole matrix; scalar-indexed)
+    tid_ref,   # VMEM [BN, L]
+    tw_ref,    # VMEM [BN, L]
+    out_s_ref, out_i_ref, acc_s, acc_i,
+    *, k, n, block_n, bq, n_query_terms, positive_only,
+):
+    """v2 + term-driven tile skip: when the precomputed (query-tile, doc-tile)
+    term-presence predicate says no query term occurs in this tile, every doc
+    scores exactly 0 and the whole scoring loop AND the 2k-round merge are
+    predicated away (the tile's DMA still streams, so skipped tiles run at
+    HBM bandwidth instead of VPU compare speed — same trick as the dense
+    threshold skip, ops/dense.py).
+
+    Two exactness modes:
+    - ``positive_only=False`` (bit-parity with v2): skipping additionally
+      requires every accumulator row's k-th score > 0 — zero-score docs may
+      legitimately fill under-full top-k lists, and BM25 weights are
+      non-negative so zeros can never beat a warm accumulator.
+    - ``positive_only=True``: zero-score docs are masked out entirely (the
+      search layer drops them anyway — no term overlap is not a hit), the
+      accumulator starts at (0.0, INT_MAX), and a tile skips on the match
+      predicate alone. Under-full rows come back padded with score <= 0 filler entries.
+    """
+    from autorag_research_tpu.ops.dense import _extract_topk
+
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[:] = jnp.full_like(acc_s, 0.0 if positive_only else NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, INT_MAX)
+
+    matched = match_ref[pl.program_id(0), j] != 0
+    if positive_only:
+        needs_score = matched
+    else:
+        # callers replicate real rows into query-row pads, so pad rows never
+        # hold the k-th at <= 0 forever
+        warm = jnp.min(acc_s[:, k - 1]) > 0.0
+        needs_score = matched | (~warm)
+
+    @pl.when(needs_score)
+    def _score():
+        tid = tid_ref[:]
+        tw = tw_ref[:]
+
+        def term_body(t, scores):
+            contribs = []
+            for b in range(bq):
+                term_id = qid_ref[b, t]
+                term_w = qw_ref[b, t]
+                c = jnp.sum(jnp.where(tid == term_id, tw, 0.0), axis=1) * term_w
+                contribs.append(c)
+            return scores + jnp.stack(contribs, axis=0)
+
+        scores = jax.lax.fori_loop(
+            0, n_query_terms, term_body, jnp.zeros((bq, tid.shape[0]), jnp.float32)
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block_n
+        scores = jnp.where(col < n, scores, NEG_INF)
+        if positive_only:
+            scores = jnp.where(scores > 0.0, scores, NEG_INF)
+
+        tile_s, tile_i = _extract_topk(scores, col, k)
+        new_s, new_i = _extract_topk(
+            jnp.concatenate([acc_s[:], tile_s], axis=1),
+            jnp.concatenate([acc_i[:], tile_i], axis=1),
+            k,
+        )
+        acc_s[:] = new_s
+        acc_i[:] = new_i
+
+    @pl.when(j == nj - 1)
+    def _write():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_n", "positive_only", "interpret")
+)
+def bm25_topk_pallas_v2_skip(
+    q_ids: jax.Array,
+    q_weights: jax.Array,
+    doc_ids: jax.Array,
+    doc_weights: jax.Array,
+    bitmaps: jax.Array,  # [n_tiles, W] int32 from build_tile_bitmaps(block_n)
+    k: int,
+    block_q: int = 8,
+    block_n: int = 2048,
+    positive_only: bool = False,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """v2 kernel with term-driven tile skipping (sub-linear-ish scaling on
+    selective queries). ``bitmaps`` must be built with the SAME block_n.
+
+    The (query-tile, doc-tile) match matrix is computed here in XLA (bitmap
+    word gathers — tiny) and fed to the kernel as one SMEM scalar per grid
+    step. Results are bit-identical to v2.
+    """
+    bsz, n_terms = q_ids.shape
+    n, slots = doc_ids.shape
+    k_eff = min(k, n)
+
+    slots_pad = _round_up(slots, 128)
+    bq = min(block_q, _round_up(bsz, 8))
+    bsz_pad = _round_up(bsz, bq)
+    block_n = max(block_n, _round_up(k_eff, 128))
+    n_pad = _round_up(n, block_n)
+    n_tiles = n_pad // block_n
+    if bitmaps.shape[0] != n_tiles:
+        raise ValueError(
+            f"bitmaps built for {bitmaps.shape[0]} tiles, kernel uses {n_tiles} "
+            f"(block_n={block_n})"
+        )
+    doc_ids = jnp.pad(
+        doc_ids, ((0, n_pad - n), (0, slots_pad - slots)), constant_values=DOC_PAD
+    )
+    doc_weights = jnp.pad(doc_weights, ((0, n_pad - n), (0, slots_pad - slots)))
+    terms_pad = _round_up(n_terms, 128)
+    # pad query ROWS by replicating real rows (NOT sentinel rows): pad rows'
+    # zero scores would otherwise pin min(acc kth) at 0 and disable skipping
+    row_src = jnp.arange(bsz_pad) % bsz
+    q_ids_p = jnp.pad(
+        q_ids[row_src], ((0, 0), (0, terms_pad - n_terms)), constant_values=QUERY_PAD
+    )
+    q_weights_p = jnp.pad(q_weights[row_src], ((0, 0), (0, terms_pad - n_terms)))
+
+    # ---- XLA-side (query tile x doc tile) term-presence predicate ----------
+    w = bitmaps.shape[1]
+    space = 32 * w
+    hit = None
+    for mult in _BLOOM_MULTS:
+        pos = jnp.where(
+            q_ids >= 0, (q_ids.astype(jnp.uint32) * jnp.uint32(mult)) % space, 0
+        ).astype(jnp.int32)
+        words = bitmaps[:, pos // 32]  # [n_tiles, B, T]
+        probe = ((words >> (pos % 32)) & 1) != 0
+        hit = probe if hit is None else (hit & probe)
+    hit = hit & (q_ids >= 0)[None, :, :]
+    per_query = hit.any(axis=2)  # [n_tiles, B]
+    per_query = per_query.T[row_src]  # [bsz_pad, n_tiles] (replicated rows)
+    matched = (
+        per_query.reshape(bsz_pad // bq, bq, n_tiles).any(axis=1).astype(jnp.int32)
+    )  # [q_tiles, n_tiles]
+
+    grid = (bsz_pad // bq, n_tiles)
+    kernel = functools.partial(
+        _bm25_kernel_v2_skip, k=k_eff, n=n, block_n=block_n, bq=bq,
+        n_query_terms=n_terms, positive_only=positive_only,
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, terms_pad), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, terms_pad), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
+            # whole matrix in SMEM (Mosaic rejects sub-8 row blocks of 2-D
+            # arrays); the kernel scalar-indexes [program_id(0), program_id(1)]
+            pl.BlockSpec(
+                (bsz_pad // bq, n_tiles), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((block_n, slots_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, slots_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz_pad, k_eff), jnp.float32),
+            jax.ShapeDtypeStruct((bsz_pad, k_eff), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, k_eff), jnp.float32),
+            pltpu.VMEM((bq, k_eff), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_ids_p, q_weights_p, matched, doc_ids, doc_weights)
+    out_s, out_i = out_s[:bsz], out_i[:bsz]
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return out_s, out_i
+
+
 def pack_slots(
     doc_ids: "np.ndarray", doc_weights: "np.ndarray", width: int
 ) -> tuple["np.ndarray", "np.ndarray", int]:

@@ -363,3 +363,161 @@ class TestPackedKernel:
         assert [(h.doc_id, round(h.score, 5)) for h in hits[0]] == [
             (h.doc_id, round(h.score, 5)) for h in ref_hits[0]
         ]
+
+
+class TestTileSkip:
+    """bm25_topk_pallas_v2_skip: term-driven tile pruning must be exact."""
+
+    def _synthetic(self, n_docs=600, n_slots=24, vocab=5000, seed=0):
+        rng = np.random.default_rng(seed)
+        # cluster terms by doc range so whole tiles genuinely lack query terms
+        ids = np.full((n_docs, n_slots), -1, np.int32)
+        w = np.zeros((n_docs, n_slots), np.float32)
+        for i in range(n_docs):
+            region = (i * 10 // n_docs) * (vocab // 10)
+            terms = rng.choice(vocab // 10, size=rng.integers(4, n_slots), replace=False)
+            ids[i, : len(terms)] = region + terms
+            w[i, : len(terms)] = rng.uniform(0.2, 2.0, size=len(terms)).astype(np.float32)
+        return ids, w
+
+    def test_bitmaps_have_no_false_negatives(self):
+        from autorag_research_tpu.ops.sparse import (
+            _bloom_positions,
+            build_tile_bitmaps,
+        )
+
+        ids, _ = self._synthetic()
+        bm = build_tile_bitmaps(ids, block_n=128, n_words=64)
+        space = 64 * 32
+        for t in range(bm.shape[0]):
+            tile = ids[t * 128 : (t + 1) * 128].reshape(-1)
+            terms = np.unique(tile[tile >= 0])
+            for pos in _bloom_positions(terms, space):
+                for term, h in zip(terms, pos):
+                    assert (bm[t, int(h) // 32] >> (int(h) % 32)) & 1, (t, term)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_skip_matches_v2_exactly(self, seed):
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.sparse import (
+            bm25_topk_pallas_v2,
+            bm25_topk_pallas_v2_skip,
+            build_tile_bitmaps,
+        )
+
+        doc_ids, doc_w = self._synthetic(seed=seed)
+        rng = np.random.default_rng(seed + 10)
+        # queries hitting only one term-region -> most tiles skippable
+        q_ids = np.full((4, 6), -2, np.int32)
+        q_w = np.zeros((4, 6), np.float32)
+        for b in range(4):
+            region = (b % 10) * 500
+            q_ids[b, :4] = region + rng.choice(400, size=4, replace=False)
+            q_w[b, :4] = rng.uniform(0.5, 1.5, size=4).astype(np.float32)
+        bitmaps = build_tile_bitmaps(doc_ids, block_n=128, n_words=64)
+        args = (jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(doc_ids), jnp.asarray(doc_w))
+        s0, i0 = bm25_topk_pallas_v2(*args, k=8, block_q=8, block_n=128, interpret=True)
+        s1, i1 = bm25_topk_pallas_v2_skip(
+            *args[:2], args[2], args[3], jnp.asarray(bitmaps),
+            k=8, block_q=8, block_n=128, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+
+    def test_skip_exact_when_fewer_than_k_positive_hits(self):
+        """Zero-score fill: the warm guard must keep skipping sound when a
+        query matches fewer than k docs (kth score stays 0)."""
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.sparse import (
+            bm25_topk_pallas_v2,
+            bm25_topk_pallas_v2_skip,
+            build_tile_bitmaps,
+        )
+
+        doc_ids, doc_w = self._synthetic(seed=3)
+        # one term that exists in exactly one doc (rare-term query)
+        doc_ids[599, 0] = 4999
+        doc_w[599, 0] = 1.0
+        q_ids = np.full((2, 4), -2, np.int32)
+        q_w = np.zeros((2, 4), np.float32)
+        q_ids[0, 0] = 4999
+        q_w[0, 0] = 1.0
+        q_ids[1, 0] = 123456  # matches nothing at all
+        q_w[1, 0] = 1.0
+        bitmaps = build_tile_bitmaps(doc_ids, block_n=128, n_words=64)
+        args = (jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(doc_ids), jnp.asarray(doc_w))
+        s0, i0 = bm25_topk_pallas_v2(*args, k=5, block_q=8, block_n=128, interpret=True)
+        s1, i1 = bm25_topk_pallas_v2_skip(
+            *args[:2], args[2], args[3], jnp.asarray(bitmaps),
+            k=5, block_q=8, block_n=128, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+
+
+class TestClusterLayout:
+    def test_cluster_layout_same_results_modulo_ties(self):
+        idx_plain = SparseIndex(IDS, DOCS, tokenizer="simple")
+        idx_clust = SparseIndex(IDS, DOCS, tokenizer="simple", cluster_layout=True)
+        for q in ["quick fox", "database search", "dog"]:
+            a = idx_plain.search([q], 4, method="xla")[0]
+            b = idx_clust.search([q], 4, method="xla")[0]
+            # same (doc, score) multisets — tiny corpus has no boundary ties
+            assert sorted((h.doc_id, round(h.score, 5)) for h in a) == sorted(
+                (h.doc_id, round(h.score, 5)) for h in b
+            )
+
+    def test_cluster_layout_groups_rare_terms(self):
+        import numpy as np
+
+        from autorag_research_tpu.ops.sparse import cluster_doc_order
+
+        rng = np.random.default_rng(0)
+        n = 512
+        ids = rng.integers(0, 50, size=(n, 8)).astype(np.int32)  # common terms
+        # give 40 scattered docs the same rare term 999
+        rare_rows = rng.choice(n, size=40, replace=False)
+        ids[rare_rows, 0] = 999
+        df = np.zeros(1000, np.int64)
+        for t, c in zip(*np.unique(ids, return_counts=True)):
+            df[t] = c
+        order = cluster_doc_order(ids, df)
+        pos = np.nonzero(np.isin(order, rare_rows))[0]
+        assert pos.max() - pos.min() == len(rare_rows) - 1  # contiguous group
+
+    def test_positive_only_matches_v2_positive_hits(self):
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.sparse import (
+            bm25_topk_pallas_v2,
+            bm25_topk_pallas_v2_skip,
+            build_tile_bitmaps,
+        )
+
+        doc_ids, doc_w = TestTileSkip()._synthetic(seed=7)
+        rng = np.random.default_rng(99)
+        q_ids = np.full((3, 5), -2, np.int32)
+        q_w = np.zeros((3, 5), np.float32)
+        for b in range(3):
+            region = (b * 3 % 10) * 500
+            q_ids[b, :3] = region + rng.choice(400, size=3, replace=False)
+            q_w[b, :3] = rng.uniform(0.5, 1.5, size=3).astype(np.float32)
+        q_ids[2, :] = -2  # query with no real terms at all
+        q_ids[2, 0] = 499999  # unknown term
+        q_w[2, 0] = 1.0
+        bitmaps = build_tile_bitmaps(doc_ids, block_n=128, n_words=64)
+        args = (jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(doc_ids), jnp.asarray(doc_w))
+        s0, i0 = bm25_topk_pallas_v2(*args, k=7, block_q=8, block_n=128, interpret=True)
+        s1, i1 = bm25_topk_pallas_v2_skip(
+            *args[:2], args[2], args[3], jnp.asarray(bitmaps),
+            k=7, block_q=8, block_n=128, positive_only=True, interpret=True,
+        )
+        s0, i0, s1, i1 = map(np.asarray, (s0, i0, s1, i1))
+        for b in range(3):
+            pos = s0[b] > 0
+            np.testing.assert_array_equal(i1[b][: pos.sum()], i0[b][pos])
+            np.testing.assert_allclose(s1[b][: pos.sum()], s0[b][pos], rtol=1e-6)
+            # the rest is filler (score <= 0), never arbitrary zero-score docs
+            assert (s1[b][pos.sum():] <= 0).all()

@@ -3,7 +3,11 @@
 import numpy as np
 import pytest
 
-from autorag_research_tpu.ops.dense import dense_topk_pallas, dense_topk_xla
+from autorag_research_tpu.ops.dense import (
+    dense_topk_pallas,
+    dense_topk_xla,
+    dense_topk_xla_two_stage,
+)
 from autorag_research_tpu.ops.topk import merge_topk, sort_topk
 
 
@@ -69,6 +73,37 @@ def test_tile_boundary_ties():
     s, _ = dense_topk_xla(q, c, 3, tile_n=128)
     arr = np.asarray(ids)[0]
     assert list(arr[:2]) == [5, 37]  # same score, lower id first
+
+
+def test_two_stage_matches_numpy(data):
+    q, c = data
+    s, i = dense_topk_xla_two_stage(q, c, 10, tile=128)
+    ns, ni = numpy_topk(q, c, 10)
+    np.testing.assert_array_equal(np.asarray(i), ni)
+    np.testing.assert_allclose(np.asarray(s), ns, rtol=1e-5)
+
+
+def test_two_stage_cross_tile_ties_order_by_id():
+    # duplicate rows scattered across segments: equal scores must come back
+    # ordered by doc id even when the winners come from different segments
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(50, 16)).astype(np.float32)
+    c = np.tile(base, (20, 1))  # 1000 rows; row r == row r%50
+    q = base[7][None, :]
+    _, ids = dense_topk_xla_two_stage(q, c, 10, tile=128)
+    ids = np.asarray(ids)[0]
+    assert list(ids) == sorted(ids)  # all top-10 are copies of row 7: ids ascend
+    assert ids[0] == 7
+
+
+def test_two_stage_k_larger_than_n_and_padding():
+    rng = np.random.default_rng(4)
+    q = rng.normal(size=(3, 8)).astype(np.float32)
+    c = rng.normal(size=(5, 8)).astype(np.float32)
+    s, i = dense_topk_xla_two_stage(q, c, 10, tile=128)
+    assert s.shape == (3, 10)
+    ns, ni = numpy_topk(q, c, 5)
+    np.testing.assert_array_equal(np.asarray(i)[:, :5], ni)
 
 
 def test_k_larger_than_n():
