@@ -41,7 +41,10 @@ class DenseIndex:
         embeddings: np.ndarray,
         metric: str = "cosine",
         dtype: str = "float32",
+        mode: str = "exact",
     ):
+        if mode not in ("exact", "approx"):
+            raise ValueError(f"unknown mode: {mode}")
         if len(ids) != embeddings.shape[0]:
             raise ValueError("ids/embeddings length mismatch")
         if metric not in ("cosine", "ip"):
@@ -49,6 +52,10 @@ class DenseIndex:
         self.ids = list(ids)
         self.metric = metric
         self.dtype = dtype
+        # "approx": lax.approx_max_k k-selection fused into the score pass —
+        # 3.1x the exact path at 99.6% top-10 agreement (ops/dense.
+        # dense_topk_approx); tie order is NOT (-score, id) deterministic.
+        self.mode = mode
         mat = np.asarray(embeddings, dtype=np.float32)
         if metric == "cosine":
             mat = l2_normalize(mat)
@@ -59,11 +66,14 @@ class DenseIndex:
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
-    def from_catalog(cls, catalog, table: str = "chunk", metric: str = "cosine", dtype: str = "float32"):
+    def from_catalog(
+        cls, catalog, table: str = "chunk", metric: str = "cosine",
+        dtype: str = "float32", mode: str = "exact",
+    ):
         ids, mat = catalog.get_embeddings_matrix(table)
         if not ids:
             raise EmbeddingMissingError(f"no embedded rows in table '{table}'")
-        return cls(ids, mat, metric=metric, dtype=dtype)
+        return cls(ids, mat, metric=metric, dtype=dtype, mode=mode)
 
     @property
     def n_docs(self) -> int:
@@ -104,7 +114,8 @@ class DenseIndex:
         if self._mesh is not None:
             scores, rows = sharded_dense_topk(qj, corpus, k, self._n, self._mesh)
         else:
-            scores, rows = dense_topk(qj, corpus, k)
+            method = "approx" if self.mode == "approx" else "auto"
+            scores, rows = dense_topk(qj, corpus, k, method=method)
         return np.asarray(scores, dtype=np.float32), np.asarray(rows)
 
     def search(self, query_embeddings: np.ndarray, k: int) -> list[list[SearchHit]]:
@@ -127,6 +138,7 @@ class DenseIndex:
             "kind": "dense",
             "metric": self.metric,
             "dtype": self.dtype,
+            "mode": self.mode,
             "n_docs": self._n,
             "dim": self.dim,
             "ids": self.ids,
@@ -142,6 +154,7 @@ class DenseIndex:
         idx.ids = meta["ids"]
         idx.metric = meta["metric"]
         idx.dtype = meta.get("dtype", "float32")
+        idx.mode = meta.get("mode", "exact")
         idx._host = mat
         idx._device = None
         idx._mesh = None

@@ -111,6 +111,7 @@ class SparseIndex:
         # resolve to different docs than the id-ordered layout
         self.cluster_layout = cluster_layout
         self._bitmaps_device = None
+        self._term_tiles = None
         self._device_buckets: list[dict] | None = None
         self.vocab: dict[str, int] = {}
         self.doc_freq: np.ndarray | None = None
@@ -223,6 +224,7 @@ class SparseIndex:
         self._slot_ids = slot_ids
         self._slot_weights = slot_w
         self._bitmaps_device = None  # layout changed; rebuild lazily
+        self._term_tiles = None
 
     # ---------------------------------------------------------------- queries
     def idf(self, term_id: int) -> float:
@@ -451,19 +453,9 @@ class SparseIndex:
         else:
             from autorag_research_tpu.ops.dense import on_tpu
 
-            if (
-                method in ("auto", "pallas_v2_skip")
-                and self.tile_skip
-                and on_tpu()
-            ):
-                from autorag_research_tpu.ops.sparse import bm25_topk_pallas_v2_skip
-
-                # positive_only: search() drops zero-overlap hits anyway, and
-                # it lets a tile skip on the term-presence predicate alone
-                scores, rows = bm25_topk_pallas_v2_skip(
-                    jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
-                    self._ensure_bitmaps(), k, positive_only=True,
-                )
+            skip_family = method in ("auto", "pallas_v2_skip", "pallas_probe")
+            if skip_family and self.tile_skip and (on_tpu() or method == "pallas_probe"):
+                scores, rows = self._search_pruned(q_ids, q_w, doc_ids, doc_w, k, method)
             else:
                 scores, rows = bm25_topk(
                     jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w, k, method=method
@@ -480,6 +472,50 @@ class SparseIndex:
                 hits.append(SearchHit(self.ids[int(r)], float(s)))
             out.append(hits)
         return out
+
+    def _search_pruned(self, q_ids, q_w, doc_ids, doc_w, k, method):
+        """Pruned device search: probe-mode kernel over the exact candidate
+        tiles from the host term->tile inverted index when the query is
+        selective (candidates <= half the corpus tiles); Bloom tile-skip
+        full-grid kernel otherwise. Both are positive_only — search() drops
+        zero-overlap docs regardless."""
+        import numpy as np
+
+        from autorag_research_tpu.ops.dense import on_tpu
+        from autorag_research_tpu.ops.sparse import (
+            bm25_topk_pallas_probe,
+            bm25_topk_pallas_v2_skip,
+            probe_candidates,
+        )
+
+        block_n = 2048
+        n_tiles = max(1, -(-self.n_docs // block_n))
+        q_np = np.asarray(q_ids)
+        if method in ("auto", "pallas_probe"):
+            indptr, tiles = self._ensure_term_tiles(block_n)
+            cand, count, maxc = probe_candidates(q_np, indptr, tiles, bq=8, cap=n_tiles)
+            if method == "pallas_probe" or maxc <= n_tiles // 2:
+                # power-of-two cap buckets bound the number of compiled grids
+                cap = min(n_tiles, max(16, 1 << max(0, maxc - 1).bit_length()))
+                return bm25_topk_pallas_probe(
+                    jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
+                    jnp.asarray(cand[:, :cap]), jnp.asarray(count), k,
+                    block_n=block_n, interpret=not on_tpu(),
+                )
+        return bm25_topk_pallas_v2_skip(
+            jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
+            self._ensure_bitmaps(block_n), k, positive_only=True,
+            block_n=block_n, interpret=not on_tpu(),
+        )
+
+    def _ensure_term_tiles(self, block_n: int = 2048):
+        """Host CSR term->tile inverted lists, built once per layout."""
+        if self._term_tiles is None:
+            from autorag_research_tpu.ops.sparse import build_term_tile_lists
+
+            assert self._slot_ids is not None
+            self._term_tiles = build_term_tile_lists(self._slot_ids, block_n)
+        return self._term_tiles
 
     def _ensure_bitmaps(self, block_n: int = 2048):
         """Tile term-presence bitmaps for the skip kernel, built once per

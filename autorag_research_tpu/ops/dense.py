@@ -301,6 +301,41 @@ def dense_topk_xla_two_stage(
     return out_s, out_i
 
 
+@functools.partial(jax.jit, static_argnames=("k", "recall_target"))
+def dense_topk_approx(
+    queries: jax.Array, corpus: jax.Array, k: int, recall_target: float = 0.99
+) -> tuple[jax.Array, jax.Array]:
+    """Approximate dense top-k: dot + ``lax.approx_max_k`` (the TPU
+    PartialReduce op — k-selection fused into a single bucketed pass over
+    the score row instead of a sort network).
+
+    Measured v5e, 256q x 500k x 768 bf16 sustained
+    (scripts/bench_dense_sustained.py): 2.74 ms/batch = 93.6k QPS at 71.9
+    TFLOP/s vs 8.43 ms / 30.4k for dot + exact lax.top_k — the k-selection
+    is effectively free (matmul-only measures 2.90 ms). Top-10 agreement
+    with the exact ranking: 0.996 at recall_target 0.99.
+
+    Contract: APPROXIMATE. Equal-score ties are NOT guaranteed to resolve
+    by ascending doc id — use the exact paths for parity/oracle runs. On
+    CPU backends approx_max_k lowers to an exact top-k.
+    """
+    n = corpus.shape[0]
+    k_eff = min(k, n)
+    scores = jax.lax.dot_general(
+        queries,
+        corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(queries.dtype),
+    )
+    out_s, out_i = jax.lax.approx_max_k(scores, k_eff, recall_target=recall_target)
+    out_i = out_i.astype(jnp.int32)
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return out_s, out_i
+
+
 def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -330,6 +365,8 @@ def dense_topk(
         return dense_topk_xla_full(queries, corpus, k)
     if method == "xla_two_stage":
         return dense_topk_xla_two_stage(queries, corpus, k)
+    if method == "approx":
+        return dense_topk_approx(queries, corpus, k)
     if method == "pallas":
         return dense_topk_pallas(queries, corpus, k)
     if method == "xla":

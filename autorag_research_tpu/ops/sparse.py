@@ -422,6 +422,31 @@ def cluster_doc_order(doc_ids: "np.ndarray", doc_freq: "np.ndarray") -> "np.ndar
     return np.argsort(rarest_term, kind="stable")
 
 
+def _tile_match(q_ids, bitmaps, row_src, bq):
+    """XLA-side (query tile x doc tile) Bloom term-presence predicate.
+
+    q_ids [B, T] raw query term ids (>=0 real), bitmaps [n_tiles, W] from
+    ``build_tile_bitmaps``, row_src the bsz_pad replication map. Returns
+    bool [q_tiles, n_tiles]: True iff some query term in the tile of bq
+    queries is possibly present in the doc tile (no false negatives).
+    """
+    n_tiles = bitmaps.shape[0]
+    space = 32 * bitmaps.shape[1]
+    hit = None
+    for mult in _BLOOM_MULTS:
+        pos = jnp.where(
+            q_ids >= 0, (q_ids.astype(jnp.uint32) * jnp.uint32(mult)) % space, 0
+        ).astype(jnp.int32)
+        words = bitmaps[:, pos // 32]  # [n_tiles, B, T]
+        probe = ((words >> (pos % 32)) & 1) != 0
+        hit = probe if hit is None else (hit & probe)
+    hit = hit & (q_ids >= 0)[None, :, :]
+    per_query = hit.any(axis=2)  # [n_tiles, B]
+    per_query = per_query.T[row_src]  # [bsz_pad, n_tiles] (replicated rows)
+    bsz_pad = row_src.shape[0]
+    return per_query.reshape(bsz_pad // bq, bq, n_tiles).any(axis=1)
+
+
 def _bm25_kernel_v2_skip(
     qid_ref,   # SMEM [bq, T] int32
     qw_ref,    # SMEM [bq, T] f32
@@ -554,23 +579,7 @@ def bm25_topk_pallas_v2_skip(
     )
     q_weights_p = jnp.pad(q_weights[row_src], ((0, 0), (0, terms_pad - n_terms)))
 
-    # ---- XLA-side (query tile x doc tile) term-presence predicate ----------
-    w = bitmaps.shape[1]
-    space = 32 * w
-    hit = None
-    for mult in _BLOOM_MULTS:
-        pos = jnp.where(
-            q_ids >= 0, (q_ids.astype(jnp.uint32) * jnp.uint32(mult)) % space, 0
-        ).astype(jnp.int32)
-        words = bitmaps[:, pos // 32]  # [n_tiles, B, T]
-        probe = ((words >> (pos % 32)) & 1) != 0
-        hit = probe if hit is None else (hit & probe)
-    hit = hit & (q_ids >= 0)[None, :, :]
-    per_query = hit.any(axis=2)  # [n_tiles, B]
-    per_query = per_query.T[row_src]  # [bsz_pad, n_tiles] (replicated rows)
-    matched = (
-        per_query.reshape(bsz_pad // bq, bq, n_tiles).any(axis=1).astype(jnp.int32)
-    )  # [q_tiles, n_tiles]
+    matched = _tile_match(q_ids, bitmaps, row_src, bq).astype(jnp.int32)
 
     grid = (bsz_pad // bq, n_tiles)
     kernel = functools.partial(
@@ -605,6 +614,247 @@ def bm25_topk_pallas_v2_skip(
         ],
         interpret=interpret,
     )(q_ids_p, q_weights_p, matched, doc_ids, doc_weights)
+    out_s, out_i = out_s[:bsz], out_i[:bsz]
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return out_s, out_i
+
+
+def build_term_tile_lists(
+    doc_ids: "np.ndarray", block_n: int
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Exact host-side inverted index at TILE granularity: CSR (indptr,
+    tiles) mapping term id -> sorted unique doc-tile indices containing it.
+
+    This is the probe kernel's candidate source: pointer-chasing happens
+    here on host (microseconds per query over precomputed lists); the device
+    then scores only the listed tiles as contiguous blocks. Unlike the Bloom
+    bitmaps there are no false positives, and unioning a query's lists gives
+    the exact minimal tile set (reference role: vchord_bm25 inverted index,
+    orm/repository/chunk.py:185-247).
+    """
+    import numpy as np
+
+    n = doc_ids.shape[0]
+    n_tiles = max(1, -(-n // block_n))
+    pair_t, pair_tile = [], []
+    for t in range(n_tiles):
+        tile = doc_ids[t * block_n : (t + 1) * block_n].reshape(-1)
+        terms = np.unique(tile[tile >= 0])
+        pair_t.append(terms)
+        pair_tile.append(np.full(len(terms), t, np.int32))
+    terms = np.concatenate(pair_t) if pair_t else np.empty(0, np.int64)
+    tiles = np.concatenate(pair_tile) if pair_tile else np.empty(0, np.int32)
+    order = np.lexsort((tiles, terms))
+    terms, tiles = terms[order], tiles[order]
+    vocab = int(terms.max()) + 1 if len(terms) else 1
+    indptr = np.zeros(vocab + 1, np.int64)
+    np.add.at(indptr, terms + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, tiles.astype(np.int32)
+
+
+def probe_candidates(
+    q_ids: "np.ndarray",
+    indptr: "np.ndarray",
+    tiles: "np.ndarray",
+    bq: int,
+    cap: int,
+) -> tuple["np.ndarray", "np.ndarray", int]:
+    """Union the term->tile lists for each query tile of ``bq`` queries.
+
+    Returns (cand [q_tiles, cap], count [q_tiles], max_count). When a query
+    tile's union exceeds ``cap``, its list is TRUNCATED — the caller must
+    check max_count and fall back to a full-scan kernel (exactness)."""
+    import numpy as np
+
+    bsz = q_ids.shape[0]
+    q_tiles = -(-bsz // bq)
+    vocab = len(indptr) - 1
+    cand = np.zeros((q_tiles, cap), np.int32)
+    count = np.zeros(q_tiles, np.int32)
+    max_count = 0
+    for i in range(q_tiles):
+        chunks = []
+        for b in range(i * bq, min((i + 1) * bq, bsz)):
+            for t in q_ids[b]:
+                if 0 <= t < vocab:
+                    chunks.append(tiles[indptr[t] : indptr[t + 1]])
+        union = (
+            np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int32)
+        )
+        max_count = max(max_count, len(union))
+        union = union[:cap]
+        cand[i, : len(union)] = union
+        count[i] = len(union)
+    return cand, count, max_count
+
+
+def _bm25_kernel_probe(
+    cand_ref,   # scalar-prefetch [q_tiles, cap] int32: tile index per grid step
+    count_ref,  # scalar-prefetch [q_tiles] int32: live candidates per query tile
+    qid_ref,    # SMEM [bq, T]
+    qw_ref,     # SMEM [bq, T]
+    tid_ref,    # VMEM [BN, L] — block cand_ref[i, j] of the corpus
+    tw_ref,     # VMEM [BN, L]
+    out_s_ref, out_i_ref, acc_s, acc_i,
+    *, k, n, block_n, bq, n_query_terms,
+):
+    """Candidate-tile BM25 top-k: the grid's second axis walks an explicit
+    list of doc tiles instead of the whole corpus, so cost is O(candidate
+    tiles), not O(N) — the TPU-shaped equivalent of an inverted-index probe
+    (reference vchord_bm25 `<&>`, orm/repository/chunk.py:185-247).
+
+    positive_only semantics: the accumulator starts at (0.0, INT_MAX) and
+    zero-score docs are masked to NEG_INF, so only term-overlap hits come
+    back; filler rows have score <= 0 (consumers drop them). Steps past
+    count_ref[i] are predicated off entirely (their DMA still lands, which
+    is why the wrapper pads cand with tile 0, keeping padding cheap)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[:] = jnp.zeros_like(acc_s)
+        acc_i[:] = jnp.full_like(acc_i, INT_MAX)
+
+    @pl.when(j < count_ref[i])
+    def _score():
+        from autorag_research_tpu.ops.dense import _extract_topk
+
+        tid = tid_ref[:]
+        tw = tw_ref[:]
+
+        def term_body(t, scores):
+            contribs = []
+            for b in range(bq):
+                term_id = qid_ref[b, t]
+                term_w = qw_ref[b, t]
+                c = jnp.sum(jnp.where(tid == term_id, tw, 0.0), axis=1) * term_w
+                contribs.append(c)
+            return scores + jnp.stack(contribs, axis=0)
+
+        scores = jax.lax.fori_loop(
+            0, n_query_terms, term_body, jnp.zeros((bq, tid.shape[0]), jnp.float32)
+        )
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            + cand_ref[i, j] * block_n
+        )
+        scores = jnp.where((col < n) & (scores > 0.0), scores, NEG_INF)
+        tile_s, tile_i = _extract_topk(scores, col, k)
+        new_s, new_i = _extract_topk(
+            jnp.concatenate([acc_s[:], tile_s], axis=1),
+            jnp.concatenate([acc_i[:], tile_i], axis=1),
+            k,
+        )
+        acc_s[:] = new_s
+        acc_i[:] = new_i
+
+    @pl.when(j == nj - 1)
+    def _write():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret")
+)
+def bm25_topk_pallas_probe(
+    q_ids: jax.Array,
+    q_weights: jax.Array,
+    doc_ids: jax.Array,
+    doc_weights: jax.Array,
+    cand: jax.Array,   # [q_tiles, cap] int32 candidate doc-tile indices
+    count: jax.Array,  # [q_tiles] int32 number of live candidates (<= cap)
+    k: int,
+    block_q: int = 8,
+    block_n: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Probe-mode BM25 top-k over an explicit candidate-tile list.
+
+    The caller supplies, per query tile, the doc tiles that may contain any
+    query term (e.g. from a host-side term->tile inverted index, or from the
+    Bloom `_tile_match` predicate). EXACTNESS REQUIRES the candidate list to
+    contain every tile with a positive-scoring doc — missing tiles silently
+    lose hits. Entries past ``count`` are ignored (pad with 0). Results use
+    positive_only semantics: hits ordered by (-score, doc_id), rows padded
+    with score <= 0 filler.
+    """
+    bsz, n_terms = q_ids.shape
+    n, slots = doc_ids.shape
+    k_eff = min(k, n)
+
+    slots_pad = _round_up(slots, 128)
+    bq = min(block_q, _round_up(bsz, 8))
+    bsz_pad = _round_up(bsz, bq)
+    block_n = max(block_n, _round_up(k_eff, 128))
+    n_pad = _round_up(n, block_n)
+    q_tiles, cap = cand.shape
+    if q_tiles != bsz_pad // bq:
+        raise ValueError(
+            f"cand has {q_tiles} query tiles, kernel uses {bsz_pad // bq} "
+            f"(bsz={bsz}, block_q={block_q})"
+        )
+    doc_ids = jnp.pad(
+        doc_ids, ((0, n_pad - n), (0, slots_pad - slots)), constant_values=DOC_PAD
+    )
+    doc_weights = jnp.pad(doc_weights, ((0, n_pad - n), (0, slots_pad - slots)))
+    terms_pad = _round_up(n_terms, 128)
+    row_src = jnp.arange(bsz_pad) % bsz
+    q_ids_p = jnp.pad(
+        q_ids[row_src], ((0, 0), (0, terms_pad - n_terms)), constant_values=QUERY_PAD
+    )
+    q_weights_p = jnp.pad(q_weights[row_src], ((0, 0), (0, terms_pad - n_terms)))
+
+    kernel = functools.partial(
+        _bm25_kernel_probe, k=k_eff, n=n, block_n=block_n, bq=bq,
+        n_query_terms=n_terms,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(q_tiles, cap),
+        in_specs=[
+            pl.BlockSpec(
+                (bq, terms_pad), lambda i, j, cand, count: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (bq, terms_pad), lambda i, j, cand, count: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (block_n, slots_pad),
+                lambda i, j, cand, count: (cand[i, j], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_n, slots_pad),
+                lambda i, j, cand, count: (cand[i, j], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, k_eff), lambda i, j, cand, count: (i, 0)),
+            pl.BlockSpec((bq, k_eff), lambda i, j, cand, count: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, k_eff), jnp.float32),
+            pltpu.VMEM((bq, k_eff), jnp.int32),
+        ],
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz_pad, k_eff), jnp.float32),
+            jax.ShapeDtypeStruct((bsz_pad, k_eff), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cand.astype(jnp.int32), count.astype(jnp.int32), q_ids_p, q_weights_p, doc_ids, doc_weights)
     out_s, out_i = out_s[:bsz], out_i[:bsz]
     if k_eff < k:
         out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)

@@ -63,33 +63,46 @@ def main() -> None:
 
     log("transferring to TPU + compiling ...")
 
-    def sustained(qs_host, c_host):
+    def sustained(qs_host, c_host, method="auto"):
         cj = jax.device_put(jnp.asarray(c_host))
         qj = jax.device_put(jnp.asarray(qs_host))
 
         @jax.jit
         def run(qs, c):
-            s, i = jax.lax.map(lambda q: dense_topk(q, c, K), qs)
+            s, i = jax.lax.map(lambda q: dense_topk(q, c, K, method=method), qs)
             return s.sum(), i
 
-        tot, _ = run(qj, cj)
+        tot, ids = run(qj, cj)
         float(tot)  # force full execution (block_until_ready is lazy over the tunnel)
         t0 = time.perf_counter()
-        tot, _ = run(qj, cj)
+        tot, ids = run(qj, cj)
         float(tot)
-        return (time.perf_counter() - t0) / REPS
+        return (time.perf_counter() - t0) / REPS, np.asarray(ids)
 
-    dt = sustained(queries, corpus)
+    dt, ids_exact = sustained(queries, corpus)
     qps = B / dt
     tflops = 2 * B * N * d / dt / 1e12
     log(
         f"tpu dense exact top-{K} (f32 HIGHEST): {dt * 1e3:.2f} ms / {B}-query "
         f"batch, {qps:,.0f} QPS, {tflops:.1f} TFLOP/s"
     )
-    dt16 = sustained(queries.astype(np.float32).astype(jnp.bfloat16), corpus.astype(jnp.bfloat16))
+    # fast mode: bf16 scores + approx_max_k fused k-selection
+    # (ops/dense.dense_topk_approx — measured 3.1x the exact-top_k bf16 path)
+    dt16, ids_fast = sustained(
+        queries.astype(np.float32).astype(jnp.bfloat16),
+        corpus.astype(jnp.bfloat16),
+        method="approx",
+    )
+    agree = np.mean(
+        [
+            len(set(map(int, a)) & set(map(int, b))) / K
+            for ra, rb in zip(ids_exact, ids_fast)
+            for a, b in zip(ra, rb)
+        ]
+    )
     log(
-        f"tpu dense top-{K} (bf16 fast mode): {dt16 * 1e3:.2f} ms / batch, "
-        f"{B / dt16:,.0f} QPS (99.3% top-10 agreement with exact)"
+        f"tpu dense top-{K} (bf16 fast mode, approx_max_k): {dt16 * 1e3:.2f} ms "
+        f"/ batch, {B / dt16:,.0f} QPS ({agree:.1%} top-10 agreement with exact)"
     )
 
     # secondary metric: index-build embedding throughput with the native

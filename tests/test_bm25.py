@@ -521,3 +521,84 @@ class TestClusterLayout:
             np.testing.assert_allclose(s1[b][: pos.sum()], s0[b][pos], rtol=1e-6)
             # the rest is filler (score <= 0), never arbitrary zero-score docs
             assert (s1[b][pos.sum():] <= 0).all()
+
+
+class TestProbeKernel:
+    """bm25_topk_pallas_probe: candidate-tile grid must reproduce v2's
+    positive hits exactly when fed the exact term->tile lists."""
+
+    def _setup(self, seed=0):
+        from autorag_research_tpu.ops.sparse import (
+            build_term_tile_lists,
+            probe_candidates,
+        )
+
+        doc_ids, doc_w = TestTileSkip()._synthetic(seed=seed)
+        indptr, tiles = build_term_tile_lists(doc_ids, block_n=128)
+        return doc_ids, doc_w, indptr, tiles
+
+    def test_term_tile_lists_exact(self):
+        doc_ids, _, indptr, tiles = self._setup()
+        # every (term, tile) pairing present, nothing else
+        for t in (0, 7, 100):
+            expected = sorted(
+                ti
+                for ti in range(-(-doc_ids.shape[0] // 128))
+                if (doc_ids[ti * 128 : (ti + 1) * 128] == t).any()
+            )
+            got = list(tiles[indptr[t] : indptr[t + 1]])
+            assert got == expected, (t, got, expected)
+
+    @pytest.mark.parametrize("seed", [0, 5])
+    def test_probe_matches_v2_positive_hits(self, seed):
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.sparse import (
+            bm25_topk_pallas_probe,
+            bm25_topk_pallas_v2,
+            probe_candidates,
+        )
+
+        doc_ids, doc_w, indptr, tiles = self._setup(seed)
+        rng = np.random.default_rng(seed + 30)
+        q_ids = np.full((3, 5), -2, np.int32)
+        q_w = np.zeros((3, 5), np.float32)
+        for b in range(3):
+            region = (b * 4 % 10) * 500
+            q_ids[b, :3] = region + rng.choice(400, size=3, replace=False)
+            q_w[b, :3] = rng.uniform(0.5, 1.5, size=3).astype(np.float32)
+        cand, count, maxc = probe_candidates(q_ids, indptr, tiles, bq=8, cap=8)
+        assert maxc <= 8
+        s0, i0 = bm25_topk_pallas_v2(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(doc_ids),
+            jnp.asarray(doc_w), k=7, block_q=8, block_n=128, interpret=True,
+        )
+        s1, i1 = bm25_topk_pallas_probe(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(doc_ids),
+            jnp.asarray(doc_w), jnp.asarray(cand), jnp.asarray(count),
+            k=7, block_q=8, block_n=128, interpret=True,
+        )
+        s0, i0, s1, i1 = map(np.asarray, (s0, i0, s1, i1))
+        for b in range(3):
+            pos = s0[b] > 0
+            np.testing.assert_array_equal(i1[b][: pos.sum()], i0[b][pos])
+            np.testing.assert_allclose(s1[b][: pos.sum()], s0[b][pos], rtol=1e-6)
+
+    def test_truncation_reported(self):
+        from autorag_research_tpu.ops.sparse import probe_candidates
+
+        doc_ids, _, indptr, tiles = self._setup()
+        # a common-region query touching many tiles, cap tiny
+        q_ids = np.array([[0, 1, 2, 3, 4]], np.int32)
+        cand, count, maxc = probe_candidates(q_ids, indptr, tiles, bq=8, cap=1)
+        assert count[0] == 1
+        assert maxc >= 1  # true union size reported even when truncated
+
+    def test_index_probe_path_matches_xla(self):
+        idx = SparseIndex(IDS, DOCS, tokenizer="simple")
+        for q in ["quick fox", "database search", "zzz nothing"]:
+            a = idx.search([q], 4, method="xla")[0]
+            b = idx.search([q], 4, method="pallas_probe")[0]
+            assert [(h.doc_id, round(h.score, 5)) for h in a] == [
+                (h.doc_id, round(h.score, 5)) for h in b
+            ], q

@@ -125,3 +125,34 @@ class TestHybridMesh:
         hybrid = DenseIndex(ids, emb).to_device(hybrid_corpus_mesh()).search(q, 5)
         for a, b in zip(single, hybrid):
             assert [h.doc_id for h in a] == [h.doc_id for h in b]
+
+
+def test_dense_index_approx_mode_roundtrip(tmp_path):
+    import numpy as np
+
+    from autorag_research_tpu.index.dense import DenseIndex
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(64, 16)).astype(np.float32)
+    ids = [f"d{i}" for i in range(64)]
+    idx = DenseIndex(ids, emb, mode="approx")
+    hits = idx.search(emb[:3], 5)
+    # CPU lowering is exact: top-1 of a corpus row's own embedding is itself
+    assert [h[0].doc_id for h in hits] == ["d0", "d1", "d2"]
+    idx.save(tmp_path / "didx")
+    idx2 = DenseIndex.load(tmp_path / "didx")
+    assert idx2.mode == "approx"
+    hits2 = idx2.search(emb[:3], 5)
+    assert [(h.doc_id, round(h.score, 5)) for h in hits2[0]] == [
+        (h.doc_id, round(h.score, 5)) for h in hits[0]
+    ]
+
+
+def test_dense_index_rejects_unknown_mode():
+    import numpy as np
+    import pytest
+
+    from autorag_research_tpu.index.dense import DenseIndex
+
+    with pytest.raises(ValueError):
+        DenseIndex(["a"], np.ones((1, 4), np.float32), mode="fast")

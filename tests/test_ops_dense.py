@@ -143,3 +143,24 @@ def test_sort_topk_deterministic():
     ids = jnp.array([[7, 9, 3, 1]])
     s, i = sort_topk(scores, ids, 3)
     np.testing.assert_array_equal(np.asarray(i), [[3, 9, 7]])
+
+
+def test_approx_mode_cpu_exact(data):
+    # approx_max_k lowers to exact top-k off-TPU: ids must match the oracle
+    from autorag_research_tpu.ops.dense import dense_topk_approx
+
+    q, c = data
+    s, i = dense_topk_approx(q, c, 10)
+    ns, ni = numpy_topk(q, c, 10)
+    np.testing.assert_array_equal(np.asarray(i), ni)
+    np.testing.assert_allclose(np.asarray(s), ns, rtol=1e-5)
+
+
+def test_approx_mode_k_larger_than_n():
+    from autorag_research_tpu.ops.dense import dense_topk_approx
+
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(2, 8)).astype(np.float32)
+    c = rng.normal(size=(3, 8)).astype(np.float32)
+    s, i = dense_topk_approx(q, c, 10)
+    assert s.shape == (2, 10) and i.dtype == np.int32
