@@ -391,15 +391,29 @@ def build_tile_bitmaps(
             "query-side probe multiplies in uint32, and its residues only match "
             "this builder's uint64 math when the space divides 2^32"
         )
-    bitmaps = np.zeros((n_tiles, n_words), dtype=np.int32)
-    for t in range(n_tiles):
-        tile = doc_ids[t * block_n : (t + 1) * block_n].reshape(-1)
-        terms = np.unique(tile[tile >= 0])
-        for pos in _bloom_positions(terms, space):
-            np.bitwise_or.at(
-                bitmaps[t], pos // 32, (np.int64(1) << (pos % 32)).astype(np.int32)
-            )
-    return bitmaps
+    # vectorized: unique (tile, term) pairs in one pass, then scatter all 4
+    # probe bits into a flat [n_tiles * n_words] view (per-tile loops took
+    # minutes at 5M docs)
+    rows, cols = np.nonzero(doc_ids >= 0)
+    keys = np.unique(
+        (rows // block_n).astype(np.int64) * (2**32) + doc_ids[rows, cols]
+    )
+    tile_of = (keys >> 32).astype(np.int64)
+    term_of = (keys & 0xFFFFFFFF).astype(np.int64)
+    flat = np.zeros(n_tiles * n_words, dtype=np.int32)
+    # dedupe global bit coordinates before scattering — ufunc.at is
+    # unbuffered and slow, so feed it each bit exactly once
+    coords = np.unique(
+        np.concatenate(
+            [tile_of * space + pos for pos in _bloom_positions(term_of, space)]
+        )
+    )
+    np.bitwise_or.at(
+        flat,
+        coords // 32,
+        (np.int64(1) << (coords % 32)).astype(np.int32),
+    )
+    return flat.reshape(n_tiles, n_words)
 
 
 def cluster_doc_order(doc_ids: "np.ndarray", doc_freq: "np.ndarray") -> "np.ndarray":
@@ -638,21 +652,20 @@ def build_term_tile_lists(
 
     n = doc_ids.shape[0]
     n_tiles = max(1, -(-n // block_n))
-    pair_t, pair_tile = [], []
-    for t in range(n_tiles):
-        tile = doc_ids[t * block_n : (t + 1) * block_n].reshape(-1)
-        terms = np.unique(tile[tile >= 0])
-        pair_t.append(terms)
-        pair_tile.append(np.full(len(terms), t, np.int32))
-    terms = np.concatenate(pair_t) if pair_t else np.empty(0, np.int64)
-    tiles = np.concatenate(pair_tile) if pair_tile else np.empty(0, np.int32)
-    order = np.lexsort((tiles, terms))
-    terms, tiles = terms[order], tiles[order]
-    vocab = int(terms.max()) + 1 if len(terms) else 1
+    # one vectorized pass: pack every live (term, tile) slot into a single
+    # int64 key and unique it (a per-tile np.unique loop measured ~6 min at
+    # 5M docs; this is seconds)
+    rows, cols = np.nonzero(doc_ids >= 0)
+    terms_all = doc_ids[rows, cols].astype(np.int64)
+    tiles_all = (rows // block_n).astype(np.int64)
+    keys = np.unique(terms_all * n_tiles + tiles_all)
+    terms = keys // n_tiles
+    tiles = (keys % n_tiles).astype(np.int32)
+    vocab = int(terms[-1]) + 1 if len(terms) else 1
     indptr = np.zeros(vocab + 1, np.int64)
     np.add.at(indptr, terms + 1, 1)
     np.cumsum(indptr, out=indptr)
-    return indptr, tiles.astype(np.int32)
+    return indptr, tiles
 
 
 def probe_candidates(

@@ -63,6 +63,7 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
             "retrieval_unit": self.retrieval_unit,
             "table": self.table,
             "index_type": self.index_type,
+            "index_options": self.index_options,
             "maxsim_prefilter": self.maxsim_prefilter,
         }
 
@@ -104,11 +105,17 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
                 **{str(k): str(v) for k, v in sorted(self.index_options.items())},
             )
         else:
+            # index_options passes through to DenseIndex (e.g. mode="approx"
+            # for the fused approx_max_k fast path — 3.1x bf16 QPS at 99.6%
+            # top-10 agreement; dtype="bfloat16" halves HBM)
             idx = registry.get_or_build(
                 self.catalog,
                 "dense",
                 self.table,
-                builder=lambda: DenseIndex.from_catalog(self.catalog, self.table),
+                builder=lambda: DenseIndex.from_catalog(
+                    self.catalog, self.table, **self.index_options
+                ),
+                **{str(k): str(v) for k, v in sorted(self.index_options.items())},
             )
         if self.mesh is not None and getattr(idx, "_mesh", None) is None and hasattr(idx, "to_device"):
             idx.to_device(self.mesh)  # dense/multi-vector shard rows; IVF

@@ -147,19 +147,19 @@ def main():
 
         # ---- in-jit sustained (amortized dispatch) -------------------------
         @jax.jit
-        def sustained(qi, qw, cand, count):
+        def sustained(qi, qw, cand, count, dids, dw):
             def one(x):
                 q, qq, c, ct = x
                 s, i = bm25_topk_pallas_probe(
-                    q, qq, ids_d, w_d, c, ct, K, block_n=BLOCK_N
+                    q, qq, dids, dw, c, ct, K, block_n=BLOCK_N
                 )
                 return s.sum()
             return jax.lax.map(one, (qi, qw, cand, count)).sum()
 
-        tot = sustained(qi_d, qw_d, cand_d, count_d)
+        tot = sustained(qi_d, qw_d, cand_d, count_d, ids_d, w_d)
         float(tot)
         t0 = time.perf_counter()
-        tot = sustained(qi_d, qw_d, cand_d, count_d)
+        tot = sustained(qi_d, qw_d, cand_d, count_d, ids_d, w_d)
         float(tot)
         per_s = (time.perf_counter() - t0) / args.reps
         print(

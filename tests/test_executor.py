@@ -175,3 +175,25 @@ def test_query_limit_is_fixed_window(catalog):
     )).run()
     assert r2.success and r2.pipelines[0].stats["total_queries"] == 0
     assert catalog.get_queries_with_results(pid) == window
+
+
+def test_executor_fast_mode_index_options(catalog):
+    """index_options flow into the DenseIndex (approx fast mode) and the
+    executor still evaluates — CPU approx lowering is exact, so metrics
+    match the default run."""
+    cfg = make_config(
+        pipelines=[
+            VectorSearchConfig(
+                name="vs_fast",
+                top_k=3,
+                index_options={"mode": "approx", "dtype": "bfloat16"},
+            )
+        ],
+    )
+    result = Executor(catalog, cfg).run()
+    assert result.success, result.report()
+    from autorag_research_tpu.index import registry as reg
+
+    idx = reg.get_or_build(catalog, "dense", "chunk", builder=lambda: None,
+                           dtype="bfloat16", mode="approx")
+    assert idx is not None and idx.mode == "approx" and idx.dtype == "bfloat16"
