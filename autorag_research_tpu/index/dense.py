@@ -111,10 +111,12 @@ class DenseIndex:
             q = l2_normalize(q)
         corpus = self._ensure_device()
         qj = jnp.asarray(q, dtype=corpus.dtype)
+        method = "approx" if self.mode == "approx" else "auto"
         if self._mesh is not None:
-            scores, rows = sharded_dense_topk(qj, corpus, k, self._n, self._mesh)
+            scores, rows = sharded_dense_topk(
+                qj, corpus, k, self._n, self._mesh, method=method
+            )
         else:
-            method = "approx" if self.mode == "approx" else "auto"
             scores, rows = dense_topk(qj, corpus, k, method=method)
         return np.asarray(scores, dtype=np.float32), np.asarray(rows)
 

@@ -156,3 +156,16 @@ def test_dense_index_rejects_unknown_mode():
 
     with pytest.raises(ValueError):
         DenseIndex(["a"], np.ones((1, 4), np.float32), mode="fast")
+
+
+def test_sharded_approx_mode_matches_single(corpus):
+    # approx mode on a mesh: per-shard approx_max_k (exact on CPU lowering)
+    # + deterministic global merge must equal the single-device result
+    ids, emb = corpus
+    rng = np.random.default_rng(4)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    single = DenseIndex(ids, emb, mode="approx").search(q, 10)
+    mesh = corpus_mesh(n_corpus=8)
+    sharded = DenseIndex(ids, emb, mode="approx").to_device(mesh).search(q, 10)
+    for a, b in zip(single, sharded):
+        assert [h.doc_id for h in a] == [h.doc_id for h in b]
