@@ -400,19 +400,24 @@ def build_tile_bitmaps(
     )
     tile_of = (keys >> 32).astype(np.int64)
     term_of = (keys & 0xFFFFFFFF).astype(np.int64)
-    flat = np.zeros(n_tiles * n_words, dtype=np.int32)
-    # dedupe global bit coordinates before scattering — ufunc.at is
-    # unbuffered and slow, so feed it each bit exactly once
-    coords = np.unique(
-        np.concatenate(
-            [tile_of * space + pos for pos in _bloom_positions(term_of, space)]
+    total_bits = n_tiles * space
+    if total_bits <= (1 << 31):
+        # fast path: one byte per bit + packbits (plain fancy assignment is
+        # ~10x np.bitwise_or.at, which is unbuffered and scalar)
+        bits = np.zeros(total_bits, np.uint8)
+        for pos in _bloom_positions(term_of, space):
+            bits[tile_of * space + pos] = 1
+        flat = np.packbits(bits, bitorder="little").view(np.int32)
+    else:
+        flat = np.zeros(n_tiles * n_words, dtype=np.int32)
+        coords = np.unique(
+            np.concatenate(
+                [tile_of * space + pos for pos in _bloom_positions(term_of, space)]
+            )
         )
-    )
-    np.bitwise_or.at(
-        flat,
-        coords // 32,
-        (np.int64(1) << (coords % 32)).astype(np.int32),
-    )
+        np.bitwise_or.at(
+            flat, coords // 32, (np.int64(1) << (coords % 32)).astype(np.int32)
+        )
     return flat.reshape(n_tiles, n_words)
 
 

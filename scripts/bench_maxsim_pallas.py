@@ -69,23 +69,29 @@ def main():
     results["xla"] = measure(
         "xla scan (default)", lambda q, ql, d_, dl: maxsim_topk_xla(q, ql, d_, dl, K)
     )
-    for bn in (8, 32, 64, 128):
+    for bn in (8, 16, 32, 48):
         results[f"pallas_v1_bn{bn}"] = measure(
             f"pallas v1 bn={bn}",
             lambda q, ql, d_, dl, bn=bn: maxsim_topk_pallas(
                 q, ql, d_, dl, K, block_n=bn
             ),
         )
-    results["pallas_v2_bn16"] = measure(
-        "pallas v2 bn=16",
-        lambda q, ql, d_, dl: maxsim_topk_pallas_v2(q, ql, d_, dl, K, block_n=16),
-    )
+    for bn in (16, 32, 48):
+        results[f"pallas_v2_bn{bn}"] = measure(
+            f"pallas v2 bn={bn}",
+            lambda q, ql, d_, dl, bn=bn: maxsim_topk_pallas_v2(
+                q, ql, d_, dl, K, block_n=bn
+            ),
+        )
 
-    # correctness spot-check of the best pallas config vs xla
-    s0, i0 = maxsim_topk_xla(q_d[0], ql_d[0], docs_d, dlens_d, K)
-    s1, i1 = maxsim_topk_pallas(q_d[0], ql_d[0], docs_d, dlens_d, K, block_n=64)
-    same = np.array_equal(np.asarray(i0), np.asarray(i1))
-    print(f"ids pallas(bn=64) == xla: {same}", file=sys.stderr)
+    # correctness spot-check vs xla (VMEM-safe block size)
+    try:
+        s0, i0 = maxsim_topk_xla(q_d[0], ql_d[0], docs_d, dlens_d, K)
+        s1, i1 = maxsim_topk_pallas_v2(q_d[0], ql_d[0], docs_d, dlens_d, K, block_n=16)
+        same = np.array_equal(np.asarray(i0), np.asarray(i1))
+        print(f"ids pallas_v2(bn=16) == xla: {same}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        print(f"spot-check failed: {str(exc)[:150]}", file=sys.stderr)
     print({"metric": f"maxsim_pallas_sweep_{args.dtype}", "n": args.n, "td": args.td, **results})
 
 
