@@ -454,15 +454,30 @@ def maxsim_rerank(
 
 
 def maxsim_topk(queries, query_lens, docs, doc_lens, k, method: str = "auto"):
-    # Measured on v5e (50k docs x 128 tok x 128 d, f32 HIGHEST): the XLA scan
-    # with large tiles hits 12.4 TFLOP/s with second-scale compiles, while the
-    # Pallas kernel's small-grid layout currently pays a pathological
-    # per-step relayout for the [rows, BN, Td] max. XLA is the default
-    # everywhere; the Pallas kernel stays opt-in for further tuning.
+    # Measured v5e sweep (scripts/bench_maxsim_pallas.py, 50k docs x 128 tok
+    # x 128d, 8q x 32tok sustained): f32-HIGHEST — pallas v2 bn=16 253.0 QPS
+    # > v1 244.3 > XLA scan 204.2 (the round-1 "relayout cliff" did not
+    # reproduce; the old bn=8 default was grid-step-floor-bound). bf16 — the
+    # XLA scan wins 595.9 vs 511.0 (cheap matmuls leave pallas VPU-bound;
+    # bn >= 64 exceeds scoped VMEM). Dispatch: pallas v2 for f32 inputs at
+    # text-scale token counts (block VMEM fits through td<=256), XLA scan
+    # for bf16 / long-doc (ViDoRe) / CPU.
     if method == "auto":
-        method = "xla"
+        from autorag_research_tpu.ops.dense import on_tpu
+
+        td_pad = _round_up(docs.shape[1], 8)
+        if (
+            on_tpu()
+            and jnp.dtype(queries.dtype) == jnp.float32
+            and td_pad <= 256
+        ):
+            method = "pallas_v2"
+        else:
+            method = "xla"
     if method == "pallas":
         return maxsim_topk_pallas(queries, query_lens, docs, doc_lens, k)
+    if method == "pallas_v2":
+        return maxsim_topk_pallas_v2(queries, query_lens, docs, doc_lens, k)
     if method == "xla":
         return maxsim_topk_xla(queries, query_lens, docs, doc_lens, k)
     raise ValueError(f"unknown maxsim method: {method}")

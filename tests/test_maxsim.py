@@ -37,7 +37,7 @@ def _padded(queries, docs):
     return q, ql, d, dl
 
 
-@pytest.mark.parametrize("method", ["xla", "pallas"])
+@pytest.mark.parametrize("method", ["xla", "pallas", "pallas_v2"])
 def test_kernel_matches_oracle(ragged_data, method):
     import jax.numpy as jnp
 
@@ -47,10 +47,17 @@ def test_kernel_matches_oracle(ragged_data, method):
     order = np.lexsort((np.arange(len(docs))[None].repeat(len(queries), 0), -oracle), axis=1)[:, :5]
     if method == "xla":
         s, ids = maxsim_topk_xla(jnp.asarray(q), jnp.asarray(ql), jnp.asarray(d), jnp.asarray(dl), 5, tile_n=8)
-    else:
+    elif method == "pallas":
         s, ids = maxsim_topk_pallas(
             jnp.asarray(q), jnp.asarray(ql), jnp.asarray(d), jnp.asarray(dl), 5,
             block_q=8, block_n=8, interpret=True,
+        )
+    else:
+        from autorag_research_tpu.ops.maxsim import maxsim_topk_pallas_v2
+
+        s, ids = maxsim_topk_pallas_v2(
+            jnp.asarray(q), jnp.asarray(ql), jnp.asarray(d), jnp.asarray(dl), 5,
+            block_q=8, block_n=16, interpret=True,
         )
     np.testing.assert_array_equal(np.asarray(ids), order)
     np.testing.assert_allclose(
