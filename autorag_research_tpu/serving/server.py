@@ -253,9 +253,13 @@ class ServingHandle:
                 try:
                     if self.path == "/search":
                         queries = payload.get("queries") or [payload["query"]]
+                        top_k = int(payload.get("top_k", 10))
+                        if top_k < 1:
+                            self._send(400, {"error": f"top_k must be >= 1, got {top_k}"})
+                            return
                         results = handle.search(
                             queries,
-                            top_k=int(payload.get("top_k", 10)),
+                            top_k=top_k,
                             pipeline=payload.get("pipeline"),
                         )
                         self._send(200, {"results": results})
@@ -269,7 +273,11 @@ class ServingHandle:
                     else:
                         self._send(404, {"error": f"unknown path {self.path}"})
                 except KeyError as exc:
-                    self._send(400, {"error": str(exc)})
+                    self._send(400, {"error": f"missing field {exc}"})
+                except (ValueError, TypeError) as exc:
+                    # client-shaped errors (e.g. non-integer top_k) are 400s,
+                    # not server faults
+                    self._send(400, {"error": f"bad request: {exc}"})
                 except Exception as exc:  # noqa: BLE001
                     logger.exception("serving error")
                     self._send(500, {"error": f"{type(exc).__name__}: {exc}"})

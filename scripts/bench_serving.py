@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--requests", type=int, default=960)
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--window-ms", type=float, default=5.0)
+    ap.add_argument(
+        "--fast", action="store_true",
+        help="vector_search_fast profile: approx_max_k + bf16 corpus",
+    )
     args = ap.parse_args()
 
     import jax
@@ -56,7 +60,12 @@ def main():
         file=sys.stderr,
     )
 
-    pipe = VectorSearchPipeline(cat, "dense_serve", embedding_model=emb)
+    index_options = (
+        {"mode": "approx", "dtype": "bfloat16"} if args.fast else None
+    )
+    pipe = VectorSearchPipeline(
+        cat, "dense_serve", embedding_model=emb, index_options=index_options
+    )
     handle = ServingHandle(
         cat, {"dense": pipe}, batch_window_ms=args.window_ms, include_contents=False
     ).start(port=0)

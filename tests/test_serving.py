@@ -223,3 +223,72 @@ def test_serving_multi_vector_pipeline(tmp_path):
     finally:
         h.stop()
         registry.invalidate()
+
+
+def test_malformed_requests(handle):
+    import urllib.request
+
+    # invalid JSON body
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{handle.port}/search",
+        data=b"{not json",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            code = resp.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+    # missing query field
+    code, data = post(handle, "/search", {"top_k": 3})
+    assert code == 400 and "error" in data
+
+    # non-integer top_k must not crash the server
+    code, _ = post(handle, "/search", {"query": "x", "top_k": "many"})
+    assert code == 400
+    # server is still alive afterwards
+    code, data = post(handle, "/search", {"query": "capital of France"})
+    assert code == 200
+
+
+def test_zero_and_huge_top_k(handle):
+    code, data = post(handle, "/search", {"query": "capital", "top_k": 0})
+    assert code in (200, 400)
+    if code == 200:
+        assert data["results"][0] == []
+    code, data = post(handle, "/search", {"query": "capital", "top_k": 10_000})
+    assert code == 200
+    assert len(data["results"][0]) <= len(DOCS)
+
+
+def test_fast_profile_serving(tmp_path):
+    """The vector_search_fast profile (approx + bf16) serves correctly —
+    CPU approx lowering is exact, so the top hit is the cosine-nearest doc."""
+    import numpy as np
+
+    from autorag_research_tpu.embeddings.base import MockEmbedding
+    from autorag_research_tpu.pipelines.retrieval.vector_search import (
+        VectorSearchPipeline,
+    )
+    from autorag_research_tpu.store.ingestion import IngestionService
+
+    registry.invalidate()
+    cat = Catalog(tmp_path / "fast.db")
+    cat.add_chunks([{"id": i, "contents": f"document {i}"} for i in range(30)])
+    emb = MockEmbedding(dim=32)
+    IngestionService(cat).embed_all(emb, batch_size=16)
+    pipe = VectorSearchPipeline(
+        cat, "dense_fast", embedding_model=emb,
+        index_options={"mode": "approx", "dtype": "bfloat16"},
+    )
+    h = ServingHandle(cat, {"dense": pipe}, batch_window_ms=5).start(port=0)
+    try:
+        code, data = post(h, "/search", {"query": "document 7", "top_k": 3})
+        assert code == 200 and len(data["results"][0]) == 3
+        # MockEmbedding is deterministic on text: doc 7's own text is top-1
+        assert data["results"][0][0]["doc_id"] == 7
+    finally:
+        h.stop()
+        registry.invalidate()
