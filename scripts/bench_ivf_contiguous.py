@@ -14,6 +14,7 @@ Run: python scripts/bench_ivf_contiguous.py [--n 2000000]
 """
 
 import argparse
+import functools
 import sys
 import time
 
@@ -29,14 +30,20 @@ from autorag_research_tpu.ops.topk import sort_topk  # noqa: E402
 D, K = 768, 10
 
 
-def gen_corpus(n, rng):
+def gen_corpus(n, rng, noise=0.022):
+    """Clustered unit vectors. NOISE CALIBRATION MATTERS: per-dim sigma s
+    gives cos(member, center) = 1/sqrt(1 + s^2 * D). The round-1 value 0.5
+    made ||noise|| ~ 13.9 vs ||center|| = 1 (cos ~ 0.07) — noise-dominated
+    points no ANN can cluster, which silently turns any recall measurement
+    into noise. s=0.022 -> cos ~ 0.85 (tight, ColBERT-ish); s=0.05 ->
+    cos ~ 0.67 (loose)."""
     centers = rng.standard_normal((4096, D), dtype=np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     out = np.empty((n, D), dtype=np.float32)
     for lo in range(0, n, 200_000):
         hi = min(lo + 200_000, n)
-        noise = rng.standard_normal((hi - lo, D), dtype=np.float32)
-        chunk = centers[rng.integers(0, 4096, size=hi - lo)] + 0.5 * noise
+        nz = rng.standard_normal((hi - lo, D), dtype=np.float32)
+        chunk = centers[rng.integers(0, 4096, size=hi - lo)] + noise * nz
         out[lo:hi] = chunk / np.linalg.norm(chunk, axis=1, keepdims=True)
     return out, centers
 
@@ -48,15 +55,24 @@ def main():
     ap.add_argument("--block-rows", type=int, default=512)
     ap.add_argument("--probes", default="16,32,64,128")
     ap.add_argument("--lat-reps", type=int, default=32)
+    ap.add_argument("--noise", type=float, default=0.022)
     args = ap.parse_args()
     n = args.n
 
     print(f"devices: {jax.devices()}; corpus {n} x {D}", file=sys.stderr)
+    import os
+
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    corpus, centers = gen_corpus(n, rng)
+    cache = f"/tmp/ivfc_corpus_{n}_s{args.noise}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        corpus, centers = z["corpus"], z["centers"]
+    else:
+        corpus, centers = gen_corpus(n, rng, noise=args.noise)
+        np.savez(cache, corpus=corpus, centers=centers)
     print(f"host gen {time.perf_counter() - t0:.0f}s", file=sys.stderr)
-    q = centers[rng.integers(0, 4096, size=256)] + 0.5 * rng.standard_normal(
+    q = centers[rng.integers(0, 4096, size=256)] + args.noise * rng.standard_normal(
         (256, D), dtype=np.float32
     )
     q /= np.linalg.norm(q, axis=1, keepdims=True)
@@ -97,9 +113,14 @@ def main():
 
     # ---- build contiguous IVF ----------------------------------------------
     t0 = time.perf_counter()
-    idx = IVFContiguousIndex(
-        list(range(n)), corpus, n_cells=args.cells, block_rows=args.block_rows
-    )
+    icache = f"/tmp/ivfc_index_{n}_{args.cells}_{args.block_rows}_s{args.noise}"
+    if os.path.exists(icache):
+        idx = IVFContiguousIndex.load(icache)
+    else:
+        idx = IVFContiguousIndex(
+            list(range(n)), corpus, n_cells=args.cells, block_rows=args.block_rows
+        )
+        idx.save(icache)
     build_s = time.perf_counter() - t0
     print(
         f"ivf_cc build: {build_s:.0f}s  ({idx.n_blocks} blocks of {args.block_rows})",
@@ -111,13 +132,15 @@ def main():
     results = {"exact_latency_ms": round(exact_lat * 1e3, 2), "exact_qps": round(exact_qps, 1)}
     for p in [int(x) for x in args.probes.split(",")]:
 
-        @jax.jit
-        def ivf_latency(qs, keys=keys, p=p):
+        @functools.partial(jax.jit, static_argnames=("p",))
+        def ivf_latency(qs, keys, blocks, row_ids, p):
+            # device arrays passed as ARGS — capturing the 7.3GB block array
+            # as a jit constant ships it through the remote compiler (>>10min)
             def one(qq):
                 ks = jnp.dot(qq[None], keys.T, preferred_element_type=jnp.float32)
                 _, blks = jax.lax.top_k(ks, p)
-                data = blocks_dev[blks[0]]
-                ids = row_ids_dev[blks[0]].reshape(-1)
+                data = blocks[blks[0]]
+                ids = row_ids[blks[0]].reshape(-1)
                 scores = jnp.dot(
                     data.reshape(-1, D), qq, preferred_element_type=jnp.float32
                 )
@@ -128,10 +151,10 @@ def main():
             s, i = jax.lax.map(one, qs)
             return s.sum(), i[:, 0, :]
 
-        tot, ids_lat = ivf_latency(q_d[:r])
+        tot, ids_lat = ivf_latency(q_d[:r], keys, blocks_dev, row_ids_dev, p=p)
         float(tot)
         t0 = time.perf_counter()
-        tot, ids_lat = ivf_latency(q_d[:r])
+        tot, ids_lat = ivf_latency(q_d[:r], keys, blocks_dev, row_ids_dev, p=p)
         float(tot)
         lat = (time.perf_counter() - t0) / r
         ids_h = np.asarray(ids_lat)
