@@ -571,6 +571,8 @@ class SparseIndex:
             "k1": self.k1,
             "b": self.b,
             "bucketize": self.bucketize,
+            "tile_skip": self.tile_skip,
+            "cluster_layout": self.cluster_layout,
             "avgdl": self.avgdl,
             "n_docs": self.n_docs,
             "ids": self.ids,
@@ -586,6 +588,10 @@ class SparseIndex:
         idx = cls(
             meta["ids"], texts=None, tokenizer=meta["tokenizer"],
             k1=meta["k1"], b=meta["b"], bucketize=meta.get("bucketize", 1),
+            tile_skip=meta.get("tile_skip", True),
+            # a cluster-ordered layout is already baked into the saved slot
+            # arrays; the flag only records provenance (no re-sort on load)
+            cluster_layout=meta.get("cluster_layout", False),
         )
         idx.vocab = meta["vocab"]
         idx.avgdl = meta["avgdl"]

@@ -602,3 +602,16 @@ class TestProbeKernel:
             assert [(h.doc_id, round(h.score, 5)) for h in a] == [
                 (h.doc_id, round(h.score, 5)) for h in b
             ], q
+
+
+def test_save_load_preserves_pruning_flags(tmp_path):
+    idx = SparseIndex(IDS, DOCS, tokenizer="simple", cluster_layout=True)
+    idx.save(tmp_path / "sp")
+    idx2 = SparseIndex.load(tmp_path / "sp")
+    assert idx2.tile_skip is True and idx2.cluster_layout is True
+    # the cluster order is baked into the saved arrays: results identical
+    a = idx.search(["quick fox"], 3, method="xla")[0]
+    b = idx2.search(["quick fox"], 3, method="xla")[0]
+    assert [(h.doc_id, round(h.score, 5)) for h in a] == [
+        (h.doc_id, round(h.score, 5)) for h in b
+    ]
