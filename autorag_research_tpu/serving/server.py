@@ -86,6 +86,16 @@ class _Batcher:
                     batch.append(self.jobs.get(timeout=remaining))
                 except queue.Empty:
                     break
+            # zero-wait drain: requests that queued while the PREVIOUS batch
+            # was on the device would otherwise be left for the next window,
+            # convoying closed-loop clients into ~batch/7 sized batches
+            # (measured: 147 QPS at a 67 ms batch cost = avg batch ~10 of 32
+            # waiting clients). Scooping the backlog costs no latency.
+            while len(batch) < self.max_batch:
+                try:
+                    batch.append(self.jobs.get_nowait())
+                except queue.Empty:
+                    break
             top_k = max(j.top_k for j in batch)
             try:
                 # pad to a power-of-two bucket: every distinct batch size is a

@@ -88,7 +88,11 @@ def main():
 
     # warm (compile)
     t0 = time.perf_counter()
-    handle.warmup(max_bucket=64, top_k=args.top_k)
+    # the zero-wait backlog drain lets batches reach the client count, so
+    # warm every bucket the traffic can hit (an unwarmed bucket recompiles
+    # mid-traffic, seconds over the tunnel)
+    bucket_cap = 1 << (max(args.clients, 1) - 1).bit_length()
+    handle.warmup(max_bucket=max(64, bucket_cap), top_k=args.top_k)
     print(f"first request (compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     latencies = []
