@@ -53,13 +53,27 @@ class _SearchJob:
 
 
 class _Batcher:
-    """Coalesces concurrent single-query searches into device batches."""
+    """Coalesces concurrent single-query searches into device batches.
 
-    def __init__(self, search_batch_fn, batch_window_ms: float = 5.0, max_batch: int = 256):
+    Up to ``max_inflight`` batches execute concurrently: the per-batch cost
+    through the remote-TPU tunnel is dominated by dispatch + readback
+    latency (profiled 67 ms of which ~60 is round-trip wait, embed 1.6 ms),
+    so overlapping a second in-flight batch hides most of it. Collection
+    stays single-threaded; jobs carry their own completion events so batch
+    completion order is irrelevant."""
+
+    def __init__(
+        self,
+        search_batch_fn,
+        batch_window_ms: float = 5.0,
+        max_batch: int = 256,
+        max_inflight: int = 2,
+    ):
         self.search_batch_fn = search_batch_fn
         self.window = batch_window_ms / 1000.0
         self.max_batch = max_batch
         self.jobs: queue.Queue[_SearchJob] = queue.Queue()
+        self._inflight = threading.Semaphore(max(1, max_inflight))
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._stop = False
         self._thread.start()
@@ -96,21 +110,29 @@ class _Batcher:
                     batch.append(self.jobs.get_nowait())
                 except queue.Empty:
                     break
-            top_k = max(j.top_k for j in batch)
-            try:
-                # pad to a power-of-two bucket: every distinct batch size is a
-                # distinct jit shape, and odd sizes would recompile the device
-                # kernel (seconds over a remote-compile tunnel); buckets cap
-                # the shape count at log2(max_batch)
-                queries = [j.query for j in batch]
-                bucket = 1 << (len(queries) - 1).bit_length()
-                queries += [queries[-1]] * (bucket - len(queries))
-                results = self.search_batch_fn(queries, top_k)
-                for job, hits in zip(batch, results):
-                    job.result = hits[: job.top_k]
-            except Exception as exc:  # noqa: BLE001 - report to each waiter
-                for job in batch:
-                    job.error = f"{type(exc).__name__}: {exc}"
+            self._inflight.acquire()
+            threading.Thread(
+                target=self._run_batch, args=(batch,), daemon=True
+            ).start()
+
+    def _run_batch(self, batch: list[_SearchJob]) -> None:
+        top_k = max(j.top_k for j in batch)
+        try:
+            # pad to a power-of-two bucket: every distinct batch size is a
+            # distinct jit shape, and odd sizes would recompile the device
+            # kernel (seconds over a remote-compile tunnel); buckets cap
+            # the shape count at log2(max_batch)
+            queries = [j.query for j in batch]
+            bucket = 1 << (len(queries) - 1).bit_length()
+            queries += [queries[-1]] * (bucket - len(queries))
+            results = self.search_batch_fn(queries, top_k)
+            for job, hits in zip(batch, results):
+                job.result = hits[: job.top_k]
+        except Exception as exc:  # noqa: BLE001 - report to each waiter
+            for job in batch:
+                job.error = f"{type(exc).__name__}: {exc}"
+        finally:
+            self._inflight.release()
             for job in batch:
                 job.done.set()
 

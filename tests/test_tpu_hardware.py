@@ -67,6 +67,25 @@ def test_bm25_pallas_agrees_on_tpu(rng):
     )
     np.testing.assert_array_equal(np.asarray(i4), np.asarray(i5))
 
+    # probe kernel (candidate-tile grid): positive hits identical to v2
+    from autorag_research_tpu.ops.sparse import (
+        bm25_topk_pallas_probe,
+        build_term_tile_lists,
+        probe_candidates,
+    )
+
+    indptr, tiles = build_term_tile_lists(np.asarray(tid), 2048)
+    cand, count, maxc = probe_candidates(
+        np.asarray(qid), indptr, tiles, bq=8, cap=tid.shape[0] // 2048 + 1
+    )
+    s6, i6 = bm25_topk_pallas_probe(
+        qid, qw, tid, tw, jnp.asarray(cand), jnp.asarray(count), 10
+    )
+    s1h, i1h, s6h, i6h = map(np.asarray, (s1, i1, s6, i6))
+    for b in range(8):
+        pos = s1h[b] > 0
+        np.testing.assert_array_equal(i6h[b][: pos.sum()], i1h[b][pos])
+
 
 def test_maxsim_paths_agree_on_tpu(rng):
     import jax.numpy as jnp
