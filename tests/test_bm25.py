@@ -615,3 +615,63 @@ def test_save_load_preserves_pruning_flags(tmp_path):
     assert [(h.doc_id, round(h.score, 5)) for h in a] == [
         (h.doc_id, round(h.score, 5)) for h in b
     ]
+
+
+def test_search_pruned_route_decision(monkeypatch):
+    """_search_pruned routes selective queries to the probe kernel and
+    tile-saturating queries to the full-grid skip fallback (auto mode)."""
+    import autorag_research_tpu.index.sparse as sparse_mod
+
+    # wide docs (>64 distinct terms) so the index keeps the FLAT layout —
+    # short docs auto-pack and search() routes to the packed kernel before
+    # the pruned path. One tile at block_n=2048: monkeypatch the candidate
+    # verdict to pin each branch.
+    docs = {
+        f"d{i}": "shared unique%d " % i + " ".join(f"w{i}x{j}" for j in range(70))
+        for i in range(60)
+    }
+    idx = SparseIndex(list(docs), list(docs.values()), tokenizer="simple")
+    idx.to_device()
+
+    routed = []
+
+    import autorag_research_tpu.ops.sparse as ops_sparse
+
+    real_probe = ops_sparse.bm25_topk_pallas_probe
+    real_skip = ops_sparse.bm25_topk_pallas_v2_skip
+
+    def spy_probe(*a, **k):
+        routed.append("probe")
+        return real_probe(*a, **k)
+
+    def spy_skip(*a, **k):
+        routed.append("skip")
+        return real_skip(*a, **k)
+
+    monkeypatch.setattr(ops_sparse, "bm25_topk_pallas_probe", spy_probe)
+    monkeypatch.setattr(ops_sparse, "bm25_topk_pallas_v2_skip", spy_skip)
+
+    q_ids, q_w = idx.encode_queries(["unique7"])
+    doc_ids, doc_w = idx._device
+
+    # force a multi-tile view: pretend the candidate union is selective
+    real_pc = ops_sparse.probe_candidates
+
+    def selective_pc(q, indptr, tiles, bq, cap):
+        cand, count, maxc = real_pc(q, indptr, tiles, bq=bq, cap=cap)
+        return cand, count, 0  # maxc=0 <= n_tiles//2 -> probe branch
+    monkeypatch.setattr(ops_sparse, "probe_candidates", selective_pc)
+    s, r = idx._search_pruned(q_ids, q_w, doc_ids, doc_w, 3, "auto")
+    assert routed[-1] == "probe"
+    # the true candidate list (not the spoofed maxc) still finds the doc
+    hit_rows = np.asarray(r)[0]
+    assert idx.ids.index("d7") in hit_rows
+
+    # saturating verdict -> fallback branch
+    def saturating_pc(q, indptr, tiles, bq, cap):
+        cand, count, maxc = real_pc(q, indptr, tiles, bq=bq, cap=cap)
+        return cand, count, 10**9
+    monkeypatch.setattr(ops_sparse, "probe_candidates", saturating_pc)
+    s2, r2 = idx._search_pruned(q_ids, q_w, doc_ids, doc_w, 3, "auto")
+    assert routed[-1] == "skip"
+    assert idx.ids.index("d7") in np.asarray(r2)[0]
