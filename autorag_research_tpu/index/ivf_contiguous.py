@@ -200,7 +200,16 @@ class IVFContiguousIndex:
         device matmul, and per-query results are masked out of the union."""
         uniq, inverse = np.unique(top_blocks, return_inverse=True)
         inverse = inverse.reshape(top_blocks.shape)  # [Q, p] -> index into uniq
-        payload = jnp.asarray(self._blocks[uniq])  # [U, S, d] one H2D stream
+        # pad the union to a power-of-two bucket: every distinct U is a
+        # distinct jit shape, and batches rarely repeat U exactly — without
+        # this every search recompiles (minutes over the remote tunnel).
+        # Pad blocks duplicate the last real one; `inverse` never points at
+        # them so results are unchanged.
+        u = len(uniq)
+        u_pad = max(8, 1 << max(0, u - 1).bit_length())
+        if u_pad != u:
+            uniq = np.pad(uniq, (0, u_pad - u), constant_values=uniq[-1] if u else 0)
+        payload = jnp.asarray(self._blocks[uniq])  # [U_pad, S, d] one H2D stream
         ids = jnp.asarray(self._row_ids[uniq])
         scores, rows = _score_blocks(
             jnp.asarray(q), payload, ids, jnp.asarray(inverse), k, self._n
