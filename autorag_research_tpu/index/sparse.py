@@ -155,6 +155,7 @@ class SparseIndex:
                     self.avgdl = built["avgdl"]
                     self._slot_ids = built["slot_ids"]
                     self._slot_weights = built["slot_weights"]
+                    self._apply_cluster_layout()
                     return
             except Exception as exc:  # noqa: BLE001 - fall back to Python build
                 import logging
@@ -212,19 +213,27 @@ class SparseIndex:
             for s, (tid, w) in enumerate(items):
                 slot_ids[i, s] = tid
                 slot_w[i, s] = w
-        if self.cluster_layout and len(self.ids):
-            from autorag_research_tpu.ops.sparse import cluster_doc_order
-
-            order = cluster_doc_order(slot_ids, self.doc_freq)
-            slot_ids = slot_ids[order]
-            slot_w = slot_w[order]
-            self.ids = [self.ids[i] for i in order]
-            if getattr(self, "doc_lengths", None) is not None:
-                self.doc_lengths = self.doc_lengths[order]
         self._slot_ids = slot_ids
         self._slot_weights = slot_w
+        self._apply_cluster_layout()
         self._bitmaps_device = None  # layout changed; rebuild lazily
         self._term_tiles = None
+
+    def _apply_cluster_layout(self) -> None:
+        """Reorder docs by rarest term when cluster_layout is set — shared by
+        the native and Python build paths (the native path previously skipped
+        it, silently recording cluster_layout=True for an unclustered index)."""
+        if not (self.cluster_layout and len(self.ids)):
+            return
+        from autorag_research_tpu.ops.sparse import cluster_doc_order
+
+        assert self._slot_ids is not None and self.doc_freq is not None
+        order = cluster_doc_order(self._slot_ids, self.doc_freq)
+        self._slot_ids = self._slot_ids[order]
+        self._slot_weights = self._slot_weights[order]
+        self.ids = [self.ids[i] for i in order]
+        if getattr(self, "doc_lengths", None) is not None:
+            self.doc_lengths = self.doc_lengths[order]
 
     # ---------------------------------------------------------------- queries
     def idf(self, term_id: int) -> float:
@@ -453,10 +462,18 @@ class SparseIndex:
         else:
             from autorag_research_tpu.ops.dense import on_tpu
 
-            skip_family = method in ("auto", "pallas_v2_skip", "pallas_probe")
-            if skip_family and self.tile_skip and (on_tpu() or method == "pallas_probe"):
+            explicit_pruned = method in ("pallas_v2_skip", "pallas_probe")
+            # pruned kernels bump their internal block_n to hold k, which
+            # would disagree with the host-side tile aux built at 2048 —
+            # beyond that, route to the plain kernels (correctness)
+            pruned_ok = min(k, self.n_docs) <= 2048
+            if pruned_ok and (
+                explicit_pruned or (method == "auto" and self.tile_skip and on_tpu())
+            ):
                 scores, rows = self._search_pruned(q_ids, q_w, doc_ids, doc_w, k, method)
             else:
+                if explicit_pruned:
+                    method = "auto"  # k too large for the pruned tile aux
                 scores, rows = bm25_topk(
                     jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w, k, method=method
                 )

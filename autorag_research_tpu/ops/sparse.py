@@ -276,6 +276,28 @@ def bm25_topk_pallas_v2(
     )
 
 
+def _slot_match_scores(qid_ref, qw_ref, tid, tw, bq, n_query_terms):
+    """Shared term-major slot-match scoring loop: per term t, compare ALL bq
+    queries' t-th term against the doc tile at once. Used verbatim by the
+    v2, v2_skip, and probe kernels — the skip/probe kernels' bit-parity with
+    v2 depends on this being ONE implementation."""
+
+    def term_body(t, scores):
+        # qid/qw column t for every query, read as bq SMEM scalars into a
+        # stacked comparison — still scalar reads (Mosaic-safe), one wide op
+        contribs = []
+        for b in range(bq):  # static unroll over the small query tile
+            term_id = qid_ref[b, t]
+            term_w = qw_ref[b, t]
+            c = jnp.sum(jnp.where(tid == term_id, tw, 0.0), axis=1) * term_w  # [BN]
+            contribs.append(c)
+        return scores + jnp.stack(contribs, axis=0)  # [bq, BN]
+
+    return jax.lax.fori_loop(
+        0, n_query_terms, term_body, jnp.zeros((bq, tid.shape[0]), jnp.float32)
+    )
+
+
 def _bm25_kernel_v2(
     qid_ref,  # SMEM [bq, T] int32
     qw_ref,   # SMEM [bq, T] f32
@@ -299,21 +321,7 @@ def _bm25_kernel_v2(
 
     tid = tid_ref[:]  # [BN, L]
     tw = tw_ref[:]
-
-    def term_body(t, scores):
-        # qid/qw column t for every query, read as bq SMEM scalars into a
-        # stacked comparison — still scalar reads (Mosaic-safe), one wide op
-        contribs = []
-        for b in range(bq):  # static unroll over the small query tile
-            term_id = qid_ref[b, t]
-            term_w = qw_ref[b, t]
-            c = jnp.sum(jnp.where(tid == term_id, tw, 0.0), axis=1) * term_w  # [BN]
-            contribs.append(c)
-        return scores + jnp.stack(contribs, axis=0)  # [bq, BN]
-
-    scores = jax.lax.fori_loop(
-        0, n_query_terms, term_body, jnp.zeros((bq, tid.shape[0]), jnp.float32)
-    )
+    scores = _slot_match_scores(qid_ref, qw_ref, tid, tw, bq, n_query_terms)
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block_n
     scores = jnp.where(col < n, scores, NEG_INF)
 
@@ -331,8 +339,6 @@ def _bm25_kernel_v2(
         out_s_ref[:] = acc_s[:]
         out_i_ref[:] = acc_i[:]
 
-
-BITMAP_WORDS = 4096  # fallback per-tile filter size (int32 words)
 
 # Knuth-style odd multipliers for the 4 Bloom probes. A single-probe bitmap
 # saturates: ~30k distinct terms/tile over 128k bits is 0.21 density, and the
@@ -515,19 +521,7 @@ def _bm25_kernel_v2_skip(
     def _score():
         tid = tid_ref[:]
         tw = tw_ref[:]
-
-        def term_body(t, scores):
-            contribs = []
-            for b in range(bq):
-                term_id = qid_ref[b, t]
-                term_w = qw_ref[b, t]
-                c = jnp.sum(jnp.where(tid == term_id, tw, 0.0), axis=1) * term_w
-                contribs.append(c)
-            return scores + jnp.stack(contribs, axis=0)
-
-        scores = jax.lax.fori_loop(
-            0, n_query_terms, term_body, jnp.zeros((bq, tid.shape[0]), jnp.float32)
-        )
+        scores = _slot_match_scores(qid_ref, qw_ref, tid, tw, bq, n_query_terms)
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block_n
         scores = jnp.where(col < n, scores, NEG_INF)
         if positive_only:
@@ -744,19 +738,7 @@ def _bm25_kernel_probe(
 
         tid = tid_ref[:]
         tw = tw_ref[:]
-
-        def term_body(t, scores):
-            contribs = []
-            for b in range(bq):
-                term_id = qid_ref[b, t]
-                term_w = qw_ref[b, t]
-                c = jnp.sum(jnp.where(tid == term_id, tw, 0.0), axis=1) * term_w
-                contribs.append(c)
-            return scores + jnp.stack(contribs, axis=0)
-
-        scores = jax.lax.fori_loop(
-            0, n_query_terms, term_body, jnp.zeros((bq, tid.shape[0]), jnp.float32)
-        )
+        scores = _slot_match_scores(qid_ref, qw_ref, tid, tw, bq, n_query_terms)
         col = (
             jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             + cand_ref[i, j] * block_n
@@ -809,7 +791,15 @@ def bm25_topk_pallas_probe(
     slots_pad = _round_up(slots, 128)
     bq = min(block_q, _round_up(bsz, 8))
     bsz_pad = _round_up(bsz, bq)
-    block_n = max(block_n, _round_up(k_eff, 128))
+    if _round_up(k_eff, 128) > block_n:
+        # bumping block_n to hold k would silently re-tile the corpus at a
+        # granularity the caller's cand lists were NOT built for (wrong doc
+        # ranges, missing hits) — refuse instead
+        raise ValueError(
+            f"k={k_eff} needs block_n >= {_round_up(k_eff, 128)} but candidate "
+            f"tiles were built at block_n={block_n}; rebuild the term->tile "
+            "lists at the larger block size or use a full-scan method"
+        )
     n_pad = _round_up(n, block_n)
     q_tiles, cap = cand.shape
     if q_tiles != bsz_pad // bq:

@@ -74,6 +74,10 @@ class _Batcher:
         self.max_batch = max_batch
         self.jobs: queue.Queue[_SearchJob] = queue.Queue()
         self._inflight = threading.Semaphore(max(1, max_inflight))
+        # the FIRST batch runs alone: it triggers registry.get_or_build +
+        # lazy to_device + jit compile, none of which are safe to race from
+        # two batch threads (duplicate multi-GB index builds, torn caches)
+        self._warmed = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._stop = False
         self._thread.start()
@@ -111,6 +115,9 @@ class _Batcher:
                 except queue.Empty:
                     break
             self._inflight.acquire()
+            if not self._warmed.is_set():
+                self._run_batch(batch)  # synchronous: build/compile once
+                continue
             threading.Thread(
                 target=self._run_batch, args=(batch,), daemon=True
             ).start()
@@ -133,6 +140,7 @@ class _Batcher:
                 job.error = f"{type(exc).__name__}: {exc}"
         finally:
             self._inflight.release()
+            self._warmed.set()
             for job in batch:
                 job.done.set()
 

@@ -675,3 +675,24 @@ def test_search_pruned_route_decision(monkeypatch):
     s2, r2 = idx._search_pruned(q_ids, q_w, doc_ids, doc_w, 3, "auto")
     assert routed[-1] == "skip"
     assert idx.ids.index("d7") in np.asarray(r2)[0]
+
+
+def test_cluster_layout_applies_on_every_build_path():
+    """cluster_layout must physically reorder docs whichever builder ran
+    (the native C++ path previously skipped the reorder while still
+    persisting cluster_layout=True)."""
+    # ascii corpus -> native path when the lib is available; rare term on
+    # scattered docs must come back contiguous
+    docs = []
+    for i in range(64):
+        text = f"common{i % 4} filler word"
+        if i % 7 == 0:
+            text += " raregem"
+        docs.append(text)
+    ids = [f"d{i}" for i in range(64)]
+    idx = SparseIndex(ids, docs, tokenizer="simple", cluster_layout=True)
+    rare_rows = [j for j, d in enumerate(docs) if "raregem" in d]
+    pos = [idx.ids.index(f"d{j}") for j in rare_rows]
+    assert max(pos) - min(pos) == len(pos) - 1, (
+        "docs sharing the rarest term must be contiguous after cluster_layout"
+    )
