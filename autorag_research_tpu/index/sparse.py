@@ -431,6 +431,12 @@ class SparseIndex:
         if self._device is None and self._device_buckets is None:
             self.to_device()
         q_ids, q_w = self.encode_queries(queries)
+        if method in ("pallas_v2_skip", "pallas_probe") and (
+            self._device_buckets is not None or getattr(self, "_mesh", None) is not None
+        ):
+            # pruned kernels exist only on the flat single-device path; on a
+            # bucketed or mesh-sharded index fall back like the k-gate does
+            method = "auto"
         if self._device_buckets is not None:
             scores, rows = self._search_bucketed(q_ids, q_w, k, method)
             k_eff = min(k, self.n_docs)

@@ -474,10 +474,12 @@ def maxsim_topk(queries, query_lens, docs, doc_lens, k, method: str = "auto"):
             method = "pallas_v2"
         else:
             method = "xla"
-    if method == "pallas":
-        return maxsim_topk_pallas(queries, query_lens, docs, doc_lens, k)
-    if method == "pallas_v2":
-        return maxsim_topk_pallas_v2(queries, query_lens, docs, doc_lens, k)
+    if method in ("pallas", "pallas_v2"):
+        from autorag_research_tpu.ops.dense import on_tpu
+
+        kernel = maxsim_topk_pallas if method == "pallas" else maxsim_topk_pallas_v2
+        # off-TPU an explicit pallas request runs the interpreter (tests)
+        return kernel(queries, query_lens, docs, doc_lens, k, interpret=not on_tpu())
     if method == "xla":
         return maxsim_topk_xla(queries, query_lens, docs, doc_lens, k)
     raise ValueError(f"unknown maxsim method: {method}")

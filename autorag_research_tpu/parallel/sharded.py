@@ -204,17 +204,16 @@ def sharded_maxsim_topk(
     """Global MaxSim top-k over a corpus-sharded multi-vector index; same
     per-shard + all_gather merge pattern as :func:`sharded_dense_topk`
     (padding docs carry doc_lens == 0 and are masked by the local kernel)."""
-    from autorag_research_tpu.ops.maxsim import maxsim_topk_pallas, maxsim_topk_xla
+    from autorag_research_tpu.ops.maxsim import maxsim_topk
 
-    if method == "auto":
-        method = "xla"  # see maxsim_topk: XLA scan is the measured winner
-    kernel = maxsim_topk_pallas if method == "pallas" else maxsim_topk_xla
     n_shards = mesh.shape[CORPUS_AXIS]
     shard_rows = docs.shape[0] // n_shards
     k_eff = min(k, n_total)
 
     def local_search(q, qlens, d_shard, dlens_shard):
-        scores, local_ids = kernel(q, qlens, d_shard, dlens_shard, k_eff)
+        # one dispatch rule for both paths: maxsim_topk's measured auto
+        # routing (f32 td<=256 on TPU -> pallas_v2 bn=16, else XLA scan)
+        scores, local_ids = maxsim_topk(q, qlens, d_shard, dlens_shard, k_eff, method=method)
         offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
         gids = local_ids + offset
         valid = (gids < n_total) & (local_ids < shard_rows)

@@ -165,8 +165,9 @@ class FlagLLMReranker(BaseReranker):
         import torch
 
         tok, model = self._load(self.checkpoint)
-        yes_id = tok("Yes", add_special_tokens=False)["input_ids"][0]
-        no_id = tok("No", add_special_tokens=False)["input_ids"][0]
+        # FlagEmbedding scores with the raw Yes-token logit alone (last sub-token
+        # when 'Yes' splits) — softmax over (Yes,No) is NOT order-equivalent.
+        yes_id = tok("Yes", add_special_tokens=False)["input_ids"][-1]
         scores: list[float] = []
         with torch.no_grad():
             for i in range(0, len(texts), self.batch_size):
@@ -181,8 +182,7 @@ class FlagLLMReranker(BaseReranker):
                 last = enc["attention_mask"].sum(dim=1) - 1
                 rows = torch.arange(len(batch))
                 final = logits[rows, last]
-                pair = torch.stack([final[:, yes_id], final[:, no_id]], dim=1)
-                scores.extend(torch.softmax(pair, 1)[:, 0].tolist())
+                scores.extend(final[:, yes_id].tolist())
         return self._finalize(
             [(i, t, float(s)) for i, (t, s) in enumerate(zip(texts, scores))], top_k
         )
@@ -196,7 +196,7 @@ class TARTReranker(BaseReranker):
     def __init__(
         self,
         checkpoint: str,
-        instruction: str = "Retrieve a passage that answers the question",
+        instruction: str = "Find passage to answer given question",
         batch_size: int = 16,
         max_length: int = 512,
     ):

@@ -135,12 +135,15 @@ class _Batcher:
             results = self.search_batch_fn(queries, top_k)
             for job, hits in zip(batch, results):
                 job.result = hits[: job.top_k]
+            # warm only after a SUCCESSFUL batch: a failed first batch (e.g. a
+            # client-shaped error before the index built) must not unleash
+            # concurrent batches onto an unbuilt index / uncompiled kernel
+            self._warmed.set()
         except Exception as exc:  # noqa: BLE001 - report to each waiter
             for job in batch:
                 job.error = f"{type(exc).__name__}: {exc}"
         finally:
             self._inflight.release()
-            self._warmed.set()
             for job in batch:
                 job.done.set()
 

@@ -223,6 +223,21 @@ class TestBucketedLayout:
                 (x.doc_id, round(x.score, 5)) for x in b
             ]
 
+    def test_explicit_pruned_method_falls_back_on_bucketed(self):
+        """Pruned kernels exist only on the flat path; an explicit
+        method='pallas_probe'/'pallas_v2_skip' on a bucketed (or mesh)
+        index must fall back, not raise (ADVICE r2 #3)."""
+        ids, docs = self.make_skewed()
+        bucketed = SparseIndex(ids, docs, tokenizer="simple", bucketize=2)
+        queries = ["alpha0 beta1", "term3_2 term7_2"]
+        want = bucketed.search(queries, 5, method="auto")
+        for m in ("pallas_probe", "pallas_v2_skip"):
+            got = bucketed.search(queries, 5, method=m)
+            for a, b in zip(want, got):
+                assert [(x.doc_id, round(x.score, 5)) for x in a] == [
+                    (x.doc_id, round(x.score, 5)) for x in b
+                ]
+
     def test_bucketed_saves_device_memory(self):
         ids, docs = self.make_skewed()
         flat = SparseIndex(ids, docs, tokenizer="simple").to_device()
