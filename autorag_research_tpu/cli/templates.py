@@ -166,6 +166,14 @@ DEFAULT_CONFIGS: dict[str, str] = {
         "type: openai_compat\nmodel: my-model\nbase_url: http://localhost:8000/v1\n"
         "api_key_env: VLLM_API_KEY\n"
     ),
+    "llm/anthropic.yaml": (
+        "type: anthropic\nmodel: claude-sonnet-4-5\n"
+        "# api key read from ANTHROPIC_API_KEY\nmax_tokens: 1024\n"
+    ),
+    "llm/gemini.yaml": (
+        "type: gemini\nmodel: gemini-2.0-flash\n"
+        "# api key read from GOOGLE_API_KEY\nmax_tokens: 1024\n"
+    ),
     "embedding/mock.yaml": "type: mock\ndim: 64\n",
     "embedding/jax_encoder.yaml": (
         "type: jax_encoder\nhidden: 256\nlayers: 4\nheads: 4\nout_dim: 128\n"

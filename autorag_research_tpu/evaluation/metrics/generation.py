@@ -123,6 +123,20 @@ def _ngram_counts(tokens: Sequence[str], max_order: int) -> list[Counter]:
     ]
 
 
+_BLEU_SMOOTH_DEFAULTS: dict[str, float | None] = {
+    "floor": 0.1,
+    "add-k": 1.0,
+    "exp": None,
+    "none": None,
+}
+
+
+def _my_log(num: float) -> float:
+    # sacrebleu's my_log: log(0) stands in as a huge negative (not -inf) so
+    # exp(sum/eff_order) underflows to exactly 0.0 the same way
+    return -9999999999.0 if num == 0.0 else math.log(num)
+
+
 def sentence_bleu(
     hypothesis: str,
     references: list[str],
@@ -131,15 +145,20 @@ def sentence_bleu(
     smooth_value: float | None = None,
     effective_order: bool = True,
 ) -> float:
-    """Sentence BLEU on the sacrebleu model: clipped n-gram precision against
-    the union-max of references, brevity penalty vs the closest reference
-    length, 'exp'/'floor'/'add-k'/'none' smoothing, 0-100 scale."""
+    """Sentence BLEU, bit-parity with ``sacrebleu.BLEU.sentence_score``
+    (fuzz-verified in ``tests/test_reference_oracle_generation.py``): clipped
+    n-gram precision against the union-max of references, brevity penalty vs
+    the closest reference length, 'exp'/'floor'/'add-k'/'none' smoothing
+    (add-k applies only to orders n>1), early zero when NO order matches,
+    0-100 scale. Reference role: ``generation.py:1004-1044``."""
+    if smooth_value is None:
+        smooth_value = _BLEU_SMOOTH_DEFAULTS[smooth_method]
     hyp = _tokenize_13a(hypothesis)
     refs = [_tokenize_13a(r) for r in references if r is not None]
     if not refs:
         return 0.0
-    hyp_len = len(hyp)
-    ref_len = min((abs(len(r) - hyp_len), len(r)) for r in refs)[1] if hyp_len else min(len(r) for r in refs)
+    sys_len = len(hyp)
+    ref_len = min((abs(len(r) - sys_len), len(r)) for r in refs)[1]
 
     hyp_counts = _ngram_counts(hyp, max_ngram_order)
     max_ref_counts: list[Counter] = [Counter() for _ in range(max_ngram_order)]
@@ -148,44 +167,38 @@ def sentence_bleu(
             for ng, c in counts.items():
                 if c > max_ref_counts[n][ng]:
                     max_ref_counts[n][ng] = c
+    correct: list[float] = [
+        float(sum(min(c, max_ref_counts[n][ng]) for ng, c in hyp_counts[n].items()))
+        for n in range(max_ngram_order)
+    ]
+    total: list[float] = [float(max(sys_len - n, 0)) for n in range(max_ngram_order)]
 
-    log_precisions = []
-    smooth_mult = 1.0
-    orders_used = 0
-    for n in range(max_ngram_order):
-        total = max(hyp_len - n, 0)
-        if total == 0:
-            if effective_order:
-                break
-            log_precisions.append(math.log(1e-16))
-            continue
-        orders_used += 1
-        match = sum(min(c, max_ref_counts[n][ng]) for ng, c in hyp_counts[n].items())
-        if match == 0:
-            if smooth_method == "exp":
-                smooth_mult *= 2.0
-                precision = 100.0 / (smooth_mult * total)
-            elif smooth_method == "floor":
-                precision = 100.0 * (smooth_value if smooth_value is not None else 0.1) / total
-            elif smooth_method == "add-k":
-                k = smooth_value if smooth_value is not None else 1.0
-                precision = 100.0 * (match + k) / (total + k)
-            else:  # "none"
-                return 0.0
-        else:
-            if smooth_method == "add-k":
-                k = smooth_value if smooth_value is not None else 1.0
-                precision = 100.0 * (match + k) / (total + k)
-            else:
-                precision = 100.0 * match / total
-        log_precisions.append(math.log(precision))
-
-    if not log_precisions or hyp_len == 0:
+    bp = 1.0
+    if sys_len < ref_len:
+        bp = math.exp(1 - ref_len / sys_len) if sys_len > 0 else 0.0
+    if not any(correct):  # no match at any order -> 0 regardless of smoothing
         return 0.0
-    score = math.exp(sum(log_precisions) / len(log_precisions))
-    if hyp_len < ref_len:
-        score *= math.exp(1 - ref_len / hyp_len) if hyp_len > 0 else 0.0
-    return score
+
+    precisions = [0.0] * max_ngram_order
+    smooth_mteval = 1.0
+    eff_order = max_ngram_order
+    for n in range(1, max_ngram_order + 1):
+        if smooth_method == "add-k" and n > 1:
+            correct[n - 1] += smooth_value
+            total[n - 1] += smooth_value
+        if total[n - 1] == 0:
+            break
+        if effective_order:
+            eff_order = n
+        if correct[n - 1] == 0:
+            if smooth_method == "exp":
+                smooth_mteval *= 2.0
+                precisions[n - 1] = 100.0 / (smooth_mteval * total[n - 1])
+            elif smooth_method == "floor":
+                precisions[n - 1] = 100.0 * smooth_value / total[n - 1]
+        else:
+            precisions[n - 1] = 100.0 * correct[n - 1] / total[n - 1]
+    return bp * math.exp(sum(_my_log(p) for p in precisions[:eff_order]) / eff_order)
 
 
 @metric_loop(fields_to_check=["generation_gt", "generated_texts"])
@@ -245,9 +258,93 @@ def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
     return prev[-1]
 
 
-def rouge_score_single(
-    target: str, prediction: str, rouge_type: str = "rougeL", use_stemmer: bool = False
+def _lcs_indices(ref: Sequence[str], can: Sequence[str]) -> list[int]:
+    """Indices into ``ref`` of one LCS, with rouge_score's backtrack
+    tie-break (prefer shrinking the candidate when t[i][j-1] > t[i-1][j])."""
+    n, m = len(ref), len(can)
+    t = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            if ref[i - 1] == can[j - 1]:
+                t[i][j] = t[i - 1][j - 1] + 1
+            else:
+                t[i][j] = max(t[i - 1][j], t[i][j - 1])
+    out: list[int] = []
+    i, j = n, m
+    while i > 0 and j > 0:
+        if ref[i - 1] == can[j - 1]:
+            out.insert(0, i - 1)
+            i -= 1
+            j -= 1
+        elif t[i][j - 1] > t[i - 1][j]:
+            j -= 1
+        else:
+            i -= 1
+    return out
+
+
+def _summary_level_lcs(
+    ref_sents: list[list[str]], can_sents: list[list[str]]
 ) -> float:
+    """rouge_score ``_summary_level_lcs`` mirror (ROUGE paper §3.2 with the
+    v1.5.5 double-counting fix): per reference sentence, union-LCS against
+    all candidate sentences; hits consume per-token budgets on both sides."""
+    if not ref_sents or not can_sents:
+        return 0.0
+    m = sum(map(len, ref_sents))
+    n = sum(map(len, can_sents))
+    if not n or not m:
+        return 0.0
+    token_cnts_r: Counter = Counter()
+    token_cnts_c: Counter = Counter()
+    for s in ref_sents:
+        token_cnts_r.update(s)
+    for s in can_sents:
+        token_cnts_c.update(s)
+    hits = 0
+    for r in ref_sents:
+        union = sorted(set().union(*[set(_lcs_indices(r, c)) for c in can_sents]))
+        for idx in union:
+            tok = r[idx]
+            if token_cnts_c[tok] > 0 and token_cnts_r[tok] > 0:
+                hits += 1
+                token_cnts_c[tok] -= 1
+                token_cnts_r[tok] -= 1
+    return _f_measure(hits, n, m)
+
+
+def _split_sentences(text: str, split_summaries: bool) -> list[str]:
+    if split_summaries:
+        try:
+            import nltk
+
+            return [s for s in nltk.sent_tokenize(text) if s]
+        except (ImportError, LookupError):
+            return [s for s in re.split(r"(?<=[.!?])\s+", text) if s]
+    return [s for s in text.split("\n") if s]
+
+
+def rouge_score_single(
+    target: str,
+    prediction: str,
+    rouge_type: str = "rougeL",
+    use_stemmer: bool = False,
+    split_summaries: bool = False,
+) -> float:
+    """One (target, prediction) ROUGE f-measure, bit-parity with
+    ``rouge_score.RougeScorer`` + ``DefaultTokenizer(use_stemmer)``
+    (fuzz-verified in ``tests/test_reference_oracle_generation.py``).
+    Reference role: ``generation.py:1079-1121``."""
+    if rouge_type in ("rougeLsum", "rougeLSum"):
+        t_sents = [
+            _rouge_tokens(s, use_stemmer)
+            for s in _split_sentences(target, split_summaries)
+        ]
+        p_sents = [
+            _rouge_tokens(s, use_stemmer)
+            for s in _split_sentences(prediction, split_summaries)
+        ]
+        return _summary_level_lcs(t_sents, p_sents)
     t = _rouge_tokens(target, use_stemmer)
     p = _rouge_tokens(prediction, use_stemmer)
     if rouge_type == "rouge1" or rouge_type == "rouge2":
@@ -256,19 +353,7 @@ def rouge_score_single(
         p_ngrams = Counter(tuple(p[i : i + n]) for i in range(len(p) - n + 1))
         matches = sum(min(c, t_ngrams[ng]) for ng, c in p_ngrams.items())
         return _f_measure(matches, sum(p_ngrams.values()), sum(t_ngrams.values()))
-    if rouge_type in ("rougeL", "rougeLsum", "rougeLSum"):
-        if rouge_type != "rougeL":
-            # sentence-split variant: union LCS over newline-separated sentences
-            t_sents = [s for s in target.split("\n") if s.strip()]
-            p_sents = [s for s in prediction.split("\n") if s.strip()]
-            if not t_sents or not p_sents:
-                return 0.0
-            # token-level union LCS (rouge_score's rougeLsum approximation)
-            matches = sum(
-                _lcs_len(_rouge_tokens(ts, use_stemmer), p) for ts in t_sents
-            )
-            t_total = sum(len(_rouge_tokens(ts, use_stemmer)) for ts in t_sents)
-            return _f_measure(min(matches, len(p)), len(p), t_total)
+    if rouge_type == "rougeL":
         matches = _lcs_len(t, p)
         return _f_measure(matches, len(p), len(t))
     raise ValueError(f"unknown rouge_type: {rouge_type}")
@@ -279,12 +364,13 @@ def rouge(
     metric_inputs: list[MetricInput],
     rouge_type: str | None = "rougeL",
     use_stemmer: bool = False,
+    split_summaries: bool = False,
     **_: Any,
 ) -> list[float]:
     rt = rouge_type or "rougeL"
     return [
         max(
-            rouge_score_single(ref, mi.generated_texts or "", rt, use_stemmer)
+            rouge_score_single(ref, mi.generated_texts or "", rt, use_stemmer, split_summaries)
             for ref in (mi.generation_gt or [""])
         )
         for mi in metric_inputs
@@ -311,13 +397,105 @@ def _stem(token: str) -> str:
     return stemmer.stem(token)
 
 
-def _wordnet_synsets(token: str) -> set[str]:
+def _wordnet_synonyms(token: str) -> set[str]:
+    """Single-word synonym set for METEOR's third stage (empty when the
+    wordnet corpus is absent in this offline image)."""
     try:
         from nltk.corpus import wordnet
 
-        return {lemma.name() for syn in wordnet.synsets(token) for lemma in syn.lemmas()}
-    except LookupError:
-        return set()
+        return {
+            lemma.name()
+            for syn in wordnet.synsets(token)
+            for lemma in syn.lemmas()
+            if "_" not in lemma.name()
+        } | {token}
+    except (LookupError, ImportError):
+        return {token}
+
+
+def _meteor_tokenize(text: str) -> list[str]:
+    """The reference meteor path tokenizes with nltk ``word_tokenize``
+    (via HF evaluate); punkt data is absent offline, so fall back to the
+    data-free Treebank tokenizer, then to a regex split without nltk."""
+    try:
+        import nltk
+
+        try:
+            return nltk.word_tokenize(text)
+        except LookupError:
+            from nltk.tokenize.treebank import TreebankWordTokenizer
+
+            return TreebankWordTokenizer().tokenize(text)
+    except ImportError:
+        return re.findall(r"\w+|[^\w\s]", text)
+
+
+def _meteor_align(
+    hyp: list[str], ref: list[str]
+) -> list[tuple[int, int]]:
+    """nltk ``_enum_align_words`` mirror: exact, then Porter-stem, then
+    wordnet-synonym stages; each stage scans the hypothesis in REVERSE and
+    matches to the highest still-unused reference position (this exact
+    pairing determines the chunk count, so it must match nltk bit-for-bit)."""
+
+    def match_enums(h_enum, r_enum, key):
+        from collections import defaultdict
+
+        ref_positions: dict[str, list[int]] = defaultdict(list)
+        for j, (_, w) in enumerate(r_enum):
+            ref_positions[key(w)].append(j)
+        pairs, used_h, used_r = [], set(), set()
+        for i in range(len(h_enum))[::-1]:
+            positions = ref_positions.get(key(h_enum[i][1]))
+            if positions:
+                j = positions.pop()
+                used_h.add(i)
+                used_r.add(j)
+                pairs.append((h_enum[i][0], r_enum[j][0]))
+        return (
+            pairs,
+            [p for i, p in enumerate(h_enum) if i not in used_h],
+            [p for j, p in enumerate(r_enum) if j not in used_r],
+        )
+
+    def syn_match(h_enum, r_enum):
+        from collections import defaultdict
+
+        ref_positions: dict[str, list[int]] = defaultdict(list)
+        for j, (_, w) in enumerate(r_enum):
+            ref_positions[w].append(j)
+        pairs, used_h, used_r = [], set(), set()
+        for i in range(len(h_enum))[::-1]:
+            best_j, best_word = -1, None
+            for syn in _wordnet_synonyms(h_enum[i][1]):
+                positions = ref_positions.get(syn)
+                if positions and positions[-1] > best_j:
+                    best_j, best_word = positions[-1], syn
+            if best_word is not None:
+                ref_positions[best_word].pop()
+                used_h.add(i)
+                used_r.add(best_j)
+                pairs.append((h_enum[i][0], r_enum[best_j][0]))
+        return (
+            pairs,
+            [p for i, p in enumerate(h_enum) if i not in used_h],
+            [p for j, p in enumerate(r_enum) if j not in used_r],
+        )
+
+    h_enum = list(enumerate(hyp))
+    r_enum = list(enumerate(ref))
+    exact, h_enum, r_enum = match_enums(h_enum, r_enum, lambda w: w)
+    stem, h_enum, r_enum = match_enums(h_enum, r_enum, _stem)
+    syn, h_enum, r_enum = syn_match(h_enum, r_enum)
+    return sorted(exact + stem + syn)
+
+
+class _NoWordnet:
+    """Stand-in wordnet corpus reader when the data package is absent."""
+
+    @staticmethod
+    def synsets(_word):
+        return []
 
 
 def meteor_single(
@@ -327,49 +505,56 @@ def meteor_single(
     beta: float = 3.0,
     gamma: float = 0.5,
 ) -> float:
-    """Alignment-based METEOR: greedy stage-wise matching (exact, stem,
-    wordnet-synonym when data available), fragmentation penalty."""
-    hyp = prediction.lower().split()
-    ref = reference.lower().split()
-    if not hyp or not ref:
-        return 0.0
+    """METEOR for one (prediction, reference) pair with nltk
+    ``single_meteor_score`` semantics (the reference delegates there via HF
+    evaluate, ``generation.py:1046-1077``): delegate to nltk when importable
+    (wordnet stage active iff corpus data present), else run the native
+    mirror of its alignment. Fuzz-verified in
+    ``tests/test_reference_oracle_generation.py``."""
+    hyp = _meteor_tokenize(prediction)
+    ref = _meteor_tokenize(reference)
+    try:
+        from nltk.translate.meteor_score import single_meteor_score
 
-    matched_pairs: list[tuple[int, int]] = []
-    hyp_used = [False] * len(hyp)
-    ref_used = [False] * len(ref)
+        try:
+            from nltk.corpus import wordnet
 
-    def stage(match_fn):
-        for i, h in enumerate(hyp):
-            if hyp_used[i]:
-                continue
-            for j, r in enumerate(ref):
-                if ref_used[j]:
-                    continue
-                if match_fn(h, r):
-                    matched_pairs.append((i, j))
-                    hyp_used[i] = True
-                    ref_used[j] = True
-                    break
+            wordnet.synsets("test")  # force the LookupError early if no data
+            wn = wordnet
+        except (LookupError, ImportError):
+            wn = _NoWordnet()
+        return float(
+            single_meteor_score(
+                ref, hyp, wordnet=wn, alpha=alpha, beta=beta, gamma=gamma
+            )
+        )
+    except ImportError:
+        return _meteor_native(hyp, ref, alpha, beta, gamma)
 
-    stage(lambda h, r: h == r)
-    stage(lambda h, r: _stem(h) == _stem(r))
-    stage(lambda h, r: r in _wordnet_synsets(h) or h in _wordnet_synsets(r))
 
-    m = len(matched_pairs)
-    if m == 0:
+def _meteor_native(
+    hyp: list[str], ref: list[str], alpha: float, beta: float, gamma: float
+) -> float:
+    """Native mirror of nltk ``single_meteor_score`` over pre-tokenized
+    inputs (used when nltk is absent; fuzz-checked against nltk in tests)."""
+    hyp = [w.lower() for w in hyp]
+    ref = [w.lower() for w in ref]
+    matches = _meteor_align(hyp, ref)
+    m = len(matches)
+    if m == 0 or not hyp or not ref:
         return 0.0
     precision = m / len(hyp)
     recall = m / len(ref)
-    f_mean = precision * recall / (alpha * precision + (1 - alpha) * recall)
-
-    # chunks: maximal runs contiguous in both hyp and ref order
-    matched_pairs.sort()
+    try:
+        f_mean = precision * recall / (alpha * precision + (1 - alpha) * recall)
+    except ZeroDivisionError:
+        return 0.0
     chunks = 1
-    for (i0, j0), (i1, j1) in zip(matched_pairs, matched_pairs[1:]):
+    for (i0, j0), (i1, j1) in zip(matches, matches[1:]):
         if i1 != i0 + 1 or j1 != j0 + 1:
             chunks += 1
     penalty = gamma * (chunks / m) ** beta
-    return f_mean * (1 - penalty)
+    return (1 - penalty) * f_mean
 
 
 @metric_loop(fields_to_check=["generation_gt", "generated_texts"])
@@ -410,10 +595,97 @@ def sem_score(
     return out
 
 
-_RELEVANCY_PROMPT = (
-    "Generate {n} short questions that the following answer would directly "
-    "answer. Output one question per line with no numbering.\n\nAnswer:\n{answer}"
+# The RAGAS relevance instruction + JSON contract: these strings ARE the
+# compatibility spec — an LLM judged with different wording produces different
+# questions/scores than the reference (generation.py:35-60; originally from
+# the public ragas project).
+RAGAS_RESPONSE_RELEVANCE_INSTRUCTION = (
+    "Generate a question for the given answer and Identify if answer is "
+    "noncommittal. Give noncommittal as 1 if the answer is noncommittal and 0 "
+    "if the answer is committal. A noncommittal answer is one that is evasive, "
+    'vague, or ambiguous. For example, "I don\'t know" or "I\'m not sure" are '
+    "noncommittal answers"
 )
+
+DEFAULT_RESPONSE_RELEVANCY_PROMPT = """Generate a question for the given answer and identify if the answer is noncommittal.
+
+Use this exact instruction:
+{instruction}
+
+Return a JSON object:
+{{
+  "question": "<generated question>",
+  "noncommittal": 0 or 1
+}}
+
+Example input:
+Albert Einstein was born in Germany.
+Example output:
+{{"question":"Where was Albert Einstein born?","noncommittal":0}}
+
+Example input:
+I don't know about the  groundbreaking feature of the smartphone invented in 2023 as am unaware of information beyond 2022.
+Example output:
+{{"question":"What was the groundbreaking feature of the smartphone invented in 2023?","noncommittal":1}}
+
+Input:
+{response}
+"""
+
+_JSON_BLOCK_PATTERN = re.compile(r"\{.*\}", re.DOTALL)
+
+
+def _parse_noncommittal(value: Any) -> int:
+    if isinstance(value, str):
+        return int(value.strip().lower() in {"1", "true", "yes"})
+    return int(bool(value))
+
+
+def _parse_relevancy_output(text: str) -> tuple[str, int]:
+    """Parse the {"question", "noncommittal"} JSON from LLM output, tolerating
+    code fences and surrounding prose (reference ``generation.py:166-196``)."""
+    import json
+
+    candidate = text.strip()
+    if candidate.startswith("```"):
+        candidate = re.sub(r"^```(?:json)?\s*", "", candidate).strip()
+        candidate = re.sub(r"\s*```$", "", candidate).strip()
+    payload: dict[str, Any] = {}
+    try:
+        loaded = json.loads(candidate)
+        if isinstance(loaded, dict):
+            payload = loaded
+    except json.JSONDecodeError:
+        pass
+    if not payload:
+        match = _JSON_BLOCK_PATTERN.search(candidate)
+        if match:
+            try:
+                loaded = json.loads(match.group(0))
+                if isinstance(loaded, dict):
+                    payload = loaded
+            except json.JSONDecodeError:
+                pass
+    question = str(payload.get("question", "")).strip()
+    return question, _parse_noncommittal(payload.get("noncommittal", 0))
+
+
+def _relevancy_score(
+    query: str,
+    questions: list[str],
+    noncommittal_flags: list[int],
+    embedding_model,
+) -> float:
+    """Mean cosine(generated question, actual query), zeroed when every
+    generation was judged noncommittal (reference ``generation.py:198-216``)."""
+    if all(q == "" for q in questions):
+        return 0.0
+    query_vec = np.asarray(embedding_model.embed_query(query), dtype=np.float64)
+    q_vecs = np.asarray(embedding_model.embed_texts(questions), dtype=np.float64)
+    norm = np.linalg.norm(q_vecs, axis=1) * np.linalg.norm(query_vec)
+    cosine = (q_vecs @ query_vec) / norm
+    all_noncommittal = np.all(noncommittal_flags)
+    return float(cosine.mean() * int(not all_noncommittal))
 
 
 @metric_loop(fields_to_check=["query", "generated_texts"])
@@ -421,24 +693,30 @@ def response_relevancy(
     metric_inputs: list[MetricInput],
     llm=None,
     embedding_model=None,
-    question_count: int = 3,
+    strictness: int = 3,
+    prompt_template: str = DEFAULT_RESPONSE_RELEVANCY_PROMPT,
 ) -> list[float]:
-    """RAGAS-style answer relevancy: LLM infers questions from the answer;
-    score = mean cosine(inferred question, actual query)."""
+    """RAGAS-style answer relevancy (reference ``generation.py:1312-1364``):
+    the LLM writes ``strictness`` questions from the answer (JSON protocol
+    with a noncommittal flag); score = mean cosine(question, actual query),
+    zeroed when every sample is noncommittal."""
     if llm is None or embedding_model is None:
         raise ModelLoadError("response_relevancy requires llm and embedding_model")
+    if strictness < 1:
+        raise ValueError("strictness must be >= 1")
 
     async def one(mi: MetricInput) -> float:
-        res = await llm.agenerate(
-            _RELEVANCY_PROMPT.format(n=question_count, answer=mi.generated_texts)
+        import asyncio
+
+        prompt = prompt_template.format(
+            instruction=RAGAS_RESPONSE_RELEVANCE_INSTRUCTION,
+            response=mi.generated_texts,
         )
-        questions = [q.strip() for q in res.text.splitlines() if q.strip()][:question_count]
-        if not questions:
-            return 0.0
-        q_embs = embedding_model.embed_texts(questions)
-        actual = embedding_model.embed_query(mi.query or "")
-        sims = [calculate_cosine_similarity(qe, actual) for qe in q_embs]
-        return float(np.mean(sims))
+        results = await asyncio.gather(*[llm.agenerate(prompt) for _ in range(strictness)])
+        parsed = [_parse_relevancy_output(r.text) for r in results]
+        questions = [q for q, _ in parsed]
+        flags = [f for _, f in parsed]
+        return _relevancy_score(mi.query or "", questions, flags, embedding_model)
 
     async def runner():
         import asyncio

@@ -55,6 +55,19 @@ def _builtin_factories() -> None:
     register_model_type("llm", "vllm", _openai_compat)
     register_model_type("llm", "ollama", _openai_compat)
 
+    def _anthropic(**kw):
+        from autorag_research_tpu.llm.providers import AnthropicLLM
+
+        return AnthropicLLM(**kw)
+
+    def _gemini(**kw):
+        from autorag_research_tpu.llm.providers import GeminiLLM
+
+        return GeminiLLM(**kw)
+
+    register_model_type("llm", "anthropic", _anthropic)
+    register_model_type("llm", "gemini", _gemini)
+
     def _jax_lm(**kw):
         from autorag_research_tpu.llm.jax_lm import JaxLM
         from autorag_research_tpu.models.decoder import DecoderConfig

@@ -7,7 +7,19 @@ def __getattr__(name):
         from autorag_research_tpu.llm.jax_lm import JaxLM
 
         return JaxLM
+    if name in ("AnthropicLLM", "GeminiLLM"):
+        from autorag_research_tpu.llm import providers
+
+        return getattr(providers, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
-__all__ = ["BaseLLM", "LLMResult", "MockLLM", "ScriptedLLM", "JaxLM"]
+__all__ = [
+    "BaseLLM",
+    "LLMResult",
+    "MockLLM",
+    "ScriptedLLM",
+    "JaxLM",
+    "AnthropicLLM",
+    "GeminiLLM",
+]

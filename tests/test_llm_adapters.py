@@ -102,3 +102,107 @@ def test_gated_adapters_import_cleanly():
 
     with pytest.raises(ModelLoadError):
         InfinityEmbedding(base_url="http://127.0.0.1:1", timeout=0.3).embed_texts(["x"])
+
+class TestProviderAdapters:
+    """Anthropic / Gemini adapters through mock transports (egress-blocked
+    image: the HTTP layer is injectable; wire format asserted per provider)."""
+
+    def test_anthropic_request_and_parse(self):
+        from autorag_research_tpu.llm.providers import AnthropicLLM
+
+        seen = {}
+
+        def transport(url, body, headers):
+            seen.update(url=url, body=body, headers=headers)
+            return {
+                "type": "message",
+                "content": [{"type": "text", "text": "claude says hi"}],
+                "usage": {"input_tokens": 7, "output_tokens": 3},
+                "stop_reason": "end_turn",
+            }
+
+        llm = AnthropicLLM(model="claude-sonnet-4-5", api_key="sk-test", transport=transport)
+        out = llm.generate("hello", system="be brief", temperature=0.3)
+        assert out.text == "claude says hi"
+        assert out.token_usage["total_tokens"] == 10
+        assert out.metadata["stop_reason"] == "end_turn"
+        assert seen["url"].endswith("/v1/messages")
+        assert seen["headers"]["x-api-key"] == "sk-test"
+        assert seen["headers"]["anthropic-version"]
+        assert seen["body"]["system"] == "be brief"
+        assert seen["body"]["temperature"] == 0.3
+        assert seen["body"]["messages"] == [{"role": "user", "content": "hello"}]
+
+    def test_anthropic_vision_and_error(self):
+        from autorag_research_tpu.llm.providers import AnthropicLLM
+
+        seen = {}
+
+        def transport(url, body, headers):
+            seen.update(body=body)
+            return {"type": "error", "error": {"type": "invalid_request_error"}}
+
+        llm = AnthropicLLM(api_key="k", transport=transport)
+        with pytest.raises(LLMError):
+            llm.generate("caption this", images=[b"\x89PNGfake"])
+        content = seen["body"]["messages"][0]["content"]
+        assert content[0]["type"] == "image"
+        assert content[0]["source"]["media_type"] == "image/png"
+        assert content[-1] == {"type": "text", "text": "caption this"}
+
+    def test_gemini_request_and_parse(self):
+        from autorag_research_tpu.llm.providers import GeminiLLM
+
+        seen = {}
+
+        def transport(url, body, headers):
+            seen.update(url=url, body=body, headers=headers)
+            return {
+                "candidates": [
+                    {
+                        "content": {"parts": [{"text": "gemini "}, {"text": "answer"}]},
+                        "finishReason": "STOP",
+                    }
+                ],
+                "usageMetadata": {
+                    "promptTokenCount": 5,
+                    "candidatesTokenCount": 2,
+                    "totalTokenCount": 7,
+                },
+            }
+
+        llm = GeminiLLM(model="gemini-2.0-flash", api_key="g-test", transport=transport)
+        out = llm.generate("hello", max_tokens=64)
+        assert out.text == "gemini answer"
+        assert out.token_usage == {
+            "prompt_tokens": 5,
+            "completion_tokens": 2,
+            "total_tokens": 7,
+        }
+        assert seen["url"].endswith("models/gemini-2.0-flash:generateContent")
+        assert seen["headers"]["x-goog-api-key"] == "g-test"
+        assert seen["body"]["generationConfig"]["maxOutputTokens"] == 64
+
+    def test_gemini_blocked_and_error(self):
+        from autorag_research_tpu.llm.providers import GeminiLLM
+
+        llm = GeminiLLM(api_key="k", transport=lambda u, b, h: {"candidates": []})
+        with pytest.raises(LLMError):
+            llm.generate("x")
+        llm2 = GeminiLLM(api_key="k", transport=lambda u, b, h: {"error": {"code": 400}})
+        with pytest.raises(LLMError):
+            llm2.generate("x")
+
+    def test_injection_resolves_provider_types(self, tmp_path):
+        from autorag_research_tpu.injection import ModelRegistry
+
+        (tmp_path / "llm").mkdir()
+        (tmp_path / "llm" / "claude.yaml").write_text(
+            "type: anthropic\nmodel: claude-sonnet-4-5\napi_key: k\n"
+        )
+        (tmp_path / "llm" / "gem.yaml").write_text(
+            "type: gemini\nmodel: gemini-2.0-flash\napi_key: k\n"
+        )
+        reg = ModelRegistry(config_dir=tmp_path, health_check=False)
+        assert type(reg.load_llm("claude")).__name__ == "AnthropicLLM"
+        assert type(reg.load_llm("gem")).__name__ == "GeminiLLM"

@@ -78,17 +78,39 @@ def test_sem_score_with_mock_embedding():
 
 def test_response_relevancy_with_mocks():
     emb = MockEmbedding(dim=32)
-    llm = MockLLM(responder=lambda p: "what is the capital of france\nwhere is paris")
+    llm = MockLLM(
+        responder=lambda p: '{"question": "what is the capital of france", "noncommittal": 0}'
+    )
     out = response_relevancy(
         [mi("Paris is the capital", ["x"], query="what is the capital of france")],
         llm=llm,
         embedding_model=emb,
+        strictness=2,
     )
-    assert out[0] == pytest.approx(
-        # first generated question == query -> sim 1; second is different
-        0.5 * (1.0) + 0.5 * float(emb.embed_query("where is paris") @ emb.embed_query("what is the capital of france")),
-        abs=1e-5,
+    # every generated question == query -> mean cosine 1.0
+    assert out[0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_response_relevancy_noncommittal_zeroes():
+    emb = MockEmbedding(dim=32)
+    llm = MockLLM(
+        responder=lambda p: '{"question": "what is the capital", "noncommittal": 1}'
     )
+    out = response_relevancy(
+        [mi("I don't know", ["x"], query="what is the capital")],
+        llm=llm,
+        embedding_model=emb,
+    )
+    assert out[0] == 0.0
+
+
+def test_response_relevancy_malformed_json_zeroes():
+    emb = MockEmbedding(dim=32)
+    llm = MockLLM(responder=lambda p: "not json at all")
+    out = response_relevancy(
+        [mi("Paris", ["x"], query="q")], llm=llm, embedding_model=emb
+    )
+    assert out[0] == 0.0
 
 
 def test_model_backed_metrics_raise_cleanly():
