@@ -306,7 +306,25 @@ def cmd_train(args) -> int:
         cfg_kwargs["layers"] = args.layers
     config = EncoderConfig(**cfg_kwargs) if cfg_kwargs else None
 
-    if args.model == "cross":
+    if args.model == "lm":
+        from autorag_research_tpu.models.decoder import DecoderConfig
+        from autorag_research_tpu.models.lm_trainer import LMTrainer
+
+        lm_kwargs = {}
+        if args.hidden:
+            lm_kwargs["hidden"] = args.hidden
+        if args.layers:
+            lm_kwargs["layers"] = args.layers
+        if args.seq_len * 2 > DecoderConfig.max_len:
+            lm_kwargs["max_len"] = args.seq_len * 2  # room to decode after a prompt
+        lm_config = DecoderConfig(**lm_kwargs) if lm_kwargs else None
+        trainer = LMTrainer(
+            lm_config, lr=args.lr, batch_size=args.batch_size, seq_len=args.seq_len
+        )
+        report = trainer.train(
+            catalog, epochs=args.epochs, max_steps=args.max_steps, log_every=10
+        )
+    elif args.model == "cross":
         from autorag_research_tpu.models.cross_encoder import CrossEncoderTrainer
 
         trainer = CrossEncoderTrainer(config, lr=args.lr, batch_size=args.batch_size)
@@ -379,9 +397,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", action="store_true", help="shard indexes over all devices")
     p.set_defaults(func=cmd_run)
 
-    p = sub.add_parser("train", help="fine-tune the native encoder on workspace GT")
+    p = sub.add_parser(
+        "train", help="fine-tune the native encoder / cross-encoder / LM on workspace GT"
+    )
     p.add_argument("--db", required=True)
-    p.add_argument("--model", choices=["bi", "cross"], default="bi")
+    p.add_argument("--model", choices=["bi", "cross", "lm"], default="bi")
+    p.add_argument(
+        "--seq-len", type=int, default=256,
+        help="(lm) training sequence budget: prompt + answer bytes",
+    )
     p.add_argument("--out", required=True, help="output params .npz path")
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--max-steps", type=int, default=None)

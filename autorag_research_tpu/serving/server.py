@@ -10,12 +10,14 @@ Stdlib-only (ThreadingHTTPServer): no web framework in the image. Endpoints:
 - ``GET  /health``            -> {"status": "ok", stats...}
 - ``POST /search``            {"query" | "queries", "pipeline"?, "top_k"?}
                               -> {"results": [[{doc_id, score, content?}]]}
-- ``POST /generate``          {"query", "pipeline"?, "top_k"?}
-                              -> {"text", "context_chunk_ids", "token_usage"}
+- ``POST /generate``          {"query" | "queries", "pipeline"?, "top_k"?}
+                              -> {"text", ...} | {"results": [...]}
 
 Micro-batching: concurrent /search requests within ``batch_window_ms``
 coalesce into one device batch (the TPU kernels are batch-first, so batching
-is nearly free throughput).
+is nearly free throughput). /generate batches the same way for pipelines
+with a ``generate_batch_by_texts`` path (basic_rag): one batched retrieval +
+one batched decode — with ``JaxLM`` batch-32 decode is 6x batch-1.
 """
 
 from __future__ import annotations
@@ -133,8 +135,10 @@ class _Batcher:
             bucket = 1 << (len(queries) - 1).bit_length()
             queries += [queries[-1]] * (bucket - len(queries))
             results = self.search_batch_fn(queries, top_k)
-            for job, hits in zip(batch, results):
-                job.result = hits[: job.top_k]
+            for job, res in zip(batch, results):
+                # search results are hit lists (truncate to the job's own k);
+                # generation results are per-query dicts
+                job.result = res[: job.top_k] if isinstance(res, list) else res
             # warm only after a SUCCESSFUL batch: a failed first batch (e.g. a
             # client-shaped error before the index built) must not unleash
             # concurrent batches onto an unbuilt index / uncompiled kernel
@@ -171,6 +175,14 @@ class ServingHandle:
             name: _Batcher(self._make_batch_fn(pipe), batch_window_ms)
             for name, pipe in retrieval_pipelines.items()
         }
+        # generation micro-batching: pipelines exposing a batched text path
+        # (basic_rag-shaped: one retrieval + one LLM call) coalesce like
+        # /search; agentic pipelines keep the single-query path
+        self._gen_batchers = {
+            name: _Batcher(self._make_gen_batch_fn(pipe), batch_window_ms, max_batch=32)
+            for name, pipe in self.generation_pipelines.items()
+            if hasattr(pipe, "generate_batch_by_texts")
+        }
         self._server: ThreadingHTTPServer | None = None
         self.started = time.time()
         self.requests_served = 0
@@ -180,6 +192,20 @@ class ServingHandle:
             # device pipelines run the whole micro-batch as ONE embed + ONE
             # kernel launch; the base-class fallback fans out per query
             return pipeline._retrieve_batch_by_texts(queries, top_k)
+
+        return run_batch
+
+    def _make_gen_batch_fn(self, pipeline):
+        def run_batch(queries: list[str], top_k: int) -> list[dict]:
+            results = pipeline.generate_batch_by_texts(queries, top_k)
+            return [
+                {
+                    "text": r.text,
+                    "token_usage": r.token_usage,
+                    "metadata": r.metadata,
+                }
+                for r in results
+            ]
 
         return run_batch
 
@@ -208,6 +234,34 @@ class ServingHandle:
                     {**h, "content": lookup.get(h["doc_id"])} for h in hits
                 ]
             out.append(hits)
+        self.requests_served += len(queries)
+        return out
+
+    def generate_batch(
+        self, queries: list[str], top_k: int = 5, pipeline: str | None = None
+    ) -> list[dict]:
+        """Micro-batched generation: concurrent requests coalesce into one
+        batched retrieval + one batched decode (6x decode throughput with
+        ``JaxLM`` at batch 32 vs 1). Falls back to sequential single-query
+        generation for pipelines without a batch path."""
+        if not self.generation_pipelines:
+            raise KeyError("no generation pipelines are being served")
+        name = pipeline or next(iter(self.generation_pipelines))
+        if name not in self.generation_pipelines:
+            raise KeyError(f"unknown generation pipeline '{name}'")
+        batcher = self._gen_batchers.get(name)
+        if batcher is None:
+            return [self.generate(q, top_k, name) for q in queries]
+        jobs = [_SearchJob(q, top_k) for q in queries]
+        for job in jobs:
+            batcher.submit(job)
+        out = []
+        for job in jobs:
+            if not job.done.wait(timeout=600):
+                raise RuntimeError("generate timed out (compile in progress?); retry")
+            if job.error:
+                raise RuntimeError(job.error)
+            out.append(job.result)
         self.requests_served += len(queries)
         return out
 
@@ -307,12 +361,23 @@ class ServingHandle:
                         )
                         self._send(200, {"results": results})
                     elif self.path == "/generate":
-                        out = handle.generate(
-                            payload["query"],
-                            top_k=int(payload.get("top_k", 5)),
-                            pipeline=payload.get("pipeline"),
-                        )
-                        self._send(200, out)
+                        queries = payload.get("queries")
+                        if queries is not None:
+                            outs = handle.generate_batch(
+                                queries,
+                                top_k=int(payload.get("top_k", 5)),
+                                pipeline=payload.get("pipeline"),
+                            )
+                            self._send(200, {"results": outs})
+                        else:
+                            # single queries still ride the micro-batcher so
+                            # CONCURRENT /generate requests share one decode
+                            out = handle.generate_batch(
+                                [payload["query"]],
+                                top_k=int(payload.get("top_k", 5)),
+                                pipeline=payload.get("pipeline"),
+                            )[0]
+                            self._send(200, out)
                     else:
                         self._send(404, {"error": f"unknown path {self.path}"})
                 except KeyError as exc:
@@ -338,6 +403,8 @@ class ServingHandle:
 
     def stop(self) -> None:
         for b in self._batchers.values():
+            b.stop()
+        for b in self._gen_batchers.values():
             b.stop()
         if self._server is not None:
             self._server.shutdown()

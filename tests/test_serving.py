@@ -103,6 +103,47 @@ def test_generate_known_and_adhoc(handle):
     assert handle.catalog.count("query") == before
 
 
+def test_generate_batched_endpoint(handle):
+    """/generate with a queries list returns per-query results through ONE
+    micro-batched retrieval+decode; single queries ride the same batcher."""
+    code, data = post(
+        handle,
+        "/generate",
+        {"queries": ["capital of France", "something else entirely"]},
+    )
+    assert code == 200
+    texts = [r["text"] for r in data["results"]]
+    assert texts == ["Paris", "unknown"]
+    assert all("context_chunk_ids" in r["metadata"] for r in data["results"])
+
+
+def test_generate_batch_uses_batch_llm(tmp_path):
+    """A batch-capable LLM (JaxLM-shaped) gets ONE generate_batch call for a
+    coalesced micro-batch, not N agenerate calls."""
+    registry.invalidate()
+    cat = Catalog(tmp_path / "gb.db")
+    cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(DOCS)])
+    bm25 = BM25Pipeline(cat, "bm25_gb")
+
+    calls = []
+
+    class BatchLLM(MockLLM):
+        def generate_batch(self, prompts):
+            calls.append(len(prompts))
+            return ["ans"] * len(prompts)
+
+    rag = BasicRAGPipeline(cat, "rag_gb", retrieval_pipeline=bm25, llm=BatchLLM())
+    h = ServingHandle(cat, {"bm25": bm25}, {"rag": rag}, batch_window_ms=10).start(port=0)
+    try:
+        out = h.generate_batch(["q one", "q two", "q three"], top_k=2)
+        assert [r["text"] for r in out] == ["ans"] * 3
+        # the 3 jobs coalesce into one (or at most two) decode batches
+        assert sum(calls) >= 3 and len(calls) <= 2, calls
+    finally:
+        h.stop()
+        registry.invalidate()
+
+
 def test_error_paths(handle):
     code, data = post(handle, "/search", {"query": "x", "pipeline": "nope"})
     assert code == 400 and "unknown pipeline" in data["error"]
