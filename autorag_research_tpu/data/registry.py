@@ -19,6 +19,7 @@ _REGISTRY: dict[str, "IngestorInfo"] = {}
 
 _DATA_MODULES = (
     "autorag_research_tpu.data.local",
+    "autorag_research_tpu.data.synthetic",
     "autorag_research_tpu.data.beir",
     "autorag_research_tpu.data.text_mteb",
     "autorag_research_tpu.data.ragbench",

@@ -80,8 +80,74 @@ def _get_lib() -> ctypes.CDLL | None:
     ):
         getattr(lib, name).argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.bm25_destroy.argtypes = [ctypes.c_void_p]
+    # index-aux builders (present in rebuilt libs; probe on old .so files)
+    try:
+        lib.aux_mark_term_tiles.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.aux_term_tiles_indptr.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.aux_term_tiles_extract.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.aux_bloom_bitmaps.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.aux_available = True  # type: ignore[attr-defined]
+    except AttributeError:
+        lib.aux_available = False  # type: ignore[attr-defined]
     _lib = lib
     return _lib
+
+
+def aux_available() -> bool:
+    lib = _get_lib()
+    return bool(lib is not None and getattr(lib, "aux_available", False))
+
+
+def build_term_tile_lists_native(
+    doc_ids: "np.ndarray", block_n: int
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """C++ term->tile CSR build: (term, tile) presence bits marked straight
+    into a per-term-aligned bitmap (no sort), then popcount/ctz extraction.
+    35 s (numpy, 2M x 64) -> ~1 s. Output is bit-identical to
+    ``ops.sparse.build_term_tile_lists``."""
+    lib = _get_lib()
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int32)
+    n, slots = doc_ids.shape
+    n_tiles = max(1, -(-n // block_n))
+    vocab = int(doc_ids.max()) + 1 if n else 1
+    vocab = max(vocab, 1)
+    words_per_term = (n_tiles + 63) // 64
+    bitmap = np.zeros(vocab * words_per_term, dtype=np.uint64)
+    lib.aux_mark_term_tiles(
+        doc_ids.ctypes.data, n, slots, block_n, words_per_term, bitmap.ctypes.data
+    )
+    indptr = np.empty(vocab + 1, dtype=np.int64)
+    lib.aux_term_tiles_indptr(bitmap.ctypes.data, vocab, words_per_term, indptr.ctypes.data)
+    tiles = np.empty(int(indptr[-1]), dtype=np.int32)
+    lib.aux_term_tiles_extract(
+        bitmap.ctypes.data, vocab, words_per_term, indptr.ctypes.data, tiles.ctypes.data
+    )
+    return indptr, tiles
+
+
+def build_tile_bitmaps_native(
+    doc_ids: "np.ndarray", block_n: int, n_words: int
+) -> "np.ndarray":
+    """C++ Bloom tile-filter build: probe bits OR-ed directly (idempotent, no
+    dedupe/sort pass). Bit-identical to ``ops.sparse.build_tile_bitmaps``."""
+    lib = _get_lib()
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int32)
+    n, slots = doc_ids.shape
+    n_tiles = max(1, -(-n // block_n))
+    out = np.zeros(n_tiles * n_words, dtype=np.uint32)
+    lib.aux_bloom_bitmaps(doc_ids.ctypes.data, n, slots, block_n, n_words, out.ctypes.data)
+    return out.view(np.int32).reshape(n_tiles, n_words)
 
 
 def available() -> bool:

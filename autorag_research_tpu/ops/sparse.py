@@ -382,7 +382,8 @@ def build_tile_bitmaps(
 
     Tile t covers doc rows [t*block_n, (t+1)*block_n); a term is *possibly
     present* iff all 4 probe bits are set. False positives only cost a missed
-    skip, never a wrong result.
+    skip, never a wrong result. Routes to the C++ builder when the native lib
+    is present (22 s -> ~1 s at 2M x 64; bit-identical, tests/test_native.py).
     """
     import numpy as np
 
@@ -397,6 +398,10 @@ def build_tile_bitmaps(
             "query-side probe multiplies in uint32, and its residues only match "
             "this builder's uint64 math when the space divides 2^32"
         )
+    from autorag_research_tpu import native
+
+    if native.aux_available():
+        return native.build_tile_bitmaps_native(np.asarray(doc_ids), block_n, n_words)
     # vectorized: unique (tile, term) pairs in one pass, then scatter all 4
     # probe bits into a flat [n_tiles * n_words] view (per-tile loops took
     # minutes at 5M docs)
@@ -646,8 +651,16 @@ def build_term_tile_lists(
     bitmaps there are no false positives, and unioning a query's lists gives
     the exact minimal tile set (reference role: vchord_bm25 inverted index,
     orm/repository/chunk.py:185-247).
+
+    Routes to the C++ builder when the native lib is present (35 s -> ~1 s at
+    2M x 64; bit-identical output, tests/test_native.py).
     """
     import numpy as np
+
+    from autorag_research_tpu import native
+
+    if native.aux_available():
+        return native.build_term_tile_lists_native(np.asarray(doc_ids), block_n)
 
     n = doc_ids.shape[0]
     n_tiles = max(1, -(-n // block_n))

@@ -189,3 +189,134 @@ void bm25_copy_vocab_blob(void* handle, char* out) {
 void bm25_destroy(void* handle) { delete static_cast<Bm25Index*>(handle); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Pruned-search index-aux builders (probe kernel + Bloom tile-skip).
+//
+// The Python builders (ops/sparse.py build_term_tile_lists /
+// build_tile_bitmaps) are vectorized numpy but still sort-bound: 35 s + 22 s
+// at 2M docs x 64 slots (minutes at 5M) — on the index-BUILD path this C++
+// replaces (reference role: vchord_bm25 index DDL, orm/util.py:240-250).
+// Here presence is marked straight into a (term, tile) bitmap (no sort), and
+// Bloom probe bits are OR-ed directly (idempotent, no dedupe pass). Threaded
+// over doc ranges with relaxed atomic ORs.
+
+#include <algorithm>
+#include <thread>
+
+namespace {
+
+inline void atomic_or_u64(uint64_t* addr, uint64_t bits) {
+    __atomic_or_fetch(addr, bits, __ATOMIC_RELAXED);
+}
+
+inline void atomic_or_u32(uint32_t* addr, uint32_t bits) {
+    __atomic_or_fetch(addr, bits, __ATOMIC_RELAXED);
+}
+
+inline int aux_threads(int64_t n_docs) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int t = hw ? static_cast<int>(hw) : 4;
+    int64_t per = 64 * 1024;  // don't spin threads for small corpora
+    if (n_docs / per < t) t = static_cast<int>(n_docs / per) + 1;
+    return t < 1 ? 1 : t;
+}
+
+template <typename Fn>
+void parallel_docs(int64_t n_docs, Fn&& fn) {
+    int t = aux_threads(n_docs);
+    if (t == 1) {
+        fn(0, n_docs);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t chunk = (n_docs + t - 1) / t;
+    for (int i = 0; i < t; ++i) {
+        int64_t lo = i * chunk, hi = std::min<int64_t>(n_docs, lo + chunk);
+        if (lo >= hi) break;
+        pool.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+    }
+    for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Mark (term, tile) presence. bitmap layout: per-term word-aligned rows of
+// words_per_term = ceil(n_tiles/64) uint64 words, caller-zeroed,
+// vocab * words_per_term words total.
+void aux_mark_term_tiles(const int32_t* doc_ids, int64_t n_docs, int32_t slots,
+                         int32_t block_n, int64_t words_per_term,
+                         uint64_t* bitmap) {
+    parallel_docs(n_docs, [=](int64_t lo, int64_t hi) {
+        for (int64_t d = lo; d < hi; ++d) {
+            const int64_t tile = d / block_n;
+            const uint64_t bit = uint64_t(1) << (tile & 63);
+            const int64_t word = tile >> 6;
+            const int32_t* row = doc_ids + d * slots;
+            for (int32_t s = 0; s < slots; ++s) {
+                const int32_t t = row[s];
+                if (t < 0) continue;
+                atomic_or_u64(bitmap + int64_t(t) * words_per_term + word, bit);
+            }
+        }
+    });
+}
+
+// indptr[v+1] = number of tiles containing term v (prefix-summed by caller or
+// here: we emit exclusive prefix sums directly).
+void aux_term_tiles_indptr(const uint64_t* bitmap, int64_t vocab,
+                           int64_t words_per_term, int64_t* indptr) {
+    indptr[0] = 0;
+    for (int64_t v = 0; v < vocab; ++v) {
+        const uint64_t* row = bitmap + v * words_per_term;
+        int64_t c = 0;
+        for (int64_t w = 0; w < words_per_term; ++w) c += __builtin_popcountll(row[w]);
+        indptr[v + 1] = indptr[v] + c;
+    }
+}
+
+// Extract sorted tile ids per term into tiles[nnz] (CSR payload for indptr).
+void aux_term_tiles_extract(const uint64_t* bitmap, int64_t vocab,
+                            int64_t words_per_term, const int64_t* indptr,
+                            int32_t* tiles) {
+    for (int64_t v = 0; v < vocab; ++v) {
+        const uint64_t* row = bitmap + v * words_per_term;
+        int64_t out = indptr[v];
+        for (int64_t w = 0; w < words_per_term; ++w) {
+            uint64_t bits = row[w];
+            while (bits) {
+                const int b = __builtin_ctzll(bits);
+                tiles[out++] = static_cast<int32_t>(w * 64 + b);
+                bits &= bits - 1;
+            }
+        }
+    }
+}
+
+// Per-tile 4-probe Bloom filters (query-side probe in ops/sparse.py uses the
+// same multiplicative hashes; 32*n_words must be a power of two).
+void aux_bloom_bitmaps(const int32_t* doc_ids, int64_t n_docs, int32_t slots,
+                       int32_t block_n, int64_t n_words, uint32_t* out) {
+    const uint64_t space = uint64_t(32) * n_words;
+    const uint64_t mask = space - 1;
+    static const uint64_t MULTS[4] = {0x9E3779B1ull, 0x85EBCA77ull,
+                                      0xC2B2AE3Dull, 0x27D4EB2Full};
+    parallel_docs(n_docs, [=](int64_t lo, int64_t hi) {
+        for (int64_t d = lo; d < hi; ++d) {
+            uint32_t* base = out + (d / block_n) * n_words;
+            const int32_t* row = doc_ids + d * slots;
+            for (int32_t s = 0; s < slots; ++s) {
+                const int32_t t = row[s];
+                if (t < 0) continue;
+                for (int m = 0; m < 4; ++m) {
+                    const uint64_t pos = (uint64_t(uint32_t(t)) * MULTS[m]) & mask;
+                    atomic_or_u32(base + (pos >> 5), uint32_t(1) << (pos & 31));
+                }
+            }
+        }
+    });
+}
+
+}  // extern "C"
