@@ -405,6 +405,156 @@ def maxsim_topk_pallas_v2(
     return out_s, out_i
 
 
+# bias value for matmul-fused doc-token masking (v3): must stay finite in
+# bf16 (NEG_INF = -3.4e38 rounds to -inf there) and small enough that
+# tq_pad * bias never overflows f32 when empty docs sum it per query token
+_MASK_BIAS = -1.0e30
+
+
+def _maxsim_kernel_v3(
+    q_ref, d_ref, acc_s, acc_i, out_s_ref, out_i_ref,
+    *, k, n, block_n, bq, tq, td,
+):
+    """v2 with masking FUSED INTO THE MATMUL: the wrapper writes a bias lane
+    (docs carry 0 / -1e30 per token validity, queries carry 1), so S arrives
+    pre-masked from the MXU and the kernel's VPU work drops to the bare
+    sublane max + grouping matmul — the compare/select that left the bf16 v2
+    VPU-bound is gone, and so is the SMEM length input."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[:] = jnp.full_like(acc_s, NEG_INF)
+        acc_i[:] = jnp.full_like(acc_i, INT_MAX)
+
+    rows = bq * tq
+    s = jax.lax.dot_general(
+        d_ref[:],
+        q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(q_ref.dtype),
+    )  # [(BN*Td), R], invalid doc tokens already at ~-1e30
+
+    per_doc = []
+    for b in range(block_n):  # static unroll: BN slices of Td sublanes
+        per_doc.append(jnp.max(s[b * td : (b + 1) * td, :], axis=0))  # [R]
+    per_token = jnp.stack(per_doc, axis=0)  # [BN, R]
+
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (bq, rows), 1)
+    owner = jax.lax.broadcasted_iota(jnp.int32, (bq, rows), 0)
+    group = (row_of // tq == owner).astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        group,
+        per_token,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [BQ, BN]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block_n
+    scores = jnp.where(col < n, scores, NEG_INF)
+
+    tile_s, tile_i = _extract_topk(scores, col, k)
+    new_s, new_i = _extract_topk(
+        jnp.concatenate([acc_s[:], tile_s], axis=1),
+        jnp.concatenate([acc_i[:], tile_i], axis=1),
+        k,
+    )
+    acc_s[:] = new_s
+    acc_i[:] = new_i
+
+    @pl.when(j == nj - 1)
+    def _write():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret")
+)
+def maxsim_topk_pallas_v3(
+    queries: jax.Array,
+    query_lens: jax.Array,
+    docs: jax.Array,
+    doc_lens: jax.Array,
+    k: int,
+    block_q: int = 8,
+    block_n: int = 16,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """v2 layout + matmul-fused masking via a bias lane.
+
+    A free zero pad lane (d < d_pad) hosts the bias when available; otherwise
+    the feature dim grows by one 128-lane block. Empty docs score
+    tq_pad * -1e30 ≈ -3.2e31 — below every real score, above the -3.4e38
+    padding columns, i.e. the same ranking v2 produces.
+    """
+    b, tq, d = queries.shape
+    n, td, _ = docs.shape
+    k_eff = min(k, n)
+
+    d_pad = _round_up(d, 128)
+    if d_pad == d:
+        d_pad += 128  # need one lane for the bias feature
+    bias_lane = d  # first pad lane
+    td_pad = _round_up(td, 8)
+    tq_pad = _round_up(tq, 8)
+    bq = min(block_q, b)
+    b_pad = _round_up(b, bq)
+    block_n = max(block_n, _round_up(k_eff, 8))
+    n_pad = _round_up(n, block_n)
+
+    queries = jnp.pad(queries, ((0, b_pad - b), (0, tq_pad - tq), (0, d_pad - d)))
+    q_tok = jax.lax.broadcasted_iota(jnp.int32, (b_pad, tq_pad), 1)
+    qmask = (q_tok < jnp.pad(query_lens, (0, b_pad - b))[:, None]).astype(queries.dtype)
+    queries = queries * qmask[:, :, None]
+    # bias multiplier: 1 on every query row (also padded ones — their doc-max
+    # is then 0 for non-empty docs, contributing nothing to the group sum)
+    queries = queries.at[:, :, bias_lane].set(1.0)
+    queries = queries.reshape(b_pad * tq_pad, d_pad)
+
+    docs = jnp.pad(docs, ((0, n_pad - n), (0, td_pad - td), (0, d_pad - d)))
+    d_tok = jax.lax.broadcasted_iota(jnp.int32, (n_pad, td_pad), 1)
+    dvalid = d_tok < jnp.pad(doc_lens, (0, n_pad - n))[:, None]
+    docs = docs.at[:, :, bias_lane].set(
+        jnp.where(dvalid, 0.0, _MASK_BIAS).astype(docs.dtype)
+    )
+    docs = docs.reshape(n_pad * td_pad, d_pad)
+
+    grid = (b_pad // bq, n_pad // block_n)
+    kernel = functools.partial(
+        _maxsim_kernel_v3, k=k_eff, n=n, block_n=block_n, bq=bq, tq=tq_pad, td=td_pad
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq * tq_pad, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n * td_pad, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k_eff), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k_eff), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, k_eff), jnp.float32),
+            pltpu.VMEM((bq, k_eff), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries, docs)
+    out_s, out_i = out_s[:b], out_i[:b]
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return out_s, out_i
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def maxsim_rerank(
     queries: jax.Array,     # [B, Tq, d]
@@ -474,10 +624,14 @@ def maxsim_topk(queries, query_lens, docs, doc_lens, k, method: str = "auto"):
             method = "pallas_v2"
         else:
             method = "xla"
-    if method in ("pallas", "pallas_v2"):
+    if method in ("pallas", "pallas_v2", "pallas_v3"):
         from autorag_research_tpu.ops.dense import on_tpu
 
-        kernel = maxsim_topk_pallas if method == "pallas" else maxsim_topk_pallas_v2
+        kernel = {
+            "pallas": maxsim_topk_pallas,
+            "pallas_v2": maxsim_topk_pallas_v2,
+            "pallas_v3": maxsim_topk_pallas_v3,
+        }[method]
         # off-TPU an explicit pallas request runs the interpreter (tests)
         return kernel(queries, query_lens, docs, doc_lens, k, interpret=not on_tpu())
     if method == "xla":

@@ -297,9 +297,13 @@ class ServingHandle:
             "metadata": result.metadata,
         }
 
-    def warmup(self, max_bucket: int = 256, top_k: int = 10) -> None:
+    def warmup(
+        self, max_bucket: int = 256, top_k: int = 10, gen_max_bucket: int = 32
+    ) -> None:
         """Pre-compile the device kernels for every micro-batch bucket size
-        (1, 2, 4, ... max_bucket) so no live request pays a compile."""
+        (1, 2, 4, ... max_bucket) so no live request pays a compile. Batched
+        generation pipelines warm their decode buckets too (a cold JaxLM
+        bucket is a 20-40 s remote compile mid-traffic)."""
         for name in self.retrieval_pipelines:
             fn = self._batchers[name].search_batch_fn
             b = 1
@@ -307,6 +311,13 @@ class ServingHandle:
                 fn([f"warmup query {i}" for i in range(b)], top_k)
                 b <<= 1
             logger.info("warmed pipeline '%s' through bucket %d", name, max_bucket)
+        for name, batcher in self._gen_batchers.items():
+            fn = batcher.search_batch_fn
+            b = 1
+            while b <= gen_max_bucket:
+                fn([f"warmup query {i}" for i in range(b)], top_k)
+                b <<= 1
+            logger.info("warmed generation '%s' through bucket %d", name, gen_max_bucket)
 
     def health(self) -> dict:
         return {

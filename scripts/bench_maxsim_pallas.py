@@ -22,6 +22,7 @@ sys.path.insert(0, ".")
 from autorag_research_tpu.ops.maxsim import (  # noqa: E402
     maxsim_topk_pallas,
     maxsim_topk_pallas_v2,
+    maxsim_topk_pallas_v3,
     maxsim_topk_xla,
 )
 from autorag_research_tpu.utils.profiling import KernelTimer  # noqa: E402
@@ -83,13 +84,22 @@ def main():
                 q, ql, d_, dl, K, block_n=bn
             ),
         )
+    for bn in (16, 32, 48):
+        results[f"pallas_v3_bn{bn}"] = measure(
+            f"pallas v3 bn={bn} (fused mask)",
+            lambda q, ql, d_, dl, bn=bn: maxsim_topk_pallas_v3(
+                q, ql, d_, dl, K, block_n=bn
+            ),
+        )
 
     # correctness spot-check vs xla (VMEM-safe block size)
     try:
         s0, i0 = maxsim_topk_xla(q_d[0], ql_d[0], docs_d, dlens_d, K)
         s1, i1 = maxsim_topk_pallas_v2(q_d[0], ql_d[0], docs_d, dlens_d, K, block_n=16)
+        s2, i2 = maxsim_topk_pallas_v3(q_d[0], ql_d[0], docs_d, dlens_d, K, block_n=16)
         same = np.array_equal(np.asarray(i0), np.asarray(i1))
-        print(f"ids pallas_v2(bn=16) == xla: {same}", file=sys.stderr)
+        same3 = np.array_equal(np.asarray(i0), np.asarray(i2))
+        print(f"ids pallas_v2(bn=16) == xla: {same}; v3 == xla: {same3}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001
         print(f"spot-check failed: {str(exc)[:150]}", file=sys.stderr)
     print({"metric": f"maxsim_pallas_sweep_{args.dtype}", "n": args.n, "td": args.td, **results})

@@ -37,7 +37,7 @@ def _padded(queries, docs):
     return q, ql, d, dl
 
 
-@pytest.mark.parametrize("method", ["xla", "pallas", "pallas_v2"])
+@pytest.mark.parametrize("method", ["xla", "pallas", "pallas_v2", "pallas_v3"])
 def test_kernel_matches_oracle(ragged_data, method):
     import jax.numpy as jnp
 
@@ -53,9 +53,13 @@ def test_kernel_matches_oracle(ragged_data, method):
             block_q=8, block_n=8, interpret=True,
         )
     else:
-        from autorag_research_tpu.ops.maxsim import maxsim_topk_pallas_v2
+        from autorag_research_tpu.ops.maxsim import (
+            maxsim_topk_pallas_v2,
+            maxsim_topk_pallas_v3,
+        )
 
-        s, ids = maxsim_topk_pallas_v2(
+        kern = maxsim_topk_pallas_v2 if method == "pallas_v2" else maxsim_topk_pallas_v3
+        s, ids = kern(
             jnp.asarray(q), jnp.asarray(ql), jnp.asarray(d), jnp.asarray(dl), 5,
             block_q=8, block_n=16, interpret=True,
         )
