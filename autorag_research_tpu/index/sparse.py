@@ -96,6 +96,7 @@ class SparseIndex:
         bucketize: int = 1,
         tile_skip: bool = True,
         cluster_layout: bool = False,
+        probe_block_n: int = 2048,
     ):
         self.ids = list(ids)
         self.tokenizer_name = tokenizer
@@ -110,6 +111,10 @@ class SparseIndex:
         # prune (ops/sparse.cluster_doc_order); equal-score boundary ties may
         # resolve to different docs than the id-ordered layout
         self.cluster_layout = cluster_layout
+        # probe-kernel candidate-tile size: bigger tiles amortize the
+        # ~50us/grid-step floor (measured 4096 > 2048 on rare-term queries);
+        # the aux term->tile lists are built at this granularity
+        self.probe_block_n = probe_block_n
         self._bitmaps_device = None
         self._term_tiles = None
         self._device_buckets: list[dict] | None = None
@@ -511,20 +516,21 @@ class SparseIndex:
             probe_candidates,
         )
 
-        block_n = 2048
-        n_tiles = max(1, -(-self.n_docs // block_n))
         q_np = np.asarray(q_ids)
         if method in ("auto", "pallas_probe"):
-            indptr, tiles = self._ensure_term_tiles(block_n)
-            cand, count, maxc = probe_candidates(q_np, indptr, tiles, bq=8, cap=n_tiles)
-            if method == "pallas_probe" or maxc <= n_tiles // 2:
+            pbn = self.probe_block_n
+            p_tiles = max(1, -(-self.n_docs // pbn))
+            indptr, tiles = self._ensure_term_tiles(pbn)
+            cand, count, maxc = probe_candidates(q_np, indptr, tiles, bq=8, cap=p_tiles)
+            if method == "pallas_probe" or maxc <= p_tiles // 2:
                 # power-of-two cap buckets bound the number of compiled grids
-                cap = min(n_tiles, max(16, 1 << max(0, maxc - 1).bit_length()))
+                cap = min(p_tiles, max(16, 1 << max(0, maxc - 1).bit_length()))
                 return bm25_topk_pallas_probe(
                     jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
                     jnp.asarray(cand[:, :cap]), jnp.asarray(count), k,
-                    block_n=block_n, interpret=not on_tpu(),
+                    block_n=pbn, interpret=not on_tpu(),
                 )
+        block_n = 2048  # Bloom bitmaps + skip kernel granularity
         return bm25_topk_pallas_v2_skip(
             jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
             self._ensure_bitmaps(block_n), k, positive_only=True,
@@ -532,13 +538,16 @@ class SparseIndex:
         )
 
     def _ensure_term_tiles(self, block_n: int = 2048):
-        """Host CSR term->tile inverted lists, built once per layout."""
-        if self._term_tiles is None:
+        """Host CSR term->tile inverted lists, built once per (layout, tile
+        size)."""
+        if not isinstance(self._term_tiles, dict):
+            self._term_tiles = {}
+        if block_n not in self._term_tiles:
             from autorag_research_tpu.ops.sparse import build_term_tile_lists
 
             assert self._slot_ids is not None
-            self._term_tiles = build_term_tile_lists(self._slot_ids, block_n)
-        return self._term_tiles
+            self._term_tiles[block_n] = build_term_tile_lists(self._slot_ids, block_n)
+        return self._term_tiles[block_n]
 
     def _ensure_bitmaps(self, block_n: int = 2048):
         """Tile term-presence bitmaps for the skip kernel, built once per

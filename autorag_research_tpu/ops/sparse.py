@@ -867,6 +867,14 @@ def bm25_topk_pallas_probe(
             pltpu.VMEM((bq, k_eff), jnp.int32),
         ],
     )
+    # bigger candidate tiles amortize the ~50us/grid-step floor (the probe's
+    # measured bottleneck: median 191 steps at block_n=2048); they need more
+    # scoped VMEM than Mosaic's 16MB default, which is a soft cap we can lift
+    compiler_params = None
+    if block_n > 2048:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(128 << 20, 24 * block_n * slots_pad)
+        )
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -874,6 +882,7 @@ def bm25_topk_pallas_probe(
             jax.ShapeDtypeStruct((bsz_pad, k_eff), jnp.float32),
             jax.ShapeDtypeStruct((bsz_pad, k_eff), jnp.int32),
         ],
+        compiler_params=compiler_params,
         interpret=interpret,
     )(cand.astype(jnp.int32), count.astype(jnp.int32), q_ids_p, q_weights_p, doc_ids, doc_weights)
     out_s, out_i = out_s[:bsz], out_i[:bsz]

@@ -32,12 +32,13 @@ from autorag_research_tpu.ops.sparse import (  # noqa: E402
 )
 from scripts.bench_bm25_5m import gen_docs  # noqa: E402
 
-SLOTS, T, K, VOCAB, BLOCK_N = 64, 8, 10, 500_000, 2048
+SLOTS, T, K, VOCAB = 64, 8, 10, 500_000
+BLOCK_N = 2048  # overridden by --block-n
 
 
-def load_corpus(n):
+def load_corpus(n, block_n):
     cache = f"/tmp/bm25_sel_{n}.npz"
-    cache2 = f"/tmp/bm25_probe_{n}.npz"
+    cache2 = f"/tmp/bm25_probe_{n}_{block_n}.npz"
     if os.path.exists(cache2):
         z = np.load(cache2)
         return z["ids"], z["w"], z["indptr"], z["tiles"]
@@ -52,7 +53,7 @@ def load_corpus(n):
         df[t_] = c_
         order = cluster_doc_order(ids, df)
         ids, w = ids[order], w[order]
-    indptr, tiles = build_term_tile_lists(ids, BLOCK_N)
+    indptr, tiles = build_term_tile_lists(ids, block_n)
     np.savez(cache2, ids=ids, w=w, indptr=indptr, tiles=tiles)
     return ids, w, indptr, tiles
 
@@ -61,11 +62,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=5_000_000)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--block-n", type=int, default=2048)
     args = ap.parse_args()
+    global BLOCK_N
+    BLOCK_N = args.block_n
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     t0 = time.perf_counter()
-    ids, w, indptr, tiles = load_corpus(args.n)
+    ids, w, indptr, tiles = load_corpus(args.n, BLOCK_N)
     n_tiles = -(-args.n // BLOCK_N)
     print(f"corpus+lists ready {time.perf_counter() - t0:.0f}s", file=sys.stderr)
     ids_d = jax.device_put(jnp.asarray(ids))
@@ -168,7 +172,7 @@ def main():
         )
         results[f"{kind}_probe_sustained_qps"] = round(1 / per_s, 1)
 
-    print({"metric": "bm25_probe_5m", "n": args.n, **results})
+    print({"metric": "bm25_probe_5m", "n": args.n, "block_n": BLOCK_N, **results})
 
 
 if __name__ == "__main__":
