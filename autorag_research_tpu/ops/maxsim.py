@@ -490,6 +490,14 @@ def maxsim_topk_pallas_v3(
     the feature dim grows by one 128-lane block. Empty docs score
     tq_pad * -1e30 ≈ -3.2e31 — below every real score, above the -3.4e38
     padding columns, i.e. the same ranking v2 produces.
+
+    MEASURED NEGATIVE RESULT (v5e, 50k docs x 128 tok x 128d bf16, same-day
+    sweep /tmp/maxsim_v3_runs.log 2026-08-17): v3 bn=16/32/48 = 174.8 /
+    214.7 / 230.8 QPS vs v2 bn=16 = 389.9 — ids identical. Root cause: at
+    d=128 (every common late-interaction dim is a multiple of 128) there is
+    no free pad lane, so the bias forces d_pad 128->256 and DOUBLES the
+    matmul. Fused masking can only pay when d % 128 != 0; auto dispatch
+    never selects v3. Kept for the oracle suite and odd-dim corpora.
     """
     b, tq, d = queries.shape
     n, td, _ = docs.shape
