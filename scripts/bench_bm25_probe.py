@@ -62,18 +62,41 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=5_000_000)
     ap.add_argument("--reps", type=int, default=10)
-    ap.add_argument("--block-n", type=int, default=2048)
+    ap.add_argument(
+        "--block-n", default="2048",
+        help="comma-separated probe tile sizes; corpus H2D is shared",
+    )
+    ap.add_argument(
+        "--skip-v2", action="store_true",
+        help="skip the full-scan v2 reference (reuse a same-day number)",
+    )
     args = ap.parse_args()
-    global BLOCK_N
-    BLOCK_N = args.block_n
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    block_ns = [int(b) for b in str(args.block_n).split(",")]
+    ids_d = w_d = None
+    for i, bn in enumerate(block_ns):
+        include_v2 = i == 0 and not args.skip_v2
+        ids_d, w_d = run_block(args, bn, ids_d, w_d, include_v2)
+
+
+def run_block(args, block_n, ids_d, w_d, include_v2):
+    global BLOCK_N
+    BLOCK_N = block_n
     t0 = time.perf_counter()
     ids, w, indptr, tiles = load_corpus(args.n, BLOCK_N)
     n_tiles = -(-args.n // BLOCK_N)
-    print(f"corpus+lists ready {time.perf_counter() - t0:.0f}s", file=sys.stderr)
-    ids_d = jax.device_put(jnp.asarray(ids))
-    w_d = jax.device_put(jnp.asarray(w))
+    print(
+        f"[bn={BLOCK_N}] corpus+lists ready {time.perf_counter() - t0:.0f}s",
+        file=sys.stderr, flush=True,
+    )
+    if ids_d is None:
+        ids_d = jax.device_put(jnp.asarray(ids))
+        w_d = jax.device_put(jnp.asarray(w))
+        _ = float(jnp.sum(w_d[0]))
+        print(
+            f"H2D done {time.perf_counter() - t0:.0f}s", file=sys.stderr, flush=True
+        )
 
     rng = np.random.default_rng(7)
     results = {}
@@ -123,31 +146,55 @@ def main():
         )
         results[f"{kind}_probe_percall_ms"] = round(per * 1e3, 1)
 
-        # v2 full-scan per-call reference
-        def v2_call(r):
-            return bm25_topk_pallas_v2(qi_d[r], qw_d[r], ids_d, w_d, K)
+        if include_v2:
+            # v2 full-scan per-call reference (block-size independent)
+            def v2_call(r):
+                return bm25_topk_pallas_v2(qi_d[r], qw_d[r], ids_d, w_d, K)
 
-        out2 = v2_call(0)
-        _ = float(np.asarray(out2[0]).sum())
-        t0 = time.perf_counter()
-        for r in range(args.reps):
-            out2 = v2_call(r)
+            out2 = v2_call(0)
             _ = float(np.asarray(out2[0]).sum())
-        per2 = (time.perf_counter() - t0) / args.reps
-        print(
-            f"{kind}: v2    per-call   {per2 * 1e3:7.1f} ms/query  {1 / per2:7.1f} QPS",
-            file=sys.stderr,
-        )
-        results[f"{kind}_v2_percall_ms"] = round(per2 * 1e3, 1)
+            t0 = time.perf_counter()
+            for r in range(args.reps):
+                out2 = v2_call(r)
+                _ = float(np.asarray(out2[0]).sum())
+            per2 = (time.perf_counter() - t0) / args.reps
+            print(
+                f"{kind}: v2    per-call   {per2 * 1e3:7.1f} ms/query  {1 / per2:7.1f} QPS",
+                file=sys.stderr, flush=True,
+            )
+            results[f"{kind}_v2_percall_ms"] = round(per2 * 1e3, 1)
 
-        # correctness: positive hits of the last query agree
-        s0, i0 = map(np.asarray, out2)
-        s1, i1 = map(np.asarray, out)
-        pos = s0[0] > 0
-        ok = np.array_equal(i1[0][: pos.sum()], i0[0][pos]) and np.allclose(
-            s1[0][: pos.sum()], s0[0][pos], rtol=1e-6
-        )
-        print(f"    positive hits identical: {ok} ({int(pos.sum())})", file=sys.stderr)
+            # correctness: positive hits of the last query agree
+            s0, i0 = map(np.asarray, out2)
+            s1, i1 = map(np.asarray, out)
+            pos = s0[0] > 0
+            ok = np.array_equal(i1[0][: pos.sum()], i0[0][pos]) and np.allclose(
+                s1[0][: pos.sum()], s0[0][pos], rtol=1e-6
+            )
+            print(
+                f"    positive hits identical: {ok} ({int(pos.sum())})",
+                file=sys.stderr, flush=True,
+            )
+
+            # v2 full-scan sustained reference
+            @jax.jit
+            def v2_sustained(qi, qw, dids, dw):
+                def one(x):
+                    q, qq = x
+                    s, i = bm25_topk_pallas_v2(q, qq, dids, dw, K)
+                    return s.sum()
+                return jax.lax.map(one, (qi, qw)).sum()
+
+            float(v2_sustained(qi_d, qw_d, ids_d, w_d))
+            t0 = time.perf_counter()
+            float(v2_sustained(qi_d, qw_d, ids_d, w_d))
+            per_v2s = (time.perf_counter() - t0) / args.reps
+            print(
+                f"{kind}: v2    sustained  {per_v2s * 1e3:7.1f} ms/query  "
+                f"{1 / per_v2s:7.1f} QPS",
+                file=sys.stderr, flush=True,
+            )
+            results[f"{kind}_v2_sustained_ms"] = round(per_v2s * 1e3, 1)
 
         # ---- in-jit sustained (amortized dispatch) -------------------------
         @jax.jit
@@ -171,8 +218,13 @@ def main():
             file=sys.stderr,
         )
         results[f"{kind}_probe_sustained_qps"] = round(1 / per_s, 1)
+        results[f"{kind}_probe_sustained_ms"] = round(per_s * 1e3, 1)
 
-    print({"metric": "bm25_probe_5m", "n": args.n, "block_n": BLOCK_N, **results})
+    print(
+        {"metric": "bm25_probe_5m", "n": args.n, "block_n": BLOCK_N, **results},
+        flush=True,
+    )
+    return ids_d, w_d
 
 
 if __name__ == "__main__":

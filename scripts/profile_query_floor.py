@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def percall(fn, *args, reps=30, warmup=3):
+def percall(fn, *args, reps=30, warmup=3, label=""):
     for _ in range(warmup):
         r = fn(*args)
         float(np.asarray(r).ravel()[0])
@@ -43,6 +43,11 @@ def percall(fn, *args, reps=30, warmup=3):
         float(np.asarray(r).ravel()[0])  # forced host readback (tunnel-safe)
         ts.append(time.perf_counter() - t0)
     ts = np.array(ts) * 1000
+    if label:
+        print(
+            f"{label:28s} median {np.median(ts):7.2f} ms   min {ts.min():7.2f} ms",
+            file=sys.stderr, flush=True,
+        )
     return float(np.median(ts)), float(ts.min())
 
 
@@ -53,11 +58,15 @@ def main():
     ap.add_argument("--reps", type=int, default=30)
     args = ap.parse_args()
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
-    corpus = jax.device_put(
-        jnp.asarray(rng.standard_normal((args.n, args.d), dtype=np.float32), jnp.bfloat16)
+    import ml_dtypes
+
+    # convert to bf16 on host: halves the tunnel H2D (3 GB instead of 6)
+    host = rng.standard_normal((args.n, args.d), dtype=np.float32).astype(
+        ml_dtypes.bfloat16
     )
+    corpus = jax.device_put(jnp.asarray(host))
     small = jax.device_put(corpus[:1024])
     q1 = jax.device_put(jnp.asarray(rng.standard_normal((1, args.d), dtype=np.float32), jnp.bfloat16))
     qb = jax.device_put(jnp.asarray(rng.standard_normal((256, args.d), dtype=np.float32), jnp.bfloat16))
@@ -67,13 +76,13 @@ def main():
     results = {}
 
     f_trivial = jax.jit(lambda q: q.sum())
-    results["A_trivial_no_big_args"] = percall(f_trivial, q1, reps=args.reps)
+    results["A_trivial_no_big_args"] = percall(f_trivial, q1, reps=args.reps, label="A_trivial_no_big_args")
 
     f_bigarg = jax.jit(lambda q, c: q.sum() + c[0, 0].astype(jnp.float32))
-    results["B_bigarg_o1_compute"] = percall(f_bigarg, q1, corpus, reps=args.reps)
+    results["B_bigarg_o1_compute"] = percall(f_bigarg, q1, corpus, reps=args.reps, label="B_bigarg_o1_compute")
 
     f_small = jax.jit(lambda q, c: q.sum() + c[0, 0].astype(jnp.float32))
-    results["C_smallarg_o1_compute"] = percall(f_small, q1, small, reps=args.reps)
+    results["C_smallarg_o1_compute"] = percall(f_small, q1, small, reps=args.reps, label="C_smallarg_o1_compute")
 
     def search(q, c):
         s = jax.lax.dot_general(
@@ -84,8 +93,8 @@ def main():
         return v
 
     f_search1 = jax.jit(search)
-    results["D_exact_search_1q"] = percall(f_search1, q1, corpus, reps=args.reps)
-    results["E_exact_search_256q"] = percall(f_search1, qb, corpus, reps=max(5, args.reps // 3))
+    results["D_exact_search_1q"] = percall(f_search1, q1, corpus, reps=args.reps, label="D_exact_search_1q")
+    results["E_exact_search_256q"] = percall(f_search1, qb, corpus, reps=max(5, args.reps // 3), label="E_exact_search_256q")
 
     f_donate = jax.jit(lambda q, c: q.sum() + c[0, 0].astype(jnp.float32))
     # donation of a live buffer would invalidate it; measure with a dedicated
@@ -93,14 +102,14 @@ def main():
     f_donq = jax.jit(lambda q, c: q.sum() + c[0, 0].astype(jnp.float32), donate_argnums=(0,))
     results["F_donated_query"] = percall(
         lambda c: f_donq(jax.device_put(q1), c), corpus, reps=args.reps
-    )
+    , label="F_donated_query")
 
     f_chain = jax.jit(lambda q, c: f_bigarg(q, c))
     def two_calls(q, c):
         a = f_bigarg(q, c)
         b = f_bigarg(q, c)
         return a + b
-    results["G_two_chained_calls"] = percall(two_calls, q1, corpus, reps=args.reps)
+    results["G_two_chained_calls"] = percall(two_calls, q1, corpus, reps=args.reps, label="G_two_chained_calls")
 
     for k in sorted(results):
         med, mn = results[k]
