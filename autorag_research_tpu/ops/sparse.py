@@ -869,12 +869,12 @@ def bm25_topk_pallas_probe(
     )
     # bigger candidate tiles amortize the ~50us/grid-step floor (the probe's
     # measured bottleneck: median 191 steps at block_n=2048); they need more
-    # scoped VMEM than Mosaic's 16MB default, which is a soft cap we can lift
+    # scoped VMEM than Mosaic's 12MB default, which is a soft cap — lift it
+    # to the hardware's 128MB ceiling and let the compiler take what it
+    # needs (a 24*block_n*slots_pad estimate under-shot by 1% at bn=4096)
     compiler_params = None
     if block_n > 2048:
-        compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=min(128 << 20, 24 * block_n * slots_pad)
-        )
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=128 << 20)
     out_s, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
