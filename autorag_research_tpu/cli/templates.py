@@ -87,6 +87,13 @@ DEFAULT_CONFIGS: dict[str, str] = {
         "type: vector_search\nsearch_mode: single\ntop_k: 10\n"
         "index_options:\n  mode: approx\n  dtype: bfloat16\n"
     ),
+    # per-row int8 corpus (4x less HBM than f32) + s8 MXU matmul + approx
+    # k-selection: ~98% top-10 agreement (ops/dense.dense_topk_int8) —
+    # highest-throughput serving mode, never for parity runs
+    "pipelines/retrieval/vector_search_int8.yaml": (
+        "type: vector_search\nsearch_mode: single\ntop_k: 10\n"
+        "index_options:\n  mode: int8\n"
+    ),
     # --- remaining generation pipelines ----------------------------------
     "pipelines/generation/search_r1.yaml": (
         "type: search_r1\nretrieval_pipeline_name: bm25\nllm: mock\nmax_actions: 4\ntop_k: 5\n"

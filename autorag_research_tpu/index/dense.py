@@ -21,8 +21,13 @@ import numpy as np
 
 from autorag_research_tpu.exceptions import EmbeddingMissingError, IndexNotBuiltError
 from autorag_research_tpu.index.base import SearchHit
-from autorag_research_tpu.ops.dense import dense_topk
-from autorag_research_tpu.parallel.sharded import shard_corpus, sharded_dense_topk
+from autorag_research_tpu.ops.dense import dense_topk, dense_topk_int8, quantize_int8
+from autorag_research_tpu.parallel.sharded import (
+    shard_corpus,
+    shard_corpus_int8,
+    sharded_dense_topk,
+    sharded_dense_topk_int8,
+)
 
 
 def l2_normalize(x: np.ndarray) -> np.ndarray:
@@ -43,7 +48,7 @@ class DenseIndex:
         dtype: str = "float32",
         mode: str = "exact",
     ):
-        if mode not in ("exact", "approx"):
+        if mode not in ("exact", "approx", "int8"):
             raise ValueError(f"unknown mode: {mode}")
         if len(ids) != embeddings.shape[0]:
             raise ValueError("ids/embeddings length mismatch")
@@ -55,7 +60,11 @@ class DenseIndex:
         # "approx": lax.approx_max_k k-selection fused into the score pass —
         # 3.1x the exact path at 99.6% top-10 agreement (ops/dense.
         # dense_topk_approx); tie order is NOT (-score, id) deterministic.
+        # "int8": per-row symmetric int8 corpus (4x less HBM + 2x MXU rate)
+        # + approx selection — 98% top-10 agreement (ops/dense.
+        # dense_topk_int8). Both are serving modes, never for parity runs.
         self.mode = mode
+        self._device_scale: jax.Array | None = None
         mat = np.asarray(embeddings, dtype=np.float32)
         if metric == "cosine":
             mat = l2_normalize(mat)
@@ -86,8 +95,21 @@ class DenseIndex:
     def to_device(self, mesh=None) -> "DenseIndex":
         """Materialize the corpus in device HBM — replicated on one device, or
         row-sharded over ``mesh``'s corpus axis."""
+        use_mesh = mesh is not None and np.prod(list(mesh.shape.values())) > 1
+        if self.mode == "int8":
+            cq, cs = quantize_int8(self._host)
+            if use_mesh:
+                self._device, self._device_scale = shard_corpus_int8(
+                    jnp.asarray(cq), jnp.asarray(cs), mesh
+                )
+                self._mesh = mesh
+            else:
+                self._device = jax.device_put(jnp.asarray(cq))
+                self._device_scale = jax.device_put(jnp.asarray(cs))
+                self._mesh = None
+            return self
         arr = jnp.asarray(self._host, dtype=jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32)
-        if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+        if use_mesh:
             self._device = shard_corpus(arr, mesh)
             self._mesh = mesh
         else:
@@ -110,6 +132,15 @@ class DenseIndex:
         if self.metric == "cosine":
             q = l2_normalize(q)
         corpus = self._ensure_device()
+        if self.mode == "int8":
+            qj = jnp.asarray(q)
+            if self._mesh is not None:
+                scores, rows = sharded_dense_topk_int8(
+                    qj, corpus, self._device_scale, k, self._n, self._mesh
+                )
+            else:
+                scores, rows = dense_topk_int8(qj, corpus, self._device_scale, k)
+            return np.asarray(scores, dtype=np.float32), np.asarray(rows)
         qj = jnp.asarray(q, dtype=corpus.dtype)
         method = "approx" if self.mode == "approx" else "auto"
         if self._mesh is not None:
@@ -159,6 +190,7 @@ class DenseIndex:
         idx.mode = meta.get("mode", "exact")
         idx._host = mat
         idx._device = None
+        idx._device_scale = None
         idx._mesh = None
         idx._n = mat.shape[0]
         return idx

@@ -336,6 +336,76 @@ def dense_topk_approx(
     return out_s, out_i
 
 
+def quantize_int8(x) -> tuple["jnp.ndarray", "jnp.ndarray"]:
+    """Per-row symmetric int8 quantization: ``x ~= q * scale[:, None]``.
+
+    Returns (q int8 [N, d], scale f32 [N]). Zero rows get scale 0 (their
+    scores stay exactly 0, matching ``l2_normalize``'s zero-row convention).
+    Accepts numpy or jax input; returns numpy for numpy input (build path)
+    so indexes can quantize once on host and ship 4x fewer bytes to HBM.
+    """
+    import numpy as np
+
+    if isinstance(x, np.ndarray):
+        absmax = np.max(np.abs(x), axis=1)
+        scale = absmax / 127.0
+        safe = np.where(scale == 0, 1.0, scale)
+        q = np.clip(np.rint(x / safe[:, None]), -127, 127).astype(np.int8)
+        return q, scale.astype(np.float32)
+    absmax = jnp.max(jnp.abs(x), axis=1)
+    scale = absmax / 127.0
+    safe = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(x / safe[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact"))
+def dense_topk_int8(
+    queries: jax.Array,
+    corpus_q: jax.Array,
+    corpus_scale: jax.Array,
+    k: int,
+    exact: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Dense top-k over a per-row int8-quantized corpus.
+
+    The s8 x s8 -> s32 contraction runs on the MXU at 2x the bf16 rate on
+    v5e (394 vs 197 TOPS) and reads 4x fewer corpus bytes than f32 — and
+    the large-batch regime is measured corpus-traffic-bound
+    (scripts/bench_dense_bf16_push.py). Per-doc dequantization scales fold
+    into the score tiles before k-selection (they change ranking); the
+    per-QUERY scale is a positive row constant, so it is applied to the k
+    winners after selection instead of the full [Q, N] row.
+
+    Contract: APPROXIMATE (quantization error ~1e-2 relative on
+    L2-normalized embeddings; measured top-10 agreement in
+    scripts/bench_dense_int8.py). ``exact=True`` selects with ``lax.top_k``
+    ((-score, id) ties within the quantized scores); the default uses
+    ``lax.approx_max_k`` like the bf16 fast mode. Serving-speed mode —
+    never for parity/oracle runs.
+    """
+    n = corpus_q.shape[0]
+    k_eff = min(k, n)
+    q_q, q_scale = quantize_int8(queries.astype(jnp.float32))
+    s_i32 = jax.lax.dot_general(
+        q_q,
+        corpus_q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = s_i32.astype(jnp.float32) * corpus_scale[None, :]
+    if exact:
+        out_s, out_i = jax.lax.top_k(scores, k_eff)
+    else:
+        out_s, out_i = jax.lax.approx_max_k(scores, k_eff, recall_target=0.99)
+    out_s = out_s * q_scale[:, None]
+    out_i = out_i.astype(jnp.int32)
+    if k_eff < k:
+        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return out_s, out_i
+
+
 def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 

@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, dense_topk, on_tpu
+from autorag_research_tpu.ops.dense import (
+    INT_MAX,
+    NEG_INF,
+    dense_topk,
+    dense_topk_int8,
+    on_tpu,
+)
 from autorag_research_tpu.ops.topk import merge_topk
 from autorag_research_tpu.parallel.mesh import CORPUS_AXIS
 
@@ -83,6 +89,64 @@ def sharded_dense_topk(
     scores, ids = jax.shard_map(
         local_search, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )(queries, corpus)
+    if k_eff < k:
+        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+    return scores, ids
+
+
+def shard_corpus_int8(
+    corpus_q: jax.Array, corpus_scale: jax.Array, mesh: Mesh
+) -> tuple[jax.Array, jax.Array]:
+    """Place an int8-quantized corpus + per-row scales row-sharded over the
+    corpus axis (zero-padded; pad rows score exactly 0 via scale 0)."""
+    n_shards = mesh.shape[CORPUS_AXIS]
+    corpus_q = _pad_rows(corpus_q, n_shards)
+    pad = corpus_q.shape[0] - corpus_scale.shape[0]
+    if pad:
+        corpus_scale = jnp.pad(corpus_scale, (0, pad))
+    return (
+        jax.device_put(corpus_q, NamedSharding(mesh, P(CORPUS_AXIS, None))),
+        jax.device_put(corpus_scale, NamedSharding(mesh, P(CORPUS_AXIS))),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_total", "mesh"))
+def sharded_dense_topk_int8(
+    queries: jax.Array,
+    corpus_q: jax.Array,
+    corpus_scale: jax.Array,
+    k: int,
+    n_total: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """Sharded counterpart of ``ops.dense.dense_topk_int8``: per-shard
+    quantized scan + the same deterministic global merge. The per-query
+    dequantization scale is identical on every shard (queries replicated),
+    so per-shard candidate scores are globally comparable. APPROXIMATE like
+    the single-device int8 path — serving mode, not for parity runs."""
+    n_shards = mesh.shape[CORPUS_AXIS]
+    shard_rows = corpus_q.shape[0] // n_shards
+    k_eff = min(k, n_total)
+
+    def local_search(q, c_shard, s_shard):
+        scores, local_ids = dense_topk_int8(q, c_shard, s_shard, k_eff)
+        offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
+        gids = local_ids + offset
+        valid = (gids < n_total) & (local_ids < shard_rows)
+        scores = jnp.where(valid, scores, NEG_INF)
+        gids = jnp.where(valid, gids, INT_MAX)
+        all_s = jax.lax.all_gather(scores, CORPUS_AXIS)
+        all_i = jax.lax.all_gather(gids, CORPUS_AXIS)
+        return merge_topk(
+            jnp.swapaxes(all_s, 0, 1), jnp.swapaxes(all_i, 0, 1), k_eff
+        )
+
+    in_specs = (P(None, None), P(CORPUS_AXIS, None), P(CORPUS_AXIS))
+    out_specs = (P(None, None), P(None, None))
+    scores, ids = jax.shard_map(
+        local_search, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )(queries, corpus_q, corpus_scale)
     if k_eff < k:
         scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
         ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)

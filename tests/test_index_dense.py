@@ -169,3 +169,55 @@ def test_sharded_approx_mode_matches_single(corpus):
     sharded = DenseIndex(ids, emb, mode="approx").to_device(mesh).search(q, 10)
     for a, b in zip(single, sharded):
         assert [h.doc_id for h in a] == [h.doc_id for h in b]
+
+
+def test_dense_index_int8_mode_roundtrip(tmp_path):
+    # int8 mode: per-row quantized corpus + approx selection. Quantization
+    # error on a row's own (normalized) embedding is ~1e-2, far below the
+    # self-similarity gap, so top-1 of a corpus row is still itself.
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(64, 16)).astype(np.float32)
+    ids = [f"d{i}" for i in range(64)]
+    idx = DenseIndex(ids, emb, mode="int8")
+    hits = idx.search(emb[:3], 5)
+    assert [h[0].doc_id for h in hits] == ["d0", "d1", "d2"]
+    # self-similarity ~1.0 within quantization error
+    assert abs(hits[0][0].score - 1.0) < 0.05
+    idx.save(tmp_path / "didx8")
+    idx2 = DenseIndex.load(tmp_path / "didx8")
+    assert idx2.mode == "int8"
+    hits2 = idx2.search(emb[:3], 5)
+    assert [(h.doc_id, round(h.score, 5)) for h in hits2[0]] == [
+        (h.doc_id, round(h.score, 5)) for h in hits[0]
+    ]
+
+
+def test_sharded_int8_mode_matches_single(corpus):
+    # int8 on a mesh: per-shard quantized scan (scales sharded alongside) +
+    # deterministic global merge must equal the single-device int8 result —
+    # quantization happens once on host, so shard boundaries cannot change
+    # any score.
+    ids, emb = corpus
+    rng = np.random.default_rng(4)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    single = DenseIndex(ids, emb, mode="int8").search(q, 10)
+    mesh = corpus_mesh(n_corpus=8)
+    sharded = DenseIndex(ids, emb, mode="int8").to_device(mesh).search(q, 10)
+    for a, b in zip(single, sharded):
+        assert [h.doc_id for h in a] == [h.doc_id for h in b]
+        assert [round(h.score, 5) for h in a] == [round(h.score, 5) for h in b]
+
+
+def test_int8_quantization_agreement(corpus):
+    # int8-exact ranking should agree closely with the f32 exact ranking on
+    # normalized gaussian embeddings (quantization noise ~1e-3 per score)
+    ids, emb = corpus
+    rng = np.random.default_rng(9)
+    q = rng.normal(size=(8, 32)).astype(np.float32)
+    exact = DenseIndex(ids, emb).search(q, 10)
+    quant = DenseIndex(ids, emb, mode="int8").search(q, 10)
+    agree = np.mean([
+        len({h.doc_id for h in a} & {h.doc_id for h in b}) / 10
+        for a, b in zip(exact, quant)
+    ])
+    assert agree >= 0.9, agree
