@@ -57,6 +57,41 @@ class BagOfTokensEmbedding(BaseEmbedding):
         return np.stack([_hash_vec(b.hex(), self.dim, "img:") for b in images])
 
 
+class BagOfTokensMultiVectorEmbedding:
+    """Token-identity late-interaction embedding: one L2-normalized hash
+    vector per whitespace token (capped). Unlike MockMultiVectorEmbedding —
+    whose position-salted hashes make identical tokens in different docs
+    orthogonal — the SAME token always maps to the SAME vector, so MaxSim
+    scores express real lexical overlap and the fixture's maxsim pipeline
+    has meaningful (imperfect) recall instead of hash noise."""
+
+    def __init__(self, dim: int = 64, max_tokens: int = 16):
+        self.dim = dim
+        self.max_tokens = max_tokens
+
+    def _tok_vec(self, tok: str) -> np.ndarray:
+        v = _hash_vec(tok, self.dim)
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    def embed_texts_multi(self, texts):
+        out = []
+        for t in texts:
+            tokens = t.lower().split()[: self.max_tokens] or [t]
+            out.append(np.stack([self._tok_vec(tok) for tok in tokens]).astype(np.float32))
+        return out
+
+    def embed_images_multi(self, images):
+        out = []
+        for b in images:
+            out.append(
+                np.stack(
+                    [self._tok_vec(f"img{i}:{b.hex()[:16]}") for i in range(self.max_tokens)]
+                ).astype(np.float32)
+            )
+        return out
+
+
 def _zipf_vocab(rng: np.random.Generator, n_types: int) -> tuple[list[str], np.ndarray]:
     words = [f"w{i}" for i in range(n_types)]
     weights = 1.0 / np.arange(1, n_types + 1) ** 1.1

@@ -48,11 +48,19 @@ class MultiVectorIndex:
         doc_matrices: Sequence[np.ndarray],
         normalize: bool = True,
         max_tokens: int | None = None,
+        search_method: str = "auto",
     ):
         if len(ids) != len(doc_matrices):
             raise ValueError("ids/doc_matrices length mismatch")
         self.ids = list(ids)
         self.normalize = normalize
+        # default kernel for search(): "auto" picks the measured winner per
+        # dtype/backend (ops/maxsim.maxsim_topk). Pin to "xla" for
+        # cross-device bit-parity on tie-dense workloads — different scoring
+        # algorithms sum in different orders, so exactly-tied true scores
+        # can split differently between e.g. the TPU Pallas kernel and the
+        # CPU scan even though each is individually deterministic.
+        self.search_method = search_method
         mats = [
             l2_normalize(np.asarray(m, np.float32)) if normalize else np.asarray(m, np.float32)
             for m in doc_matrices
@@ -117,7 +125,7 @@ class MultiVectorIndex:
         self,
         query_matrices: Sequence[np.ndarray],
         k: int,
-        method: str = "auto",
+        method: str | None = None,
         prefilter: int | None = None,
     ) -> list[list[SearchHit]]:
         """query_matrices: list of [Tq_i, d]. Scores = MaxSim / Tq_i.
@@ -130,6 +138,8 @@ class MultiVectorIndex:
         """
         if self._n == 0:
             raise IndexNotBuiltError("index has no documents")
+        if method is None:
+            method = self.search_method
         if self._device is None:
             self.to_device()
         mats = [
@@ -144,7 +154,8 @@ class MultiVectorIndex:
             from autorag_research_tpu.parallel.sharded import sharded_maxsim_topk
 
             scores, rows = sharded_maxsim_topk(
-                jnp.asarray(q), jnp.asarray(q_lens), docs, lens, k, self._n, self._mesh
+                jnp.asarray(q), jnp.asarray(q_lens), docs, lens, k, self._n,
+                self._mesh, method=method,
             )
         elif prefilter is not None:
             from autorag_research_tpu.ops.dense import dense_topk
@@ -190,7 +201,12 @@ class MultiVectorIndex:
         np.savez_compressed(path / "mv.npz", docs=self._docs, lens=self._lens)
         (path / "meta.json").write_text(
             json.dumps(
-                {"kind": "multi_vector", "normalize": self.normalize, "ids": self.ids},
+                {
+                    "kind": "multi_vector",
+                    "normalize": self.normalize,
+                    "search_method": self.search_method,
+                    "ids": self.ids,
+                },
                 default=str,
             )
         )
@@ -203,8 +219,17 @@ class MultiVectorIndex:
         idx = cls.__new__(cls)
         idx.ids = meta["ids"]
         idx.normalize = meta["normalize"]
+        idx.search_method = meta.get("search_method", "auto")
         idx._docs = arrays["docs"]
         idx._lens = arrays["lens"]
         idx._n = len(idx.ids)
         idx._device = None
+        # rebuild the prefilter proxies (derived state, cheap vs the npz read)
+        if idx._n:
+            sums = idx._docs.sum(axis=1)
+            counts = np.maximum(idx._lens[:, None], 1)
+            idx._proxies = l2_normalize(sums / counts)
+        else:
+            idx._proxies = np.zeros((0, idx._docs.shape[2]), np.float32)
+        idx._proxies_device = None
         return idx

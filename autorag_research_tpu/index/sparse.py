@@ -605,6 +605,7 @@ class SparseIndex:
             "bucketize": self.bucketize,
             "tile_skip": self.tile_skip,
             "cluster_layout": self.cluster_layout,
+            "probe_block_n": self.probe_block_n,
             "avgdl": self.avgdl,
             "n_docs": self.n_docs,
             "ids": self.ids,
@@ -624,6 +625,7 @@ class SparseIndex:
             # a cluster-ordered layout is already baked into the saved slot
             # arrays; the flag only records provenance (no re-sort on load)
             cluster_layout=meta.get("cluster_layout", False),
+            probe_block_n=int(meta.get("probe_block_n", 2048)),
         )
         idx.vocab = meta["vocab"]
         idx.avgdl = meta["avgdl"]

@@ -359,6 +359,24 @@ def quantize_int8(x) -> tuple["jnp.ndarray", "jnp.ndarray"]:
     return q, scale.astype(jnp.float32)
 
 
+def quantize_int8_global(x) -> tuple["jnp.ndarray", float]:
+    """ONE symmetric scale for the whole matrix: ``x ~= q * scale``.
+
+    With a global scale the raw s32 scores are already rank-faithful, so
+    k-selection needs no per-doc dequant broadcast at all — the scale is a
+    post-selection constant. On L2-normalized embeddings per-row absmax
+    varies little, so quality is close to per-row (measured in
+    scripts/bench_dense_int8.py). Host (numpy) input only — this is the
+    index build path."""
+    import numpy as np
+
+    x = np.asarray(x)
+    scale = float(np.max(np.abs(x))) / 127.0
+    safe = scale if scale > 0 else 1.0
+    q = np.clip(np.rint(x / safe), -127, 127).astype(np.int8)
+    return q, scale
+
+
 @functools.partial(jax.jit, static_argnames=("k", "exact"))
 def dense_topk_int8(
     queries: jax.Array,
@@ -393,6 +411,21 @@ def dense_topk_int8(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+    if jnp.ndim(corpus_scale) == 0:
+        # global corpus scale: s32 scores are already rank-faithful — select
+        # on the bare convert (no per-doc broadcast in the reduction) and
+        # apply both scales to the k winners only.
+        scores = s_i32.astype(jnp.float32)
+        if exact:
+            out_s, out_i = jax.lax.top_k(scores, k_eff)
+        else:
+            out_s, out_i = jax.lax.approx_max_k(scores, k_eff, recall_target=0.99)
+        out_s = out_s * (q_scale[:, None] * corpus_scale)
+        out_i = out_i.astype(jnp.int32)
+        if k_eff < k:
+            out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
+            out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
+        return out_s, out_i
     scores = s_i32.astype(jnp.float32) * corpus_scale[None, :]
     if exact:
         out_s, out_i = jax.lax.top_k(scores, k_eff)

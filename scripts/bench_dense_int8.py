@@ -28,6 +28,7 @@ from autorag_research_tpu.ops.dense import (  # noqa: E402
     dense_topk_approx,
     dense_topk_int8,
     quantize_int8,
+    quantize_int8_global,
 )
 from autorag_research_tpu.utils.profiling import KernelTimer  # noqa: E402
 
@@ -55,11 +56,14 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     c = load(args.n)
     cq_h, cs_h = quantize_int8(c)
+    cg_h, g_scale = quantize_int8_global(c)
     t0 = time.time()
     cq = jax.device_put(jnp.asarray(cq_h))
     cs = jax.device_put(jnp.asarray(cs_h))
+    cg = jax.device_put(jnp.asarray(cg_h))
+    gs = jnp.float32(g_scale)
     c16 = jax.device_put(jnp.asarray(c, jnp.bfloat16))
-    _ = float(cs.sum()) + float(jnp.sum(c16[0]).astype(jnp.float32))
+    _ = float(cs.sum()) + float(jnp.sum(c16[0]).astype(jnp.float32)) + float(cg[0].sum())
     print(f"H2D {time.time()-t0:.0f}s (int8 corpus {cq_h.nbytes>>20} MB, "
           f"bf16 {args.n*D*2>>20} MB)", file=sys.stderr, flush=True)
     rng = np.random.default_rng(1)
@@ -80,6 +84,15 @@ def main():
               f"max|score err| {err:.4f}", file=sys.stderr, flush=True)
         results["top10_agreement"] = round(float(agree), 4)
         results["max_score_err"] = round(err, 5)
+        sg, ig = dense_topk_int8(qj, cg, gs, K, exact=True)
+        agree_g = np.mean(
+            [len(set(map(int, a)) & set(map(int, b))) / K
+             for a, b in zip(np.asarray(ig), if_h)]
+        )
+        err_g = float(np.max(np.abs(np.asarray(sg) - np.asarray(sf))))
+        print(f"int8-GLOBAL-exact vs f32-exact: top-{K} agreement {agree_g:.3f}, "
+              f"max|score err| {err_g:.4f}", file=sys.stderr, flush=True)
+        results["top10_agreement_global"] = round(float(agree_g), 4)
 
     for qsize in [int(x) for x in args.q.split(",")]:
         q = rng.standard_normal((REPS, qsize, D), dtype=np.float32)
@@ -88,6 +101,7 @@ def main():
         q16 = jnp.asarray(q, jnp.bfloat16)
         for name, fn, qa in (
             ("int8", lambda x, a, b: dense_topk_int8(x, a, b, K), (qf, cq, cs)),
+            ("int8g", lambda x, a, b: dense_topk_int8(x, a, b, K), (qf, cg, gs)),
             ("bf16", lambda x, corp: dense_topk_approx(x, corp, K), (q16, c16)),
         ):
             timer = KernelTimer(REPS)

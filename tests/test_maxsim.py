@@ -107,6 +107,20 @@ class TestMultiVectorIndex:
         after = idx2.search(queries[:1], 4, method="xla")
         assert [h.doc_id for h in before[0]] == [h.doc_id for h in after[0]]
 
+    def test_save_load_restores_prefilter_and_method(self, tmp_path, ragged_data):
+        # load bypasses __init__: the prefilter proxies and the pinned
+        # search_method must be rebuilt/restored (regression: AttributeError)
+        queries, docs = ragged_data
+        idx = MultiVectorIndex(
+            [f"d{i}" for i in range(len(docs))], docs, search_method="xla"
+        )
+        before = idx.search(queries[:1], 3, prefilter=100)
+        idx.save(tmp_path / "mvp")
+        idx2 = MultiVectorIndex.load(tmp_path / "mvp")
+        assert idx2.search_method == "xla"
+        after = idx2.search(queries[:1], 3, prefilter=100)
+        assert [h.doc_id for h in before[0]] == [h.doc_id for h in after[0]]
+
     def test_sharded_matches_single(self, ragged_data):
         from autorag_research_tpu.parallel.mesh import corpus_mesh
 

@@ -164,3 +164,42 @@ def test_approx_mode_k_larger_than_n():
     c = rng.normal(size=(3, 8)).astype(np.float32)
     s, i = dense_topk_approx(q, c, 10)
     assert s.shape == (2, 10) and i.dtype == np.int32
+
+
+def test_int8_per_row_vs_global_scale(data):
+    # both quantization layouts must return near-exact rankings on gaussian
+    # normalized data; the global-scale path selects on bare s32 converts
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.dense import (
+        dense_topk_int8,
+        quantize_int8,
+        quantize_int8_global,
+    )
+
+    q, c = data
+    cq, cs = quantize_int8(np.asarray(c))
+    s_r, i_r = dense_topk_int8(q, jnp.asarray(cq), jnp.asarray(cs), 10, exact=True)
+    cg, gs = quantize_int8_global(np.asarray(c))
+    s_g, i_g = dense_topk_int8(q, jnp.asarray(cg), jnp.float32(gs), 10, exact=True)
+    _, ni = numpy_topk(q, c, 10)
+    for ids in (np.asarray(i_r), np.asarray(i_g)):
+        agree = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(ids, ni)])
+        assert agree >= 0.9, agree
+    # scores are dequantized to the true scale in both layouts
+    ns, _ = numpy_topk(q, c, 10)
+    np.testing.assert_allclose(np.asarray(s_r), ns, rtol=0.02, atol=0.05)
+    np.testing.assert_allclose(np.asarray(s_g), ns, rtol=0.02, atol=0.05)
+
+
+def test_int8_zero_rows():
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.dense import dense_topk_int8, quantize_int8
+
+    c = np.zeros((4, 8), np.float32)
+    c[1] = 1.0
+    cq, cs = quantize_int8(c)
+    assert cs[0] == 0.0 and cq[0].max() == 0
+    s, i = dense_topk_int8(jnp.zeros((1, 8)), jnp.asarray(cq), jnp.asarray(cs), 2, exact=True)
+    assert float(np.asarray(s).max()) == 0.0
