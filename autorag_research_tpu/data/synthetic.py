@@ -23,6 +23,7 @@ leaderboard-equality assertions meaningful (scripts/parity_run.py
 
 from __future__ import annotations
 
+import zlib
 from typing import Literal
 
 import numpy as np
@@ -132,7 +133,17 @@ class SyntheticIngestor(TextDataIngestor):
         min_corpus_cnt: int | None = None,
     ) -> None:
         service = self._require_service()
-        rng = np.random.default_rng(self.seed)
+        # honor the ingestor contract instead of silently ignoring it:
+        # min_corpus_cnt grows the corpus (never shrinks — n_docs is the
+        # user's explicit floor), and non-"test" subsets derive a distinct
+        # deterministic seed ("test" keeps the plain seed so recorded
+        # leaderboards stay reproducible)
+        if min_corpus_cnt is not None and int(min_corpus_cnt) > self.n_docs:
+            self.n_docs = int(min_corpus_cnt)
+        seed = self.seed
+        if subset != "test":
+            seed = self.seed + 1 + (zlib.crc32(subset.encode()) % 9973)
+        rng = np.random.default_rng(seed)
         words, probs = _zipf_vocab(rng, self.vocab)
 
         # topic signatures draw from the RARE tail (exercises selective BM25)

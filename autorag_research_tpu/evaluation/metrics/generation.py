@@ -683,7 +683,10 @@ def _relevancy_score(
     query_vec = np.asarray(embedding_model.embed_query(query), dtype=np.float64)
     q_vecs = np.asarray(embedding_model.embed_texts(questions), dtype=np.float64)
     norm = np.linalg.norm(q_vecs, axis=1) * np.linalg.norm(query_vec)
-    cosine = (q_vecs @ query_vec) / norm
+    # a failed generation (unparseable JSON -> question "") can embed to a
+    # zero vector; 0/0 would poison the metric average with NaN — such
+    # samples contribute 0 relevancy instead
+    cosine = np.where(norm > 0, (q_vecs @ query_vec) / np.where(norm == 0, 1.0, norm), 0.0)
     all_noncommittal = np.all(noncommittal_flags)
     return float(cosine.mean() * int(not all_noncommittal))
 

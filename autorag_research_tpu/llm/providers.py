@@ -25,12 +25,13 @@ from typing import Any, Callable
 from autorag_research_tpu.exceptions import LLMError
 from autorag_research_tpu.llm.base import BaseLLM, LLMResult
 
-Transport = Callable[[str, dict, dict], dict]
+# (url, json body, headers, timeout seconds) -> parsed JSON response.
+# Timeout is a real argument so injected transports (proxies, recorded
+# fixtures) receive clean wire headers.
+Transport = Callable[[str, dict, dict, float], dict]
 
 
-def _urllib_transport(url: str, body: dict, headers: dict) -> dict:
-    headers = dict(headers)
-    timeout = headers.pop("_timeout", 120.0)  # smuggled, never sent on the wire
+def _urllib_transport(url: str, body: dict, headers: dict, timeout: float = 120.0) -> dict:
     req = urllib.request.Request(
         url, data=json.dumps(body).encode(), headers=headers
     )
@@ -94,10 +95,9 @@ class AnthropicLLM(BaseLLM):
             "Content-Type": "application/json",
             "x-api-key": self.api_key,
             "anthropic-version": self.anthropic_version,
-            "_timeout": self.timeout,
         }
         try:
-            return self.transport(f"{self.base_url}/v1/messages", body, headers)
+            return self.transport(f"{self.base_url}/v1/messages", body, headers, self.timeout)
         except Exception as exc:  # noqa: BLE001
             raise LLMError(f"{self.model_name} call failed: {exc}") from exc
 
@@ -181,11 +181,10 @@ class GeminiLLM(BaseLLM):
         headers = {
             "Content-Type": "application/json",
             "x-goog-api-key": self.api_key,
-            "_timeout": self.timeout,
         }
         url = f"{self.base_url}/models/{self.model_name}:generateContent"
         try:
-            return self.transport(url, body, headers)
+            return self.transport(url, body, headers, self.timeout)
         except Exception as exc:  # noqa: BLE001
             raise LLMError(f"{self.model_name} call failed: {exc}") from exc
 

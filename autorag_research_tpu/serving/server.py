@@ -70,8 +70,15 @@ class _Batcher:
         batch_window_ms: float = 5.0,
         max_batch: int = 256,
         max_inflight: int = 2,
+        truncatable: bool = True,
     ):
         self.search_batch_fn = search_batch_fn
+        # truncatable: running the whole batch at max(top_k) and slicing each
+        # job's result to its own k is EXACT for ranked hit lists (/search).
+        # Generation results are not sliceable — the answer is conditioned on
+        # however many chunks were retrieved — so gen batchers set False and
+        # jobs are grouped by top_k instead of coalesced across k.
+        self.truncatable = truncatable
         self.window = batch_window_ms / 1000.0
         self.max_batch = max_batch
         self.jobs: queue.Queue[_SearchJob] = queue.Queue()
@@ -125,20 +132,27 @@ class _Batcher:
             ).start()
 
     def _run_batch(self, batch: list[_SearchJob]) -> None:
-        top_k = max(j.top_k for j in batch)
         try:
-            # pad to a power-of-two bucket: every distinct batch size is a
-            # distinct jit shape, and odd sizes would recompile the device
-            # kernel (seconds over a remote-compile tunnel); buckets cap
-            # the shape count at log2(max_batch)
-            queries = [j.query for j in batch]
-            bucket = 1 << (len(queries) - 1).bit_length()
-            queries += [queries[-1]] * (bucket - len(queries))
-            results = self.search_batch_fn(queries, top_k)
-            for job, res in zip(batch, results):
-                # search results are hit lists (truncate to the job's own k);
-                # generation results are per-query dicts
-                job.result = res[: job.top_k] if isinstance(res, list) else res
+            if self.truncatable:
+                groups = [(max(j.top_k for j in batch), batch)]
+            else:
+                by_k: dict[int, list[_SearchJob]] = {}
+                for j in batch:
+                    by_k.setdefault(j.top_k, []).append(j)
+                groups = sorted(by_k.items())
+            for top_k, jobs in groups:
+                # pad to a power-of-two bucket: every distinct batch size is a
+                # distinct jit shape, and odd sizes would recompile the device
+                # kernel (seconds over a remote-compile tunnel); buckets cap
+                # the shape count at log2(max_batch)
+                queries = [j.query for j in jobs]
+                bucket = 1 << (len(queries) - 1).bit_length()
+                queries += [queries[-1]] * (bucket - len(queries))
+                results = self.search_batch_fn(queries, top_k)
+                for job, res in zip(jobs, results):
+                    # search results are hit lists (truncate to the job's own
+                    # k); generation results are per-query dicts
+                    job.result = res[: job.top_k] if isinstance(res, list) else res
             # warm only after a SUCCESSFUL batch: a failed first batch (e.g. a
             # client-shaped error before the index built) must not unleash
             # concurrent batches onto an unbuilt index / uncompiled kernel
@@ -179,7 +193,10 @@ class ServingHandle:
         # (basic_rag-shaped: one retrieval + one LLM call) coalesce like
         # /search; agentic pipelines keep the single-query path
         self._gen_batchers = {
-            name: _Batcher(self._make_gen_batch_fn(pipe), batch_window_ms, max_batch=32)
+            name: _Batcher(
+                self._make_gen_batch_fn(pipe), batch_window_ms, max_batch=32,
+                truncatable=False,
+            )
             for name, pipe in self.generation_pipelines.items()
             if hasattr(pipe, "generate_batch_by_texts")
         }
@@ -298,12 +315,19 @@ class ServingHandle:
         }
 
     def warmup(
-        self, max_bucket: int = 256, top_k: int = 10, gen_max_bucket: int = 32
+        self,
+        max_bucket: int = 256,
+        top_k: int = 10,
+        gen_max_bucket: int = 32,
+        gen_top_k: int = 5,
     ) -> None:
         """Pre-compile the device kernels for every micro-batch bucket size
         (1, 2, 4, ... max_bucket) so no live request pays a compile. Batched
         generation pipelines warm their decode buckets too (a cold JaxLM
-        bucket is a 20-40 s remote compile mid-traffic)."""
+        bucket is a 20-40 s remote compile mid-traffic). ``gen_top_k``
+        defaults to the /generate endpoint default — retrieval kernels are
+        jit'd with STATIC k, so warming at a different k than live requests
+        use would leave every live bucket cold."""
         for name in self.retrieval_pipelines:
             fn = self._batchers[name].search_batch_fn
             b = 1
@@ -315,7 +339,7 @@ class ServingHandle:
             fn = batcher.search_batch_fn
             b = 1
             while b <= gen_max_bucket:
-                fn([f"warmup query {i}" for i in range(b)], top_k)
+                fn([f"warmup query {i}" for i in range(b)], gen_top_k)
                 b <<= 1
             logger.info("warmed generation '%s' through bucket %d", name, gen_max_bucket)
 

@@ -264,7 +264,6 @@ def main(argv=None) -> int:
     mesh = None
     if args.mesh:
         import jax
-        import numpy as np_
 
         from autorag_research_tpu.parallel.mesh import corpus_mesh
 

@@ -104,7 +104,6 @@ def main():
         lambda c: f_donq(jax.device_put(q1), c), corpus, reps=args.reps
     , label="F_donated_query")
 
-    f_chain = jax.jit(lambda q, c: f_bigarg(q, c))
     def two_calls(q, c):
         a = f_bigarg(q, c)
         b = f_bigarg(q, c)

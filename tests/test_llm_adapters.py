@@ -112,7 +112,7 @@ class TestProviderAdapters:
 
         seen = {}
 
-        def transport(url, body, headers):
+        def transport(url, body, headers, timeout):
             seen.update(url=url, body=body, headers=headers)
             return {
                 "type": "message",
@@ -138,7 +138,7 @@ class TestProviderAdapters:
 
         seen = {}
 
-        def transport(url, body, headers):
+        def transport(url, body, headers, timeout):
             seen.update(body=body)
             return {"type": "error", "error": {"type": "invalid_request_error"}}
 
@@ -155,7 +155,7 @@ class TestProviderAdapters:
 
         seen = {}
 
-        def transport(url, body, headers):
+        def transport(url, body, headers, timeout):
             seen.update(url=url, body=body, headers=headers)
             return {
                 "candidates": [
@@ -186,10 +186,10 @@ class TestProviderAdapters:
     def test_gemini_blocked_and_error(self):
         from autorag_research_tpu.llm.providers import GeminiLLM
 
-        llm = GeminiLLM(api_key="k", transport=lambda u, b, h: {"candidates": []})
+        llm = GeminiLLM(api_key="k", transport=lambda u, b, h, t: {"candidates": []})
         with pytest.raises(LLMError):
             llm.generate("x")
-        llm2 = GeminiLLM(api_key="k", transport=lambda u, b, h: {"error": {"code": 400}})
+        llm2 = GeminiLLM(api_key="k", transport=lambda u, b, h, t: {"error": {"code": 400}})
         with pytest.raises(LLMError):
             llm2.generate("x")
 

@@ -119,3 +119,31 @@ def test_model_backed_metrics_raise_cleanly():
 
     with pytest.raises(ModelLoadError):
         bart_score_faithfulness([mi("x", ["y"], contents=["ctx"])])
+
+
+def test_response_relevancy_partial_parse_failure_no_nan():
+    """One unparseable sample among strictness=3 yields question "" which can
+    embed to a ZERO vector — the metric must degrade (that sample scores 0),
+    not return NaN (regression: 0/0 in the cosine poisoned the average)."""
+    import math
+
+    from autorag_research_tpu.data.synthetic import BagOfTokensEmbedding
+
+    emb = BagOfTokensEmbedding(dim=32)  # embeds "" to the zero vector
+    calls = {"n": 0}
+
+    def responder(p):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            return "totally not json"
+        return '{"question": "what is the capital of france", "noncommittal": 0}'
+
+    out = response_relevancy(
+        [mi("Paris", ["x"], query="what is the capital of france")],
+        llm=MockLLM(responder=responder),
+        embedding_model=emb,
+        strictness=3,
+    )
+    assert not math.isnan(out[0])
+    # 2 of 3 samples match the query exactly, 1 contributes 0
+    assert out[0] == pytest.approx(2.0 / 3.0, abs=1e-5)

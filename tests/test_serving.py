@@ -333,3 +333,37 @@ def test_fast_profile_serving(tmp_path):
     finally:
         h.stop()
         registry.invalidate()
+
+
+def test_generate_mixed_top_k_not_coalesced(tmp_path):
+    """Jobs with different top_k in one /generate window must NOT share a
+    max(top_k) retrieval: the answer is conditioned on however many chunks
+    were retrieved, so each k runs its own group (regression: a top_k=1
+    client got context_chunk_ids of length 5 when batched with a top_k=5
+    client)."""
+    registry.invalidate()
+    cat = Catalog(tmp_path / "mk.db")
+    cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(DOCS)])
+    bm25 = BM25Pipeline(cat, "bm25_mk")
+    rag = BasicRAGPipeline(cat, "rag_mk", retrieval_pipeline=bm25, llm=MockLLM())
+    h = ServingHandle(cat, {"bm25": bm25}, {"rag": rag}, batch_window_ms=50).start(port=0)
+    try:
+        # warm so the batcher runs threaded batches (first batch is solo)
+        h.generate_batch(["warm"], top_k=1)
+        results = {}
+
+        def call(k):
+            code, data = post(h, "/generate", {"query": "capital of France", "top_k": k})
+            results[k] = (code, data)
+
+        t1 = threading.Thread(target=call, args=(1,))
+        t2 = threading.Thread(target=call, args=(3,))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert results[1][0] == 200 and results[3][0] == 200
+        assert len(results[1][1]["metadata"]["context_chunk_ids"]) == 1
+        # positive_only semantics cap hits below k; the point is k=3 gets
+        # MORE context than the k=1 job it shared a window with
+        assert len(results[3][1]["metadata"]["context_chunk_ids"]) >= 2
+    finally:
+        h.stop()
+        registry.invalidate()
