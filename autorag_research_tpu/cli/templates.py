@@ -181,6 +181,12 @@ DEFAULT_CONFIGS: dict[str, str] = {
         "type: gemini\nmodel: gemini-2.0-flash\n"
         "# api key read from GOOGLE_API_KEY\nmax_tokens: 1024\n"
     ),
+    "llm/bedrock.yaml": (
+        "type: bedrock\nmodel_id: anthropic.claude-sonnet-4-5-20250929-v1:0\n"
+        "region_name: us-east-1\n"
+        "# credentials read from AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY\n"
+        "max_tokens: 1024\n"
+    ),
     "embedding/mock.yaml": "type: mock\ndim: 64\n",
     "embedding/jax_encoder.yaml": (
         "type: jax_encoder\nhidden: 256\nlayers: 4\nheads: 4\nout_dim: 128\n"

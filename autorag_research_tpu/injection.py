@@ -65,8 +65,14 @@ def _builtin_factories() -> None:
 
         return GeminiLLM(**kw)
 
+    def _bedrock(**kw):
+        from autorag_research_tpu.llm.providers import BedrockLLM
+
+        return BedrockLLM(**kw)
+
     register_model_type("llm", "anthropic", _anthropic)
     register_model_type("llm", "gemini", _gemini)
+    register_model_type("llm", "bedrock", _bedrock)
 
     def _jax_lm(**kw):
         from autorag_research_tpu.llm.jax_lm import JaxLM

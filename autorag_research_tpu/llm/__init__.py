@@ -7,7 +7,7 @@ def __getattr__(name):
         from autorag_research_tpu.llm.jax_lm import JaxLM
 
         return JaxLM
-    if name in ("AnthropicLLM", "GeminiLLM"):
+    if name in ("AnthropicLLM", "GeminiLLM", "BedrockLLM"):
         from autorag_research_tpu.llm import providers
 
         return getattr(providers, name)
@@ -22,4 +22,5 @@ __all__ = [
     "JaxLM",
     "AnthropicLLM",
     "GeminiLLM",
+    "BedrockLLM",
 ]

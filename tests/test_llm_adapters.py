@@ -206,3 +206,102 @@ class TestProviderAdapters:
         reg = ModelRegistry(config_dir=tmp_path, health_check=False)
         assert type(reg.load_llm("claude")).__name__ == "AnthropicLLM"
         assert type(reg.load_llm("gem")).__name__ == "GeminiLLM"
+
+    def test_sigv4_matches_aws_published_vector(self):
+        """The stdlib signer reproduces AWS's documented IAM ListUsers example
+        (docs.aws.amazon.com sigv4-create-signed-request) bit-for-bit."""
+        from autorag_research_tpu.llm.providers import sign_v4
+
+        h = sign_v4(
+            "GET",
+            "iam.amazonaws.com",
+            "/",
+            {"Action": "ListUsers", "Version": "2010-05-08"},
+            {"content-type": "application/x-www-form-urlencoded; charset=utf-8"},
+            b"",
+            "us-east-1",
+            "iam",
+            "AKIDEXAMPLE",
+            "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+            amz_date="20150830T123600Z",
+            sign_payload_header=False,
+        )
+        assert h["Authorization"] == (
+            "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20150830/us-east-1/iam/"
+            "aws4_request, SignedHeaders=content-type;host;x-amz-date, Signature="
+            "5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7"
+        )
+
+    def test_bedrock_request_parse_and_signing(self):
+        from autorag_research_tpu.llm.providers import BedrockLLM
+
+        seen = {}
+
+        def transport(url, body, headers, timeout):
+            seen.update(url=url, body=body, headers=headers, timeout=timeout)
+            return {
+                "output": {
+                    "message": {"role": "assistant", "content": [{"text": "Oui."}]}
+                },
+                "usage": {"inputTokens": 9, "outputTokens": 2, "totalTokens": 11},
+                "stopReason": "end_turn",
+            }
+
+        llm = BedrockLLM(
+            model_id="anthropic.claude-sonnet-4-5-20250929-v1:0",
+            region_name="eu-west-1",
+            access_key="AKIDEXAMPLE",
+            secret_key="secret",
+            session_token="tok",
+            max_tokens=64,
+            transport=transport,
+        )
+        res = llm.generate("Parlez-vous francais?", system="Answer in French.")
+        assert res.text == "Oui."
+        assert res.token_usage == {
+            "prompt_tokens": 9,
+            "completion_tokens": 2,
+            "total_tokens": 11,
+        }
+        assert res.metadata["stop_reason"] == "end_turn"
+        # model id percent-encoded exactly once in the as-sent URL
+        assert seen["url"] == (
+            "https://bedrock-runtime.eu-west-1.amazonaws.com/model/"
+            "anthropic.claude-sonnet-4-5-20250929-v1%3A0/converse"
+        )
+        assert seen["body"]["inferenceConfig"]["maxTokens"] == 64
+        assert seen["body"]["system"] == [{"text": "Answer in French."}]
+        auth = seen["headers"]["Authorization"]
+        assert "/eu-west-1/bedrock/aws4_request" in auth
+        assert "x-amz-security-token" in auth  # session token is signed
+        assert seen["headers"]["x-amz-security-token"] == "tok"
+        assert len(auth.rsplit("Signature=", 1)[1]) == 64
+
+    def test_bedrock_vision_and_error(self):
+        from autorag_research_tpu.llm.providers import BedrockLLM
+
+        seen = {}
+
+        def transport(url, body, headers, timeout):
+            seen.update(body=body)
+            return {"message": "The provided model identifier is invalid."}
+
+        llm = BedrockLLM(access_key="a", secret_key="s", transport=transport)
+        with pytest.raises(LLMError):
+            llm.generate("describe", images=[b"\x89PNG fake"])
+        content = seen["body"]["messages"][0]["content"]
+        assert content[0]["image"]["format"] == "png"
+        assert content[-1] == {"text": "describe"}
+
+    def test_injection_resolves_bedrock_type(self, tmp_path):
+        from autorag_research_tpu.injection import ModelRegistry
+
+        (tmp_path / "llm").mkdir()
+        (tmp_path / "llm" / "br.yaml").write_text(
+            "type: bedrock\nmodel_id: meta.llama3-70b-instruct-v1:0\n"
+            "region_name: us-west-2\naccess_key: a\nsecret_key: s\n"
+        )
+        reg = ModelRegistry(config_dir=tmp_path, health_check=False)
+        llm = reg.load_llm("br")
+        assert type(llm).__name__ == "BedrockLLM"
+        assert llm.region_name == "us-west-2"
