@@ -8,6 +8,8 @@ embedding model stays warm, and queries batch through the device kernels.
 Stdlib-only (ThreadingHTTPServer): no web framework in the image. Endpoints:
 
 - ``GET  /health``            -> {"status": "ok", stats...}
+- ``GET  /metrics``           -> Prometheus text exposition (request counts,
+                              latency/batch-size histograms, queue depth)
 - ``POST /search``            {"query" | "queries", "pipeline"?, "top_k"?}
                               -> {"results": [[{doc_id, score, content?}]]}
 - ``POST /generate``          {"query" | "queries", "pipeline"?, "top_k"?}
@@ -71,8 +73,12 @@ class _Batcher:
         max_batch: int = 256,
         max_inflight: int = 2,
         truncatable: bool = True,
+        metrics=None,
+        metrics_labels: dict | None = None,
     ):
         self.search_batch_fn = search_batch_fn
+        self.metrics = metrics
+        self.metrics_labels = metrics_labels or {}
         # truncatable: running the whole batch at max(top_k) and slicing each
         # job's result to its own k is EXACT for ranked hit lists (/search).
         # Generation results are not sliceable — the answer is conditioned on
@@ -132,6 +138,23 @@ class _Batcher:
             ).start()
 
     def _run_batch(self, batch: list[_SearchJob]) -> None:
+        if self.metrics is not None:
+            from autorag_research_tpu.serving.metrics import BATCH_BUCKETS
+
+            self.metrics.observe(
+                "autorag_batch_size",
+                len(batch),
+                self.metrics_labels,
+                buckets=BATCH_BUCKETS,
+                help_text="micro-batch sizes as collected (pre bucket padding)",
+            )
+            self.metrics.add_gauge(
+                "autorag_batches_inflight",
+                1,
+                self.metrics_labels,
+                help_text="device batches currently executing",
+            )
+        t0 = time.monotonic()
         try:
             if self.truncatable:
                 groups = [(max(j.top_k for j in batch), batch)]
@@ -161,6 +184,16 @@ class _Batcher:
             for job in batch:
                 job.error = f"{type(exc).__name__}: {exc}"
         finally:
+            if self.metrics is not None:
+                self.metrics.observe(
+                    "autorag_batch_device_seconds",
+                    time.monotonic() - t0,
+                    self.metrics_labels,
+                    help_text="wall time of one device batch (embed+kernel+readback)",
+                )
+                self.metrics.add_gauge(
+                    "autorag_batches_inflight", -1, self.metrics_labels
+                )
             self._inflight.release()
             for job in batch:
                 job.done.set()
@@ -185,8 +218,16 @@ class ServingHandle:
         self.generation_pipelines = generation_pipelines or {}
         self.default_pipeline = default_pipeline or next(iter(retrieval_pipelines))
         self.include_contents = include_contents
+        from autorag_research_tpu.serving.metrics import ServingMetrics
+
+        self.metrics = ServingMetrics()
         self._batchers = {
-            name: _Batcher(self._make_batch_fn(pipe), batch_window_ms)
+            name: _Batcher(
+                self._make_batch_fn(pipe),
+                batch_window_ms,
+                metrics=self.metrics,
+                metrics_labels={"pipeline": name, "kind": "search"},
+            )
             for name, pipe in retrieval_pipelines.items()
         }
         # generation micro-batching: pipelines exposing a batched text path
@@ -196,6 +237,8 @@ class ServingHandle:
             name: _Batcher(
                 self._make_gen_batch_fn(pipe), batch_window_ms, max_batch=32,
                 truncatable=False,
+                metrics=self.metrics,
+                metrics_labels={"pipeline": name, "kind": "generate"},
             )
             for name, pipe in self.generation_pipelines.items()
             if hasattr(pipe, "generate_batch_by_texts")
@@ -343,6 +386,27 @@ class ServingHandle:
                 b <<= 1
             logger.info("warmed generation '%s' through bucket %d", name, gen_max_bucket)
 
+    def _refresh_gauges(self) -> None:
+        """Point-in-time gauges sampled at scrape time (not on the hot path)."""
+        self.metrics.set_gauge(
+            "autorag_uptime_seconds",
+            round(time.time() - self.started, 3),
+            help_text="seconds since the handle was constructed",
+        )
+        self.metrics.set_gauge(
+            "autorag_corpus_docs",
+            self.catalog.count("chunk"),
+            help_text="documents in the served corpus",
+        )
+        for kind, group in (("search", self._batchers), ("generate", self._gen_batchers)):
+            for name, batcher in group.items():
+                self.metrics.set_gauge(
+                    "autorag_queue_depth",
+                    batcher.jobs.qsize(),
+                    {"pipeline": name, "kind": kind},
+                    help_text="jobs waiting for a micro-batch slot",
+                )
+
     def health(self) -> dict:
         return {
             "status": "ok",
@@ -362,6 +426,7 @@ class ServingHandle:
                 logger.debug("http: " + fmt, *args)
 
             def _send(self, code: int, payload: dict) -> None:
+                self._sent_code = code
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -369,13 +434,40 @@ class ServingHandle:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _record(self, t0: float) -> None:
+                endpoint = self.path.split("?")[0]
+                code = str(getattr(self, "_sent_code", 500))
+                handle.metrics.inc(
+                    "autorag_requests_total",
+                    {"endpoint": endpoint, "code": code},
+                    help_text="HTTP requests by endpoint and status code",
+                )
+                handle.metrics.observe(
+                    "autorag_request_latency_seconds",
+                    time.monotonic() - t0,
+                    {"endpoint": endpoint},
+                    help_text="request wall time incl. batching wait",
+                )
+
             def do_GET(self):
+                t0 = time.monotonic()
                 if self.path == "/health":
                     self._send(200, handle.health())
+                elif self.path == "/metrics":
+                    handle._refresh_gauges()
+                    body = handle.metrics.render().encode()
+                    self._sent_code = 200
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
+                self._record(t0)
 
             def do_POST(self):
+                t0 = time.monotonic()
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
@@ -424,6 +516,8 @@ class ServingHandle:
                 except Exception as exc:  # noqa: BLE001
                     logger.exception("serving error")
                     self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+                finally:
+                    self._record(t0)
 
         self._server = _HTTPServer((host, port), Handler)
         thread = threading.Thread(target=self._server.serve_forever, daemon=True)

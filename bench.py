@@ -104,6 +104,41 @@ def main() -> None:
         f"tpu dense top-{K} (bf16 fast mode, approx_max_k): {dt16 * 1e3:.2f} ms "
         f"/ batch, {B / dt16:,.0f} QPS ({agree:.1%} top-10 agreement with exact)"
     )
+    # int8 serving mode: per-row symmetric quant corpus, s8 MXU matmul
+    # (ops/dense.dense_topk_int8 — measured 1.26x bf16 at Q=1024; 4x corpus
+    # HBM capacity). Secondary detail row, never the flagship metric.
+    try:
+        from autorag_research_tpu.ops.dense import dense_topk_int8, quantize_int8
+
+        cq_h, cs_h = quantize_int8(corpus)
+        cq = jax.device_put(jnp.asarray(cq_h))
+        cs = jax.device_put(jnp.asarray(cs_h))
+        qj = jax.device_put(jnp.asarray(queries))
+
+        @jax.jit
+        def run_i8(qs, a, b):
+            s, i = jax.lax.map(lambda q: dense_topk_int8(q, a, b, K), qs)
+            return s.sum(), i
+
+        tot, ids8 = run_i8(qj, cq, cs)
+        float(tot)
+        t0 = time.perf_counter()
+        tot, ids8 = run_i8(qj, cq, cs)
+        float(tot)
+        dt8 = (time.perf_counter() - t0) / REPS
+        agree8 = np.mean(
+            [
+                len(set(map(int, a)) & set(map(int, b))) / K
+                for ra, rb in zip(ids_exact, np.asarray(ids8))
+                for a, b in zip(ra, rb)
+            ]
+        )
+        log(
+            f"tpu dense top-{K} (int8 serving mode): {dt8 * 1e3:.2f} ms / batch, "
+            f"{B / dt8:,.0f} QPS ({agree8:.1%} top-10 agreement with exact)"
+        )
+    except Exception as exc:  # noqa: BLE001 - detail row must not break bench
+        log(f"int8 detail row skipped: {exc}")
 
     # secondary metric: index-build embedding throughput with the native
     # JAX encoder (BASELINE.md "index build docs/sec")

@@ -367,3 +367,72 @@ def test_generate_mixed_top_k_not_coalesced(tmp_path):
     finally:
         h.stop()
         registry.invalidate()
+
+
+def test_metrics_collector_render_and_quantile():
+    from autorag_research_tpu.serving.metrics import (
+        BATCH_BUCKETS,
+        ServingMetrics,
+    )
+
+    m = ServingMetrics()
+    m.inc("autorag_requests_total", {"endpoint": "/search", "code": "200"})
+    m.inc("autorag_requests_total", {"endpoint": "/search", "code": "200"})
+    m.inc("autorag_requests_total", {"endpoint": "/search", "code": "400"})
+    for v in (0.004, 0.02, 0.02, 0.3):
+        m.observe("autorag_request_latency_seconds", v, {"endpoint": "/search"})
+    m.observe("autorag_batch_size", 3, {"pipeline": "bm25"}, buckets=BATCH_BUCKETS)
+    m.set_gauge("autorag_uptime_seconds", 12.5)
+    text = m.render()
+    assert 'autorag_requests_total{code="200",endpoint="/search"} 2' in text
+    assert 'autorag_requests_total{code="400",endpoint="/search"} 1' in text
+    # cumulative buckets: le=0.005 holds 1, le=0.025 holds 3, +Inf holds 4
+    assert 'autorag_request_latency_seconds_bucket{endpoint="/search",le="0.005"} 1' in text
+    assert 'autorag_request_latency_seconds_bucket{endpoint="/search",le="0.025"} 3' in text
+    assert 'autorag_request_latency_seconds_bucket{endpoint="/search",le="+Inf"} 4' in text
+    assert 'autorag_request_latency_seconds_count{endpoint="/search"} 4' in text
+    # batch size 3 lands in the le=4 power-of-two bucket, not le=2
+    assert 'autorag_batch_size_bucket{pipeline="bm25",le="2"} 0' in text
+    assert 'autorag_batch_size_bucket{pipeline="bm25",le="4"} 1' in text
+    assert "# TYPE autorag_requests_total counter" in text
+    assert "# TYPE autorag_request_latency_seconds histogram" in text
+    assert "autorag_uptime_seconds 12.5" in text
+    # p50 of (0.004, 0.02, 0.02, 0.3) sits in the 0.025 bucket
+    assert m.latency_quantile(
+        "autorag_request_latency_seconds", 0.5, {"endpoint": "/search"}
+    ) == 0.025
+
+
+def test_metrics_endpoint_live(tmp_path):
+    registry.invalidate()
+    cat = Catalog(tmp_path / "metrics.db")
+    cat.add_chunks([{"id": i, "contents": d} for i, d in enumerate(DOCS)])
+    bm25 = BM25Pipeline(cat, "bm25_metrics")
+    rag = BasicRAGPipeline(cat, "rag_metrics", retrieval_pipeline=bm25, llm=MockLLM())
+    h = ServingHandle(cat, {"bm25": bm25}, {"rag": rag}, batch_window_ms=5).start(port=0)
+    try:
+        post(h, "/search", {"query": "capital of France", "top_k": 2})
+        post(h, "/search", {"query": "no such field", "top_k": -1})  # 400
+        post(h, "/generate", {"query": "capital of France"})
+        url = f"http://127.0.0.1:{h.port}/metrics"
+        with urllib.request.urlopen(url) as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            text = resp.read().decode()
+        assert 'autorag_requests_total{code="200",endpoint="/search"} 1' in text
+        assert 'autorag_requests_total{code="400",endpoint="/search"} 1' in text
+        assert 'autorag_requests_total{code="200",endpoint="/generate"} 1' in text
+        # device batches were recorded for both batcher kinds
+        assert 'autorag_batch_size_count{kind="search",pipeline="bm25"} 1' in text
+        assert 'autorag_batch_size_count{kind="generate",pipeline="rag"} 1' in text
+        assert 'autorag_batch_device_seconds_sum{kind="search",pipeline="bm25"}' in text
+        # scrape-time gauges
+        assert f"autorag_corpus_docs {len(DOCS)}" in text
+        assert 'autorag_queue_depth{kind="search",pipeline="bm25"} 0' in text
+        assert "autorag_batches_inflight" in text
+        # a second scrape counts the first /metrics hit itself
+        with urllib.request.urlopen(url) as resp:
+            text2 = resp.read().decode()
+        assert 'autorag_requests_total{code="200",endpoint="/metrics"} 1' in text2
+    finally:
+        h.stop()
+        registry.invalidate()
