@@ -39,10 +39,13 @@ from autorag_research_tpu.llm.base import BaseLLM, LLMResult
 Transport = Callable[[str, dict, dict, float], dict]
 
 
-def _urllib_transport(url: str, body: dict, headers: dict, timeout: float = 120.0) -> dict:
-    req = urllib.request.Request(
-        url, data=json.dumps(body).encode(), headers=headers
-    )
+def _urllib_transport(
+    url: str, body: dict | bytes, headers: dict, timeout: float = 120.0
+) -> dict:
+    # bytes pass through untouched: SigV4-signed requests (Bedrock) hash the
+    # exact payload bytes, so re-serializing would risk a signature mismatch
+    data = body if isinstance(body, bytes) else json.dumps(body).encode()
+    req = urllib.request.Request(url, data=data, headers=headers)
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         return json.loads(resp.read())
 
@@ -301,7 +304,11 @@ class BedrockLLM(BaseLLM):
             self.session_token,
         )
         try:
-            return self.transport(f"{self.base_url}{path}", body, headers, self.timeout)
+            # send the exact signed bytes — re-serializing the dict in the
+            # transport could produce different bytes than the payload hash
+            return self.transport(
+                f"{self.base_url}{path}", payload, headers, self.timeout
+            )
         except Exception as exc:  # noqa: BLE001
             raise LLMError(f"{self.model_name} call failed: {exc}") from exc
 

@@ -434,8 +434,17 @@ class ServingHandle:
                 self.end_headers()
                 self.wfile.write(body)
 
+            _KNOWN_ENDPOINTS = frozenset(
+                {"/health", "/metrics", "/search", "/generate"}
+            )
+
             def _record(self, t0: float) -> None:
+                # clamp the label to the known endpoint set: the raw path is
+                # client-controlled, and every distinct 404 path would mint a
+                # new label series (unbounded scrape cardinality)
                 endpoint = self.path.split("?")[0]
+                if endpoint not in self._KNOWN_ENDPOINTS:
+                    endpoint = "other"
                 code = str(getattr(self, "_sent_code", 500))
                 handle.metrics.inc(
                     "autorag_requests_total",

@@ -28,7 +28,13 @@ def main():
         "--fast", action="store_true",
         help="vector_search_fast profile: approx_max_k + bf16 corpus",
     )
+    ap.add_argument(
+        "--profile", choices=["exact", "fast", "int8"], default=None,
+        help="index profile (exact f32 | bf16 approx | int8 quantized corpus); "
+        "--fast is shorthand for --profile fast",
+    )
     args = ap.parse_args()
+    profile = args.profile or ("fast" if args.fast else "exact")
 
     import jax
 
@@ -60,9 +66,11 @@ def main():
         file=sys.stderr,
     )
 
-    index_options = (
-        {"mode": "approx", "dtype": "bfloat16"} if args.fast else None
-    )
+    index_options = {
+        "exact": None,
+        "fast": {"mode": "approx", "dtype": "bfloat16"},
+        "int8": {"mode": "int8"},
+    }[profile]
     pipe = VectorSearchPipeline(
         cat, "dense_serve", embedding_model=emb, index_options=index_options
     )

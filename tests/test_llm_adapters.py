@@ -238,7 +238,9 @@ class TestProviderAdapters:
         seen = {}
 
         def transport(url, body, headers, timeout):
-            seen.update(url=url, body=body, headers=headers, timeout=timeout)
+            # bedrock transports receive the exact SigV4-signed payload bytes
+            assert isinstance(body, bytes)
+            seen.update(url=url, body=json.loads(body), headers=headers, timeout=timeout)
             return {
                 "output": {
                     "message": {"role": "assistant", "content": [{"text": "Oui."}]}
@@ -283,7 +285,7 @@ class TestProviderAdapters:
         seen = {}
 
         def transport(url, body, headers, timeout):
-            seen.update(body=body)
+            seen.update(body=json.loads(body))
             return {"message": "The provided model identifier is invalid."}
 
         llm = BedrockLLM(access_key="a", secret_key="s", transport=transport)

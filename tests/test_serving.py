@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import pytest
@@ -433,6 +434,17 @@ def test_metrics_endpoint_live(tmp_path):
         with urllib.request.urlopen(url) as resp:
             text2 = resp.read().decode()
         assert 'autorag_requests_total{code="200",endpoint="/metrics"} 1' in text2
+        # unknown (client-controlled) paths clamp to endpoint="other" so a
+        # scanner can't mint unbounded label series
+        for bad in ("/nope", "/nope2?q=1"):
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{h.port}{bad}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        with urllib.request.urlopen(url) as resp:
+            text3 = resp.read().decode()
+        assert 'autorag_requests_total{code="404",endpoint="other"} 2' in text3
+        assert "/nope" not in text3
     finally:
         h.stop()
         registry.invalidate()
