@@ -105,9 +105,29 @@ class JaxLM(BaseLLM):
 
     def generate_batch(self, prompts: list[str]) -> list[str]:
         """Batched decode in one device dispatch (serving/bench path)."""
+        return [r.text for r in self.generate_batch_results(prompts)]
+
+    def generate_batch_results(self, prompts: list[str]) -> list[LLMResult]:
+        """Batched decode returning full :class:`LLMResult` rows, so the
+        batched serving path reports the same per-query ``token_usage`` as
+        the single-query :meth:`agenerate` path."""
         ids, mask = byte_tokenize(prompts, self.max_prompt_len)
-        tokens, _ = self._generate_jit(self.params, ids, mask)
-        return byte_detokenize(np.asarray(tokens))
+        tokens, n_new = self._generate_jit(self.params, ids, mask)
+        texts = byte_detokenize(np.asarray(tokens))
+        prompt_lens = np.asarray(mask).sum(axis=1).astype(int)
+        new_lens = np.asarray(n_new).astype(int)
+        return [
+            LLMResult(
+                text=t,
+                token_usage={
+                    "prompt_tokens": int(p),
+                    "completion_tokens": int(n),
+                    "total_tokens": int(p) + int(n),
+                },
+                metadata={"model": "jax_lm", "on_device": True},
+            )
+            for t, p, n in zip(texts, prompt_lens, new_lens)
+        ]
 
     # ----------------------------------------------------------- checkpoint
     def save(self, path: str) -> None:

@@ -48,7 +48,10 @@ class BasicRAGPipeline(BaseGenerationPipeline):
             context = "\n\n".join(contents) if contents else "(no context retrieved)"
             prompts.append(self.prompt_template.format(context=context, query=q))
             ids_per.append(chunk_ids)
-        if hasattr(self.llm, "generate_batch"):
+        if hasattr(self.llm, "generate_batch_results"):
+            # full LLMResult rows: batched serving reports real token_usage
+            results = self.llm.generate_batch_results(prompts)
+        elif hasattr(self.llm, "generate_batch"):
             from autorag_research_tpu.llm.base import LLMResult
 
             outs = self.llm.generate_batch(prompts)

@@ -22,10 +22,18 @@ import threading
 from bisect import bisect_left
 
 
+def _escape_label_value(v) -> str:
+    # exposition format requires \\, \", \n escaping in label values — one
+    # unescaped pipeline name would make the WHOLE scrape unparseable
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _fmt_labels(labels: dict[str, str] | None) -> str:
     if not labels:
         return ""
-    inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    inner = ",".join(
+        f'{k}="{_escape_label_value(v)}"' for k, v in sorted(labels.items())
+    )
     return "{" + inner + "}"
 
 
@@ -110,7 +118,15 @@ class ServingMetrics:
         key = _fmt_labels(labels)
         with self._lock:
             self._declare(name, "histogram", help_text)
-            self._hist_buckets.setdefault(name, buckets)
+            # buckets are fixed per metric NAME: rows are sized and rendered
+            # with the first-registered tuple, so a second caller with
+            # different buckets would silently corrupt sum/count slots
+            registered = self._hist_buckets.setdefault(name, buckets)
+            if registered != buckets:
+                raise ValueError(
+                    f"histogram '{name}' already registered with buckets "
+                    f"{registered}; got {buckets}"
+                )
             series = self._hists.setdefault(name, {})
             row = series.get(key)
             if row is None:

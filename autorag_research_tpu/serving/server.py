@@ -163,6 +163,7 @@ class _Batcher:
                 for j in batch:
                     by_k.setdefault(j.top_k, []).append(j)
                 groups = sorted(by_k.items())
+            any_ok = False
             for top_k, jobs in groups:
                 # pad to a power-of-two bucket: every distinct batch size is a
                 # distinct jit shape, and odd sizes would recompile the device
@@ -171,18 +172,29 @@ class _Batcher:
                 queries = [j.query for j in jobs]
                 bucket = 1 << (len(queries) - 1).bit_length()
                 queries += [queries[-1]] * (bucket - len(queries))
-                results = self.search_batch_fn(queries, top_k)
+                try:
+                    results = self.search_batch_fn(queries, top_k)
+                except Exception as exc:  # noqa: BLE001 - report to this group
+                    # fail only THIS group's waiters: other per-k groups in the
+                    # same batch may already hold (or still produce) results
+                    for job in jobs:
+                        job.error = f"{type(exc).__name__}: {exc}"
+                    continue
                 for job, res in zip(jobs, results):
                     # search results are hit lists (truncate to the job's own
                     # k); generation results are per-query dicts
                     job.result = res[: job.top_k] if isinstance(res, list) else res
-            # warm only after a SUCCESSFUL batch: a failed first batch (e.g. a
-            # client-shaped error before the index built) must not unleash
-            # concurrent batches onto an unbuilt index / uncompiled kernel
-            self._warmed.set()
-        except Exception as exc:  # noqa: BLE001 - report to each waiter
+                any_ok = True
+            # warm only after a SUCCESSFUL device call: a failed first batch
+            # (e.g. a client-shaped error before the index built) must not
+            # unleash concurrent batches onto an unbuilt index / uncompiled
+            # kernel; one successful group proves index+kernel are up
+            if any_ok:
+                self._warmed.set()
+        except Exception as exc:  # noqa: BLE001 - batching logic itself failed
             for job in batch:
-                job.error = f"{type(exc).__name__}: {exc}"
+                if job.result is None and job.error is None:
+                    job.error = f"{type(exc).__name__}: {exc}"
         finally:
             if self.metrics is not None:
                 self.metrics.observe(

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from autorag_research_tpu.ops.dense import (  # noqa: E402
     dense_topk,
     dense_topk_approx,
@@ -34,16 +35,9 @@ from autorag_research_tpu.utils.profiling import KernelTimer  # noqa: E402
 
 D, K, REPS = 768, 10, 10
 
-
-def load(n):
-    cache = f"/tmp/dense_push_{n}.npz"
-    if os.path.exists(cache):
-        return np.load(cache)["c"]
-    rng = np.random.default_rng(0)
-    c = rng.standard_normal((n, D), dtype=np.float32)
-    c /= np.linalg.norm(c, axis=1, keepdims=True)
-    np.savez(cache, c=c)
-    return c
+# one corpus recipe + /tmp cache shared with the bf16 comparator bench —
+# duplicating it would let the recipes drift while reading the same cache
+from bench_dense_bf16_push import load  # noqa: E402
 
 
 def main():

@@ -96,7 +96,6 @@ def main():
     results["D_exact_search_1q"] = percall(f_search1, q1, corpus, reps=args.reps, label="D_exact_search_1q")
     results["E_exact_search_256q"] = percall(f_search1, qb, corpus, reps=max(5, args.reps // 3), label="E_exact_search_256q")
 
-    f_donate = jax.jit(lambda q, c: q.sum() + c[0, 0].astype(jnp.float32))
     # donation of a live buffer would invalidate it; measure with a dedicated
     # throwaway copy ONCE per rep is too slow — instead donate the QUERY only
     f_donq = jax.jit(lambda q, c: q.sum() + c[0, 0].astype(jnp.float32), donate_argnums=(0,))

@@ -130,6 +130,24 @@ def test_jaxlm_protocol_and_token_usage():
     assert again.text == result.text
 
 
+def test_jaxlm_batched_results_match_single_path():
+    """generate_batch_results reports the same per-query token_usage contract
+    as agenerate — the batched serving path must not read zeros."""
+    llm = JaxLM(config=CFG, max_prompt_len=32, max_new_tokens=8)
+    prompts = ["What is the capital of France?", "hi"]
+    rows = llm.generate_batch_results(prompts)
+    assert len(rows) == 2
+    single = llm.generate(prompts[0])
+    assert rows[0].text == single.text
+    assert rows[0].token_usage == single.token_usage
+    assert rows[1].token_usage["prompt_tokens"] == len("hi") + 1  # BOS + bytes
+    assert rows[1].token_usage["total_tokens"] == (
+        rows[1].token_usage["prompt_tokens"] + rows[1].token_usage["completion_tokens"]
+    )
+    # generate_batch stays the text-only view of the same decode
+    assert llm.generate_batch(prompts) == [r.text for r in rows]
+
+
 def test_jaxlm_checkpoint_roundtrip(tmp_path):
     llm = JaxLM(config=CFG, max_prompt_len=32, max_new_tokens=6, seed=7)
     path = str(tmp_path / "lm.npz")

@@ -370,6 +370,60 @@ def test_generate_mixed_top_k_not_coalesced(tmp_path):
         registry.invalidate()
 
 
+def test_batcher_group_failure_is_isolated():
+    """A non-truncatable batch split into per-k groups must fail ONLY the
+    group that raised — other groups' completed results survive."""
+    from autorag_research_tpu.serving.server import _Batcher, _SearchJob
+
+    def fn(queries, top_k):
+        if top_k == 50:
+            raise RuntimeError("boom at k=50")
+        return [{"text": f"ok-{q}"} for q in queries]
+
+    b = _Batcher(fn, truncatable=False)
+    b.stop()
+    good, bad = _SearchJob("a", 5), _SearchJob("b", 50)
+    b._run_batch([good, bad])
+    assert good.result == {"text": "ok-a"} and good.error is None
+    assert bad.result is None and "boom at k=50" in bad.error
+    # one successful group proves index+kernel are up -> warm gate opens
+    assert b._warmed.is_set()
+    assert good.done.is_set() and bad.done.is_set()
+
+
+def test_batcher_all_groups_failing_stays_cold():
+    from autorag_research_tpu.serving.server import _Batcher, _SearchJob
+
+    def fn(queries, top_k):
+        raise ValueError("nothing works")
+
+    b = _Batcher(fn, truncatable=False)
+    b.stop()
+    j = _SearchJob("a", 5)
+    b._run_batch([j])
+    assert "nothing works" in j.error
+    assert not b._warmed.is_set()
+
+
+def test_metrics_label_escaping_and_bucket_guard():
+    from autorag_research_tpu.serving.metrics import BATCH_BUCKETS, ServingMetrics
+
+    m = ServingMetrics()
+    m.inc("autorag_requests_total", {"pipeline": 'we"ird\\name\nx'})
+    text = m.render()
+    line = next(
+        l for l in text.splitlines() if l.startswith("autorag_requests_total{")
+    )
+    # the raw quote/backslash/newline must be escaped or the whole scrape
+    # becomes unparseable; the series line must stay single-line
+    assert 'pipeline="we\\"ird\\\\name\\nx"' in line
+    assert line.endswith(" 1")
+    # histogram buckets are fixed per metric name
+    m.observe("hist_guard", 1.0, buckets=BATCH_BUCKETS)
+    with pytest.raises(ValueError, match="already registered"):
+        m.observe("hist_guard", 1.0)  # default LATENCY_BUCKETS differ
+
+
 def test_metrics_collector_render_and_quantile():
     from autorag_research_tpu.serving.metrics import (
         BATCH_BUCKETS,
