@@ -151,6 +151,10 @@ class IVFIndex:
         self.n_cells = n_cells or max(8, int(np.sqrt(max(n, 1)) * 2))
         self.n_cells = min(self.n_cells, max(n, 1))
         self.nprobe = nprobe or max(1, self.n_cells // 10)
+        # kept for _to_device_sharded: per-shard sub-indexes must rebuild
+        # with the SAME build parameters, not the defaults
+        self.pad_factor = pad_factor
+        self.kmeans_iterations = kmeans_iterations
         # total capacity must cover every doc (the packer never drops), so the
         # per-cell pad is floored at ceil(n / n_cells) regardless of pad_factor
         self.cell_pad = max(
@@ -251,6 +255,8 @@ class IVFIndex:
                     self._host[lo:hi],
                     n_cells=max(1, self.n_cells // n_shards),
                     nprobe=self.nprobe,
+                    pad_factor=self.pad_factor,
+                    kmeans_iterations=self.kmeans_iterations,
                     seed=p,
                 )
             )

@@ -56,8 +56,6 @@ def _score_blocks(queries, block_data, block_ids, top_blocks, k, n_real):
     top_blocks [Q, p]. One query at a time through lax.map — the latency
     path; batches fall back to exact anyway."""
 
-    s = block_data.shape[1]
-
     def one(args):
         q, blks = args
         data = block_data[blks]              # [p, S, d] coarse contiguous gather
@@ -72,7 +70,6 @@ def _score_blocks(queries, block_data, block_ids, top_blocks, k, n_real):
         return sort_topk(scores[None, :], out_ids[None, :], k)
 
     scores, ids = jax.lax.map(one, (queries, top_blocks))
-    del s
     return scores[:, 0, :], ids[:, 0, :]
 
 
@@ -154,12 +151,18 @@ class IVFContiguousIndex:
 
     def to_device(self) -> "IVFContiguousIndex":
         keys = jax.device_put(jnp.asarray(self._keys))
-        row_ids = jax.device_put(jnp.asarray(self._row_ids))
         if self.device_mode == "host":
-            # keys on device for probing; block payloads stream from host RAM
-            self._device = (keys, None, row_ids)
+            # keys on device for probing; block payloads AND row ids stay in
+            # host RAM (_search_host reads self._row_ids directly — uploading
+            # the [n_blocks, S] int32 table would burn H2D bandwidth and hold
+            # dead HBM for the index's lifetime)
+            self._device = (keys, None, None)
         else:
-            self._device = (keys, jax.device_put(jnp.asarray(self._blocks)), row_ids)
+            self._device = (
+                keys,
+                jax.device_put(jnp.asarray(self._blocks)),
+                jax.device_put(jnp.asarray(self._row_ids)),
+            )
         return self
 
     # ----------------------------------------------------------------- search

@@ -153,6 +153,15 @@ class MultiVectorIndex:
         if getattr(self, "_mesh", None) is not None:
             from autorag_research_tpu.parallel.sharded import sharded_maxsim_topk
 
+            if prefilter is not None:
+                import logging
+
+                # the two-stage prefilter has no sharded implementation yet;
+                # say so instead of silently running the opposite perf profile
+                logging.getLogger(__name__).warning(
+                    "prefilter=%s is ignored on a mesh-sharded MultiVectorIndex "
+                    "(exact full scan runs instead)", prefilter,
+                )
             scores, rows = sharded_maxsim_topk(
                 jnp.asarray(q), jnp.asarray(q_lens), docs, lens, k, self._n,
                 self._mesh, method=method,

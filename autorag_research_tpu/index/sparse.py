@@ -346,6 +346,7 @@ class SparseIndex:
             return self
         self._device_buckets = None
         self._device_pack = 1
+        self._device_flat = None  # lazy flat upload for method pins on packed
         from autorag_research_tpu.ops.dense import on_tpu
 
         if (
@@ -437,10 +438,13 @@ class SparseIndex:
             self.to_device()
         q_ids, q_w = self.encode_queries(queries)
         if method in ("pallas_v2_skip", "pallas_probe") and (
-            self._device_buckets is not None or getattr(self, "_mesh", None) is not None
+            self._device_buckets is not None
+            or getattr(self, "_mesh", None) is not None
+            or getattr(self, "_device_pack", 1) > 1
         ):
             # pruned kernels exist only on the flat single-device path; on a
-            # bucketed or mesh-sharded index fall back like the k-gate does
+            # bucketed, mesh-sharded, or lane-packed index fall back like the
+            # k-gate does
             method = "auto"
         if self._device_buckets is not None:
             scores, rows = self._search_bucketed(q_ids, q_w, k, method)
@@ -456,13 +460,30 @@ class SparseIndex:
             return out
         doc_ids, doc_w = self._device  # type: ignore[misc]
         if getattr(self, "_device_pack", 1) > 1:
-            from autorag_research_tpu.ops.dense import on_tpu
-            from autorag_research_tpu.ops.sparse import bm25_topk_pallas_packed
+            if method != "auto":
+                # an explicit implementation pin (e.g. the 'xla' parity
+                # oracle) must be HONORED, not silently swapped for the
+                # packed kernel: serve it from a lazily-cached flat upload
+                # of the host slot arrays (packed layouts are short-doc /
+                # small, so the extra resident copy is cheap)
+                if getattr(self, "_device_flat", None) is None:
+                    self._device_flat = (
+                        jax.device_put(jnp.asarray(self._slot_ids)),
+                        jax.device_put(jnp.asarray(self._slot_weights)),
+                    )
+                f_ids, f_w = self._device_flat
+                scores, rows = bm25_topk(
+                    jnp.asarray(q_ids), jnp.asarray(q_w), f_ids, f_w, k,
+                    method=method,
+                )
+            else:
+                from autorag_research_tpu.ops.dense import on_tpu
+                from autorag_research_tpu.ops.sparse import bm25_topk_pallas_packed
 
-            scores, rows = bm25_topk_pallas_packed(
-                jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
-                self.n_docs, k, self._device_pack, interpret=not on_tpu(),
-            )
+                scores, rows = bm25_topk_pallas_packed(
+                    jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
+                    self.n_docs, k, self._device_pack, interpret=not on_tpu(),
+                )
         elif getattr(self, "_mesh", None) is not None:
             from autorag_research_tpu.parallel.sharded import sharded_bm25_topk
 
@@ -517,8 +538,12 @@ class SparseIndex:
         )
 
         q_np = np.asarray(q_ids)
-        if method in ("auto", "pallas_probe"):
-            pbn = self.probe_block_n
+        pbn = self.probe_block_n
+        # the probe kernel's candidate-tile aux is built at probe_block_n and
+        # every tile must hold >= k; beyond that the probe leg cannot serve
+        # the request — fall to the Bloom skip leg (whose 2048 granularity is
+        # what the caller's pruned_ok gate checked)
+        if min(k, self.n_docs) <= pbn and method in ("auto", "pallas_probe"):
             p_tiles = max(1, -(-self.n_docs // pbn))
             indptr, tiles = self._ensure_term_tiles(pbn)
             cand, count, maxc = probe_candidates(q_np, indptr, tiles, bq=8, cap=p_tiles)

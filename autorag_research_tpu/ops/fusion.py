@@ -111,7 +111,8 @@ def fuse_batch_rrf(
     ids_1: np.ndarray, ids_2: np.ndarray, k: int, top_k: int, fetch_k: int
 ):
     """Vectorized RRF over padded candidate-id arrays [B, F] (pad = -1/INT_MAX
-    sentinel ids never matching). Returns (fused ids [B, top_k], scores).
+    sentinel ids never matching). Returns (scores [B, top_k], fused ids) —
+    the same (scores, ids) order as :func:`fuse_batch_cc` and ``sort_topk``.
 
     Device variant of :func:`rrf_fuse` using rank arithmetic + the
     deterministic (-score, id-rank) merge; used when fusing large query

@@ -211,7 +211,11 @@ def maxsim_topk_pallas(
     d_pad = _round_up(d, 128)
     td_pad = _round_up(td, 128)
     tq_pad = _round_up(tq, 8)
-    bq = min(block_q, b)
+    # round the query block up to the 8-sublane granularity (like the dense
+    # and bm25 wrappers): b<8 would otherwise emit sub-8-row output/scratch
+    # VMEM blocks, which Mosaic rejects; padded query rows are zeroed and
+    # sliced off the outputs
+    bq = min(block_q, _round_up(b, 8))
     b_pad = _round_up(b, bq)
     block_n = max(block_n, _round_up(k_eff, 8))  # tile must hold >= k
     n_pad = _round_up(n, block_n)
@@ -358,7 +362,11 @@ def maxsim_topk_pallas_v2(
     d_pad = _round_up(d, 128)
     td_pad = _round_up(td, 8)  # sublane alignment only in this orientation
     tq_pad = _round_up(tq, 8)
-    bq = min(block_q, b)
+    # round the query block up to the 8-sublane granularity (like the dense
+    # and bm25 wrappers): b<8 would otherwise emit sub-8-row output/scratch
+    # VMEM blocks, which Mosaic rejects; padded query rows are zeroed and
+    # sliced off the outputs
+    bq = min(block_q, _round_up(b, 8))
     b_pad = _round_up(b, bq)
     block_n = max(block_n, _round_up(k_eff, 8))
     n_pad = _round_up(n, block_n)
@@ -509,7 +517,11 @@ def maxsim_topk_pallas_v3(
     bias_lane = d  # first pad lane
     td_pad = _round_up(td, 8)
     tq_pad = _round_up(tq, 8)
-    bq = min(block_q, b)
+    # round the query block up to the 8-sublane granularity (like the dense
+    # and bm25 wrappers): b<8 would otherwise emit sub-8-row output/scratch
+    # VMEM blocks, which Mosaic rejects; padded query rows are zeroed and
+    # sliced off the outputs
+    bq = min(block_q, _round_up(b, 8))
     b_pad = _round_up(b, bq)
     block_n = max(block_n, _round_up(k_eff, 8))
     n_pad = _round_up(n, block_n)

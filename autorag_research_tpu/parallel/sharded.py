@@ -63,18 +63,24 @@ def sharded_dense_topk(
     n_shards = mesh.shape[CORPUS_AXIS]
     shard_rows = corpus.shape[0] // n_shards
     k_eff = min(k, n_total)
+    # zero-pad corpus rows score exactly 0 and would displace NEGATIVE-scoring
+    # real docs from the local top-k before the validity mask (losing real
+    # candidates from the global merge). Overfetch by the global pad count
+    # (static, < n_shards) so k_eff real candidates always survive masking.
+    n_pad = corpus.shape[0] - n_total
+    k_sel = min(k_eff + n_pad, shard_rows)
 
     def local_search(q, c_shard):
         # c_shard: [shard_rows, d] — this device's slice; per-shard method
         # dispatch (fused dot+top_k while the local score matrix fits).
-        scores, local_ids = dense_topk(q, c_shard, k_eff, method=method)
+        scores, local_ids = dense_topk(q, c_shard, k_sel, method=method)
         offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
         gids = local_ids + offset
         # mask out padding rows and k>shard overfetch
         valid = (gids < n_total) & (local_ids < shard_rows)
         scores = jnp.where(valid, scores, NEG_INF)
         gids = jnp.where(valid, gids, INT_MAX)
-        all_s = jax.lax.all_gather(scores, CORPUS_AXIS)  # [P, Q, k]
+        all_s = jax.lax.all_gather(scores, CORPUS_AXIS)  # [P, Q, k_sel]
         all_i = jax.lax.all_gather(gids, CORPUS_AXIS)
         return merge_topk(
             jnp.swapaxes(all_s, 0, 1), jnp.swapaxes(all_i, 0, 1), k_eff
@@ -128,9 +134,13 @@ def sharded_dense_topk_int8(
     n_shards = mesh.shape[CORPUS_AXIS]
     shard_rows = corpus_q.shape[0] // n_shards
     k_eff = min(k, n_total)
+    # scale-0 pad rows score exactly 0 — same displacement hazard as the f32
+    # path above; overfetch by the static global pad count
+    n_pad = corpus_q.shape[0] - n_total
+    k_sel = min(k_eff + n_pad, shard_rows)
 
     def local_search(q, c_shard, s_shard):
-        scores, local_ids = dense_topk_int8(q, c_shard, s_shard, k_eff)
+        scores, local_ids = dense_topk_int8(q, c_shard, s_shard, k_sel)
         offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
         gids = local_ids + offset
         valid = (gids < n_total) & (local_ids < shard_rows)

@@ -380,6 +380,47 @@ class TestPackedKernel:
         ]
 
 
+    def test_packed_index_honors_explicit_method(self):
+        """An explicit method pin (the parity oracle's 'xla') on an auto-
+        packed corpus must run the pinned kernel from a flat upload, not be
+        silently swapped for the packed kernel (regression)."""
+        ids, docs = TestBucketedLayout().make_skewed(n_short=40, n_long=0)
+        idx = SparseIndex(ids, docs, tokenizer="simple")
+        idx.to_device()
+        assert getattr(idx, "_device_pack", 1) > 1
+        auto_hits = idx.search(["alpha0 beta1"], 5)
+        assert getattr(idx, "_device_flat", None) is None  # auto stayed packed
+        xla_hits = idx.search(["alpha0 beta1"], 5, method="xla")
+        assert idx._device_flat is not None  # the pin ran on the flat upload
+        assert [(h.doc_id, round(h.score, 5)) for h in xla_hits[0]] == [
+            (h.doc_id, round(h.score, 5)) for h in auto_hits[0]
+        ]
+        # explicit PRUNED methods fall back to auto on packed layouts
+        pruned = idx.search(["alpha0 beta1"], 5, method="pallas_probe")
+        assert [(h.doc_id, round(h.score, 5)) for h in pruned[0]] == [
+            (h.doc_id, round(h.score, 5)) for h in auto_hits[0]
+        ]
+
+
+def test_probe_small_block_n_large_k_falls_back_to_skip_leg():
+    """probe_block_n below k must not crash the pruned path: the probe leg
+    is gated on k fitting one candidate tile and the Bloom skip leg (2048
+    granularity) serves the request instead (regression: ValueError)."""
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    # long docs (> 64 unique slots) so the corpus does NOT auto-pack
+    docs = [" ".join(rng.choice(vocab, size=90, replace=False)) for _ in range(300)]
+    ids = [f"d{i}" for i in range(300)]
+    idx = SparseIndex(ids, docs, tokenizer="simple", probe_block_n=64)
+    idx.to_device()
+    k = 128  # > probe_block_n, <= 2048
+    want = idx.search(["w0 w1 w2"], k, method="xla")
+    got = idx.search(["w0 w1 w2"], k, method="pallas_probe")
+    assert [(h.doc_id, round(h.score, 5)) for h in got[0]] == [
+        (h.doc_id, round(h.score, 5)) for h in want[0]
+    ]
+
+
 class TestTileSkip:
     """bm25_topk_pallas_v2_skip: term-driven tile pruning must be exact."""
 

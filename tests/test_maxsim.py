@@ -69,6 +69,39 @@ def test_kernel_matches_oracle(ragged_data, method):
     )
 
 
+@pytest.mark.parametrize("b", [1, 3])
+@pytest.mark.parametrize("method", ["pallas", "pallas_v2", "pallas_v3"])
+def test_kernel_small_query_batches(ragged_data, method, b):
+    """b < 8 rounds the query block up to the 8-sublane granularity (sub-8
+    VMEM blocks are rejected by Mosaic on real TPUs); padded query rows must
+    not leak into outputs."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.maxsim import (
+        maxsim_topk_pallas_v2,
+        maxsim_topk_pallas_v3,
+    )
+
+    queries, docs = ragged_data
+    q, ql, d, dl = _padded(queries[:b], docs)
+    oracle = numpy_maxsim(q, ql, d, dl)
+    order = np.lexsort((np.arange(len(docs))[None].repeat(b, 0), -oracle), axis=1)[:, :5]
+    kern = {
+        "pallas": maxsim_topk_pallas,
+        "pallas_v2": maxsim_topk_pallas_v2,
+        "pallas_v3": maxsim_topk_pallas_v3,
+    }[method]
+    s, ids = kern(
+        jnp.asarray(q), jnp.asarray(ql), jnp.asarray(d), jnp.asarray(dl), 5,
+        block_q=8, block_n=16, interpret=True,
+    )
+    assert s.shape == (b, 5) and ids.shape == (b, 5)
+    np.testing.assert_array_equal(np.asarray(ids), order)
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(oracle, order, axis=1), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_empty_doc_masked(ragged_data):
     import jax.numpy as jnp
 

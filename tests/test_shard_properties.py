@@ -37,6 +37,64 @@ def test_dense_random_sizes_and_ties(seed):
         assert got == want, (n, d, k, shards)
 
 
+def test_dense_negative_scores_pad_rows_never_displace():
+    """Zero-padded shard rows score exactly 0; when every REAL doc scores
+    negative, pads must not displace real docs from a shard's local top-k
+    (regression: the last shard contributed k - n_pad candidates and the
+    global merge lost real docs)."""
+    n, d, k = 30, 16, 3  # 8 shards -> pad to 32, 2 pad rows, shard_rows=4 > k
+    emb = np.zeros((n, d), dtype=np.float32)
+    rng = np.random.default_rng(7)
+    # every doc has a NEGATIVE x-component -> all scores vs q=[1,0..] < 0
+    emb[:, 0] = -0.5
+    emb[:, 1:] = rng.normal(size=(n, d - 1)) * 0.1
+    # the two best docs live on the LAST (padded) shard: rows 28, 29
+    emb[28, 0] = -0.01
+    emb[29, 0] = -0.02
+    emb = l2_normalize(emb)
+    ids = [f"d{i:02d}" for i in range(n)]
+    q = np.zeros((1, d), dtype=np.float32)
+    q[0, 0] = 1.0
+
+    single = DenseIndex(ids, emb).search(q, k)
+    want = [(h.doc_id, round(h.score, 5)) for h in single[0]]
+    assert [doc for doc, _ in want[:2]] == ["d28", "d29"]
+    got = DenseIndex(ids, emb).to_device(corpus_mesh(n_corpus=8)).search(q, k)
+    assert [(h.doc_id, round(h.score, 5)) for h in got[0]] == want
+
+
+def test_dense_int8_sharded_negative_scores_pad_rows():
+    """Same hazard for the int8 path: scale-0 pad rows score exactly 0."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.dense import dense_topk_int8, quantize_int8
+    from autorag_research_tpu.parallel.sharded import (
+        shard_corpus_int8,
+        sharded_dense_topk_int8,
+    )
+
+    n, d, k = 30, 16, 3
+    emb = np.zeros((n, d), dtype=np.float32)
+    rng = np.random.default_rng(11)
+    emb[:, 0] = -0.5
+    emb[:, 1:] = rng.normal(size=(n, d - 1)) * 0.1
+    emb[28, 0] = -0.01
+    emb[29, 0] = -0.02
+    emb = l2_normalize(emb)
+    q = np.zeros((1, d), dtype=np.float32)
+    q[0, 0] = 1.0
+
+    cq, cs = quantize_int8(jnp.asarray(emb))
+    s_single, i_single = dense_topk_int8(jnp.asarray(q), cq, cs, k)
+    mesh = corpus_mesh(n_corpus=8)
+    cq_sh, cs_sh = shard_corpus_int8(cq, cs, mesh)
+    s_mesh, i_mesh = sharded_dense_topk_int8(
+        jnp.asarray(q), cq_sh, cs_sh, k, n_total=n, mesh=mesh
+    )
+    assert np.asarray(i_mesh).tolist() == np.asarray(i_single).tolist()
+    np.testing.assert_allclose(np.asarray(s_mesh), np.asarray(s_single), rtol=1e-6)
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_bm25_random_sizes_and_duplicate_docs(seed):
     rng = np.random.default_rng(100 + seed)
