@@ -587,11 +587,20 @@ def sem_score(
         raise ModelLoadError("sem_score requires embedding_model")
     preds = [(mi.generated_texts or "")[: truncate_length * 4] for mi in metric_inputs]
     pred_embs = embedding_model.embed_texts(preds)
-    out = []
-    for mi, pe in zip(metric_inputs, pred_embs):
+    # flatten every row's GT references into ONE batched embed call (an API
+    # embedder otherwise pays N sequential request latencies per batch)
+    all_gts: list[str] = []
+    spans: list[tuple[int, int]] = []
+    for mi in metric_inputs:
         gts = [g[: truncate_length * 4] for g in (mi.generation_gt or [])]
-        gt_embs = embedding_model.embed_texts(gts)
-        out.append(max(calculate_cosine_similarity(ge, pe) for ge in gt_embs))
+        spans.append((len(all_gts), len(all_gts) + len(gts)))
+        all_gts.extend(gts)
+    all_gt_embs = embedding_model.embed_texts(all_gts) if all_gts else []
+    out = []
+    for pe, (lo, hi) in zip(pred_embs, spans):
+        out.append(
+            max(calculate_cosine_similarity(ge, pe) for ge in all_gt_embs[lo:hi])
+        )
     return out
 
 

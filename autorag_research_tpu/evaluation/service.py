@@ -118,11 +118,14 @@ class BaseEvaluationService:
     def _evaluate_dataset(
         self, pipeline_id, metric_id, metric_func, query_ids
     ) -> EvaluationSummary:
-        # whole-set metrics are delete-and-recompute (reference
-        # ``base_evaluation.py:418-456``)
+        # whole-set metrics are delete-and-recompute over the FULL query set
+        # (reference ``base_evaluation.py:418-456`` iterates every query):
+        # recomputing only a query_ids window after the delete would destroy
+        # a prior full run's persisted rows. The window still scopes the
+        # REPORTED average via _summarize below.
         self.catalog.delete_evaluation_results(pipeline_id, metric_id)
         all_rows: list[Any] = []
-        for rows in self._iter_query_rows(512, query_ids):
+        for rows in self._iter_query_rows(512, None):
             all_rows.extend(rows)
         if not all_rows:
             return EvaluationSummary(metric_id, 0, None)

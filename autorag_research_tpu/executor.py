@@ -182,8 +182,12 @@ class Executor:
                     query_ids=hc_query_ids,
                 )
                 if summary.count == 0:
-                    raise HealthCheckError(
-                        f"{pconfig.name}: metric {mconfig.name} scored no health-check queries"
+                    # NOT an error (reference executor.py:280-288 fails only
+                    # on metric exceptions): trial queries may legitimately
+                    # return zero hits or lack GT for this metric
+                    logger.info(
+                        "health check: metric %s scored no trial queries for %s",
+                        mconfig.name, pconfig.name,
                     )
         finally:
             if pipeline is not None:

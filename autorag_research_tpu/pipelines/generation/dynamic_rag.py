@@ -58,7 +58,13 @@ class DynamicRAGPipeline(BaseGenerationPipeline):
         response = await self.llm.agenerate(SELECT_PROMPT.format(query=query, docs=docs_block))
         tracker.record(response)
         selected: list[int] = []
-        if "none" not in response.text.lower():
+        # reference semantics (rerankers/dynamic_rag.py:74-91): only a
+        # LEADING "None" is a zero-document decision; "1, 3 help; none of
+        # the others" still selects 1 and 3
+        none_prefixed = re.match(
+            r"^[\s\[\(\"'`*-]*none\b", response.text, flags=re.IGNORECASE
+        )
+        if not none_prefixed:
             for tok in re.findall(r"\d+", response.text):
                 idx = int(tok) - 1
                 if 0 <= idx < len(pool) and idx not in selected:

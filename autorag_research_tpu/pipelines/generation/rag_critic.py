@@ -252,14 +252,21 @@ class RAGCriticPipeline(BaseGenerationPipeline):
                     regenerate = True
                 elif action == "refine_documents":
                     ids = active_ids()
-                    texts = self.get_chunk_contents(ids)
-                    numbered = "\n".join(f"{i + 1}. {t}" for i, t in enumerate(texts))
+                    # align ids with the texts actually SHOWN to the LLM:
+                    # get_chunk_contents silently skips ids without contents,
+                    # and numbering `ids` while showing `texts` would map the
+                    # LLM's kept numbers onto the wrong documents
+                    lookup = self.catalog.get_chunk_contents(ids)
+                    shown = [(d, lookup[d]) for d in ids if d in lookup]
+                    numbered = "\n".join(
+                        f"{i + 1}. {t}" for i, (_, t) in enumerate(shown)
+                    )
                     reply = await call(
                         self.llm,
                         REFINE_PROMPT.format(feedback=feedback, query=query, documents=numbered),
                     )
                     keep = {int(n) - 1 for n in re.findall(r"\d+", reply)}
-                    kept = [d for i, d in enumerate(ids) if i in keep]
+                    kept = [d for i, (d, _) in enumerate(shown) if i in keep]
                     if kept:  # never refine down to nothing
                         dropped = set(ids) - set(kept)
                         for d in dropped:

@@ -72,7 +72,14 @@ class SPDRAGPipeline(BaseGenerationPipeline):
         findings = await asyncio.gather(
             *[analyze(did, lookup[did]) for did in ids if did in lookup]
         )
-        candidates = [(d, f) for d, f in findings if "irrelevant" not in f.lower()]
+        # drop only findings that ARE the IRRELEVANT sentinel (reference
+        # semantics: the coordinator judges everything else — a finding that
+        # merely mentions the word, e.g. "not irrelevant: ...", must survive)
+        candidates = [
+            (d, f)
+            for d, f in findings
+            if not f.lower().lstrip("'\"` ").startswith("irrelevant")
+        ]
 
         async def coordinate(doc_id, partial):
             async with semaphore:

@@ -77,10 +77,16 @@ class PowerOfNoisePipeline(BaseRetrievalPipeline):
             for rel in self.catalog.get_relations_by_query(query_id):
                 if rel[gt_col] is not None:
                     exclude.add(rel[gt_col])
-        rows = self.catalog.connect().execute(
-            f"SELECT id FROM {unit} ORDER BY id"
-        ).fetchall()
-        pool = [r["id"] for r in rows if r["id"] not in exclude]
+        # the corpus is immutable during a run: fetch the id list ONCE per
+        # pipeline instance instead of O(N) rows per query
+        cache = getattr(self, "_noise_pool_cache", None)
+        if cache is None or cache[0] != unit:
+            rows = self.catalog.connect().execute(
+                f"SELECT id FROM {unit} ORDER BY id"
+            ).fetchall()
+            cache = (unit, [r["id"] for r in rows])
+            self._noise_pool_cache = cache
+        pool = [i for i in cache[1] if i not in exclude]
         rng = random.Random(f"{self.seed}:{query_id}")
         return rng.sample(pool, min(n, len(pool)))
 

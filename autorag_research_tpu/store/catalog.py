@@ -492,17 +492,32 @@ class Catalog:
 
     def delete_pipeline_artifacts(self, pipeline_id: int) -> None:
         """Remove every result/eval row for a pipeline (health-check cleanup,
-        reference ``executor.py:356-381``)."""
+        reference ``executor.py:356-381``). Also sweeps DERIVED pipelines the
+        target created under ``<name>__*`` (e.g. hyde's inner
+        ``<name>__dense`` dense pipeline) — health checks must not leave
+        orphan pipeline rows behind."""
         with self.connect() as conn:
-            for table in (
-                "chunk_retrieved_result",
-                "image_chunk_retrieved_result",
-                "executor_result",
-                "evaluation_result",
-                "summary",
-            ):
-                conn.execute(f"DELETE FROM {table} WHERE pipeline_id=?", (pipeline_id,))
-            conn.execute("DELETE FROM pipeline WHERE id=?", (pipeline_id,))
+            targets = [pipeline_id]
+            row = conn.execute(
+                "SELECT name FROM pipeline WHERE id=?", (pipeline_id,)
+            ).fetchone()
+            if row is not None:
+                derived = conn.execute(
+                    "SELECT id FROM pipeline WHERE name LIKE ? ESCAPE '\\'",
+                    (row["name"].replace("\\", "\\\\").replace("%", "\\%")
+                     .replace("_", "\\_") + "\\_\\_%",),
+                ).fetchall()
+                targets += [int(r["id"]) for r in derived]
+            for pid in targets:
+                for table in (
+                    "chunk_retrieved_result",
+                    "image_chunk_retrieved_result",
+                    "executor_result",
+                    "evaluation_result",
+                    "summary",
+                ):
+                    conn.execute(f"DELETE FROM {table} WHERE pipeline_id=?", (pid,))
+                conn.execute("DELETE FROM pipeline WHERE id=?", (pid,))
 
     # ---------------------------------------------------------------- metrics
     def get_or_create_metric(self, name: str, metric_type: str) -> int:

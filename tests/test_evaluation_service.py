@@ -54,6 +54,29 @@ class TestDatasetGranularity:
         service.evaluate(pid, "whole_set", whole_set_metric, granularity="dataset")
         assert calls == [3, 3]
 
+    def test_dataset_granularity_windowed_call_keeps_full_set(self, evaluated_catalog):
+        """A query_ids-windowed dataset-granularity call must not destroy the
+        full run's rows: the delete-and-recompute covers ALL queries
+        (reference base_evaluation.py:418-456); the window only scopes the
+        reported average (regression)."""
+        catalog, pid = evaluated_catalog
+        service = RetrievalEvaluationService(catalog)
+
+        def whole_set_metric(inputs):
+            return [0.5] * len(inputs)
+
+        full = service.evaluate(pid, "ws2", whole_set_metric, granularity="dataset")
+        assert full.count == 3
+        all_ids = sorted(catalog.get_all_query_ids(), key=str)
+        windowed = service.evaluate(
+            pid, "ws2", whole_set_metric, granularity="dataset",
+            query_ids=all_ids[:1],
+        )
+        assert windowed.count == 1  # reported average is window-scoped
+        mid = catalog.get_or_create_metric("ws2", service.metric_type)
+        # ...but the persisted rows still cover the full query set
+        assert len(catalog.get_evaluation_values(pid, mid)) == 3
+
 
 class TestGenerationInputs:
     def test_evidence_resolution_order(self, catalog):

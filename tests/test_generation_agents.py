@@ -149,6 +149,20 @@ def test_dynamic_rag_empty_selection(acat, bm25):
     assert out.metadata["selected_chunk_ids"] == []
 
 
+def test_dynamic_rag_mid_text_none_keeps_selection(acat, bm25):
+    """Reference semantics (rerankers/dynamic_rag.py:74-91): only a LEADING
+    'None' is a zero-doc decision; digits survive a mid-sentence 'none'."""
+    from autorag_research_tpu.pipelines.generation.dynamic_rag import DynamicRAGPipeline
+
+    llm = ScriptedLLM(responses=["1, 2 are useful; none of the others help.", "Paris"])
+    out = generate(DynamicRAGPipeline(acat, "dr3", retrieval_pipeline=bm25, llm=llm))
+    assert len(out.metadata["selected_chunk_ids"]) == 2
+    # leading None with illustrative digits stays a zero-doc decision
+    llm = ScriptedLLM(responses=["None of the documents 1, 2 are useful.", "memory"])
+    out = generate(DynamicRAGPipeline(acat, "dr4", retrieval_pipeline=bm25, llm=llm))
+    assert out.metadata["selected_chunk_ids"] == []
+
+
 def test_et2rag_majority_vote(acat, bm25):
     """String-vote fallback (no embedding model): partial answers vote, the
     winning subset generates the FULL answer (reference's two-phase flow)."""

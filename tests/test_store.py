@@ -205,3 +205,18 @@ class TestReviewRegressions:
         for t in threads:
             t.join()
         assert len(set(ids)) == 1
+
+    def test_delete_pipeline_artifacts_sweeps_derived_pipelines(self):
+        """Cleanup of '<name>' must also remove '<name>__*' rows (e.g. hyde's
+        inner dense pipeline) — health checks must not leave orphans. A
+        sibling 'name_x' (single underscore) must survive."""
+        cat = Catalog()
+        parent = cat.get_or_create_pipeline("hyde_health_check")
+        child = cat.get_or_create_pipeline("hyde_health_check__dense")
+        sibling = cat.get_or_create_pipeline("hyde_health_check_x")
+        cat.delete_pipeline_artifacts(parent)
+        assert cat.get_pipeline("hyde_health_check") is None
+        assert cat.get_pipeline("hyde_health_check__dense") is None
+        assert cat.get_pipeline("hyde_health_check_x") is not None
+        assert cat.get_pipeline("hyde_health_check_x")["id"] == sibling
+        del child
