@@ -270,8 +270,12 @@ def cmd_report(args) -> int:
     df = service.leaderboard()
     if df.empty:
         print("no evaluation results found")
-        return 1
-    print(df.to_string(index=False))
+        if not (args.ui or args.html):
+            return 1
+        # --ui / --html still proceed: the live UI's whole point is that a
+        # refresh during (or right after) an experiment shows current numbers
+    else:
+        print(df.to_string(index=False))
     if args.html:
         from autorag_research_tpu.reporting.html import write_html_report
 

@@ -64,26 +64,13 @@ class ConfigResolver:
         path = Path(experiment_path) if experiment_path else self.config_dir / "experiment.yaml"
         spec = yaml.safe_load(path.read_text()) or {}
         pipelines: list[BasePipelineConfig] = []
-        extra: dict[str, BasePipelineConfig] = {}
         pspec = spec.get("pipelines", {})
         for kind in ("retrieval", "generation"):
             for name in pspec.get(kind, []) or []:
                 pipelines.append(self.resolve_pipeline(kind, name))
         # resolve named dependencies not in the run list (wrappers reference
         # sub-pipelines by name; they must exist as configs too)
-        from autorag_research_tpu.pipelines.loader import DEPENDENCY_FIELDS
-
-        frontier = list(pipelines)
-        known = {p.name for p in pipelines}
-        while frontier:
-            config = frontier.pop()
-            for field_name in DEPENDENCY_FIELDS:
-                dep = getattr(config, field_name, None)
-                if isinstance(dep, str) and dep not in known:
-                    known.add(dep)
-                    dep_config = self._resolve_any_pipeline(dep)
-                    extra[dep] = dep_config
-                    frontier.append(dep_config)
+        extra = self.resolve_transitive_dependencies(pipelines)
 
         metrics = []
         mspec = spec.get("metrics", {})
@@ -95,6 +82,30 @@ class ConfigResolver:
         config = ExecutorConfig(pipelines=pipelines, metrics=metrics, **executor_kwargs)
         config.extra_pipeline_configs = extra  # type: ignore[attr-defined]
         return config
+
+    def resolve_transitive_dependencies(
+        self, configs: list[BasePipelineConfig] | dict[str, BasePipelineConfig]
+    ) -> dict[str, BasePipelineConfig]:
+        """Resolve every named sub-pipeline a set of configs references
+        (wrappers name their dependencies via DEPENDENCY_FIELDS), returning
+        only the NEWLY resolved configs. Shared by experiment loading and
+        serve_workspace so dependency semantics live in one place."""
+        from autorag_research_tpu.pipelines.loader import DEPENDENCY_FIELDS
+
+        seed = list(configs.values()) if isinstance(configs, dict) else list(configs)
+        extra: dict[str, BasePipelineConfig] = {}
+        frontier = list(seed)
+        known = {c.name for c in seed}
+        while frontier:
+            config = frontier.pop()
+            for field_name in DEPENDENCY_FIELDS:
+                dep = getattr(config, field_name, None)
+                if isinstance(dep, str) and dep not in known:
+                    known.add(dep)
+                    dep_config = self._resolve_any_pipeline(dep)
+                    extra[dep] = dep_config
+                    frontier.append(dep_config)
+        return extra
 
     def _resolve_any_pipeline(self, name: str) -> BasePipelineConfig:
         for kind in ("retrieval", "generation"):

@@ -16,7 +16,7 @@ from autorag_research_tpu.data.base import RANDOM_SEED, TextDataIngestor
 from autorag_research_tpu.data.hf_util import load_hf_dataset, sample_ids
 from autorag_research_tpu.data.registry import register_ingestor
 from autorag_research_tpu.data.vidore import image_to_png_bytes
-from autorag_research_tpu.store.gt import or_all
+from autorag_research_tpu.store.gt import image as image_gt, or_all_mixed, text as text_gt
 
 
 def _doc_id(text: str) -> str:
@@ -41,6 +41,25 @@ class OpenRAGBenchIngestor(TextDataIngestor):
 
     def detect_primary_key_type(self) -> Literal["bigint", "string"]:
         return "string"
+
+    def embed_all(self, batch_size: int = 256):
+        """Text chunks + queries via the text path, PLUS the ingested page
+        images when the embedding model can embed images (the reference's
+        embed_all override does the same, open_ragbench.py:231-237) — image
+        rows must not be dead weight that can never be searched."""
+        out = super().embed_all(batch_size)
+        if hasattr(self.embedding_model, "embed_image") or hasattr(
+            self.embedding_model, "aembed_image"
+        ):
+            service = self._require_service()
+            image_stats = service.embed_table(
+                self.embedding_model, "image_chunk", min(batch_size, 64), image=True
+            )
+            try:
+                out["image_chunk"] = image_stats
+            except TypeError:
+                pass  # embed_all variants returning non-dict stats
+        return out
 
     def _load(self, subset: str):
         if self._data is not None:
@@ -68,8 +87,10 @@ class OpenRAGBenchIngestor(TextDataIngestor):
                 chunks[did] = text
                 doc_ids.append(did)
             page_img = row.get("page_image") or row.get("image")
+            page_id = None
             if page_img is not None:
-                images[f"{qid}_page"] = page_img
+                page_id = f"{qid}_page"
+                images[page_id] = page_img
             answer = row.get("answer") or row.get("response")
             queries.append(
                 {
@@ -78,8 +99,13 @@ class OpenRAGBenchIngestor(TextDataIngestor):
                     "generation_gt": [answer] if answer else None,
                 }
             )
-            if doc_ids:
-                gts.append((qid, or_all(doc_ids)))
+            # mixed-mode GT like the reference (open_ragbench.py:217-229):
+            # the source text chunks OR the page image all count as hits
+            members = [text_gt(d) for d in doc_ids]
+            if page_id is not None:
+                members.append(image_gt(page_id))
+            if members:
+                gts.append((qid, or_all_mixed(members)))
 
         service.add_chunks([{"id": d, "contents": t} for d, t in chunks.items()])
         if images:
@@ -91,5 +117,7 @@ class OpenRAGBenchIngestor(TextDataIngestor):
             )
         service.add_queries(queries)
         for qid, gt in gts:
-            service.add_retrieval_gt(qid, gt, chunk_type="text")
+            # items are explicitly wrapped (text/image), so chunk_type only
+            # matters for bare ids — none exist here
+            service.add_retrieval_gt(qid, gt)
         service.clean()

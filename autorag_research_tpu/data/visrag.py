@@ -47,6 +47,9 @@ class VisRAGIngestor(MultiModalDataIngestor):
         }
 
     def ingest(self, subset: str = "test", query_limit=None, min_corpus_cnt=None) -> None:
+        # subset is accepted-but-ignored ON PURPOSE: VisRAG collections ship a
+        # single 'train' split (reference data/visrag.py:376-380 documents the
+        # same); min_corpus_cnt subsamples gold-preserving like the reference
         service = self._require_service()
         data = self._load()
         rng = random.Random(RANDOM_SEED)
@@ -61,12 +64,28 @@ class VisRAGIngestor(MultiModalDataIngestor):
         for r in data["queries"]:
             qid = str(r.get("query-id", r.get("query_id", r.get("_id"))))
             query_rows[qid] = r
-        qids = sample_ids([q for q in query_rows if q in qrels], query_limit, rng)
+        # queries must have text contents (empty rows would crash embedding)
+        usable = [
+            q for q in query_rows
+            if q in qrels
+            and (query_rows[q].get("query") or query_rows[q].get("text"))
+        ]
+        qids = sample_ids(usable, query_limit, rng)
 
         pages = {}
         for r in data["corpus"]:
             did = str(r.get("corpus-id", r.get("corpus_id", r.get("_id"))))
             pages[did] = r["image"]
+
+        if min_corpus_cnt is not None and min_corpus_cnt < len(pages):
+            # gold-ID-preserving subsampling (reference _filter_corpus:
+            # keep every selected query's gold pages, fill remaining slots
+            # deterministically)
+            gold = {d for q in qids for d, s in qrels[q].items() if s > 0 and d in pages}
+            others = sorted(set(pages) - gold)
+            fill = rng.sample(others, min(max(0, min_corpus_cnt - len(gold)), len(others)))
+            keep = gold | set(fill)
+            pages = {d: img for d, img in pages.items() if d in keep}
 
         service.add_image_chunks(
             [

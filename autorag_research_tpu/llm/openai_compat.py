@@ -79,6 +79,12 @@ class OpenAICompatLLM(BaseLLM):
             raise LLMError(f"{self.model_name} call failed: {exc}") from exc
 
     def _parse(self, data: dict) -> LLMResult:
+        if not data.get("choices"):
+            # vllm/ollama-style servers can return HTTP 200 with an error
+            # body; surface it as LLMError so retry/quarantine catch it
+            # (the Anthropic/Gemini/Bedrock adapters check this shape too)
+            err = data.get("error") or data
+            raise LLMError(f"{self.model_name}: no choices in response: {err}")
         choice = data["choices"][0]
         text = choice["message"].get("content") or ""
         usage = data.get("usage") or {}

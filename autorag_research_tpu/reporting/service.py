@@ -22,7 +22,21 @@ def _catalog_file(path: Path) -> Path:
 
 class ReportingService:
     def __init__(self, workspaces: Sequence[str | Path]):
-        self.workspaces = {Path(w).stem if Path(w).is_file() else Path(w).name: _catalog_file(Path(w)) for w in workspaces}
+        # label each workspace by its basename, disambiguating collisions
+        # with parent path segments — two workspaces that both end in
+        # ".../ws" must not silently overwrite each other in the dict
+        self.workspaces: dict[str, Path] = {}
+        for w in workspaces:
+            p = Path(w)
+            base = p.stem if p.is_file() else p.name
+            name, parts = base, p.resolve().parts
+            depth = 2
+            while name in self.workspaces and depth <= len(parts):
+                name = "/".join(parts[-depth:])
+                depth += 1
+            while name in self.workspaces:  # identical resolved paths
+                name += "+"
+            self.workspaces[name] = _catalog_file(p)
 
     def query(self, workspace: str, sql: str) -> pd.DataFrame:
         """Raw SQL passthrough against one workspace catalog."""

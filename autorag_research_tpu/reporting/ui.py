@@ -37,7 +37,12 @@ class ReportUIHandle:
                     # fresh service per request -> live view of the catalogs
                     body = render_html(ReportingService(workspaces)).encode("utf-8")
                 except Exception as exc:  # noqa: BLE001 - surface as 500
-                    self.send_error(500, str(exc))
+                    # the message goes into the HTTP STATUS LINE: newlines
+                    # split the response and non-latin-1 raises inside the
+                    # error handler — clamp to one short latin-1-safe line
+                    msg = str(exc).splitlines()[0][:200] if str(exc) else ""
+                    msg = msg.encode("latin-1", "replace").decode("latin-1")
+                    self.send_error(500, msg or type(exc).__name__)
                     return
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")

@@ -494,10 +494,19 @@ class ServingHandle:
                     payload = json.loads(self.rfile.read(length) or b"{}")
                 except (ValueError, json.JSONDecodeError) as exc:
                     self._send(400, {"error": f"bad request body: {exc}"})
+                    self._record(t0)
                     return
                 try:
                     if self.path == "/search":
-                        queries = payload.get("queries") or [payload["query"]]
+                        queries = payload.get("queries")
+                        if queries is None:
+                            queries = [payload["query"]]
+                        elif not isinstance(queries, list):
+                            # a plain string would iterate per CHARACTER and
+                            # fan one device search out per letter
+                            raise ValueError(
+                                f"'queries' must be a list, got {type(queries).__name__}"
+                            )
                         top_k = int(payload.get("top_k", 10))
                         if top_k < 1:
                             self._send(400, {"error": f"top_k must be >= 1, got {top_k}"})
@@ -510,6 +519,10 @@ class ServingHandle:
                         self._send(200, {"results": results})
                     elif self.path == "/generate":
                         queries = payload.get("queries")
+                        if queries is not None and not isinstance(queries, list):
+                            raise ValueError(
+                                f"'queries' must be a list, got {type(queries).__name__}"
+                            )
                         if queries is not None:
                             outs = handle.generate_batch(
                                 queries,
@@ -552,13 +565,22 @@ class ServingHandle:
         return self._server.server_address[1]
 
     def stop(self) -> None:
-        for b in self._batchers.values():
-            b.stop()
-        for b in self._gen_batchers.values():
-            b.stop()
+        # shut the HTTP listener down FIRST so no new jobs arrive, then stop
+        # the batchers and fail anything still queued — a job stranded in a
+        # stopped batcher's queue would leave its handler thread blocked in
+        # job.done.wait for the full timeout
         if self._server is not None:
             self._server.shutdown()
             self._server = None
+        for b in list(self._batchers.values()) + list(self._gen_batchers.values()):
+            b.stop()
+            while True:
+                try:
+                    job = b.jobs.get_nowait()
+                except queue.Empty:
+                    break
+                job.error = "server shutting down"
+                job.done.set()
 
 
 def serve_workspace(
@@ -598,18 +620,11 @@ def serve_workspace(
         mesh=mesh_obj, models=ModelRegistry(config_path), pipeline_configs=configs
     )
     loader = PipelineLoader(catalog, context)
-    # transitive deps
-    from autorag_research_tpu.pipelines.loader import DEPENDENCY_FIELDS
-
-    frontier = list(configs.values())
-    while frontier:
-        cfg = frontier.pop()
-        for field_name in DEPENDENCY_FIELDS:
-            dep = getattr(cfg, field_name, None)
-            if isinstance(dep, str) and dep not in context.pipeline_configs:
-                dep_cfg = resolver._resolve_any_pipeline(dep)
-                context.pipeline_configs[dep] = dep_cfg
-                frontier.append(dep_cfg)
+    # one dependency-resolution implementation (ConfigResolver) for both
+    # experiments and serving
+    context.pipeline_configs.update(
+        resolver.resolve_transitive_dependencies(configs)
+    )
 
     r_pipes = {name: loader.load(name) for name in retrieval}
     g_pipes = {name: loader.load(name) for name in generation}

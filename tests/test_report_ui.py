@@ -64,3 +64,25 @@ def test_ui_404_on_other_paths(workspace):
         assert exc.value.code == 404
     finally:
         handle.shutdown()
+
+
+def test_workspaces_with_same_basename_do_not_collide(tmp_path):
+    """Two workspaces both named 'ws' must appear as distinct datasets in the
+    leaderboard (regression: dict keyed by basename dropped one silently)."""
+    from autorag_research_tpu.reporting.service import ReportingService
+
+    paths = []
+    for parent, pipeline in (("runs_a", "bm25"), ("runs_b", "dense")):
+        ws = tmp_path / parent / "ws"
+        ws.mkdir(parents=True)
+        cat = Catalog(ws / "catalog.db")
+        cat.add_queries([{"id": 1, "contents": "q"}])
+        pid = cat.get_or_create_pipeline(pipeline)
+        mid = cat.get_or_create_metric("recall", "retrieval")
+        cat.add_evaluation_results(pid, mid, [(1, 0.5)])
+        paths.append(ws)
+    service = ReportingService(paths)
+    assert len(service.workspaces) == 2
+    df = service.results()
+    assert set(df["pipeline"]) == {"bm25", "dense"}
+    assert len(set(df["dataset"])) == 2

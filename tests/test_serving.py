@@ -502,3 +502,50 @@ def test_metrics_endpoint_live(tmp_path):
     finally:
         h.stop()
         registry.invalidate()
+
+
+def test_search_string_queries_is_rejected(handle):
+    """{'queries': 'text'} must be a 400 — a plain string would fan out one
+    device search per CHARACTER (regression)."""
+    code, data = post(handle, "/search", {"queries": "capital of France", "top_k": 2})
+    assert code == 400 and "list" in data["error"]
+    code, data = post(handle, "/generate", {"queries": "capital of France"})
+    assert code == 400 and "list" in data["error"]
+
+
+def test_stop_fails_queued_jobs_instead_of_hanging():
+    """Jobs still queued at stop() must complete with an error immediately,
+    not strand their waiters until the timeout (regression)."""
+    from autorag_research_tpu.serving.server import _Batcher, _SearchJob
+
+    import threading as _threading
+
+    release = _threading.Event()
+
+    def slow_fn(queries, top_k):
+        release.wait(timeout=30)
+        return [[] for _ in queries]
+
+    b = _Batcher(slow_fn, batch_window_ms=1, max_inflight=1)
+    b._warmed.set()
+    first = _SearchJob("a", 1)
+    b.submit(first)  # occupies the single inflight slot
+    import time as _time
+
+    _time.sleep(0.3)
+    queued = _SearchJob("b", 1)
+    b.jobs.put(queued)
+    # emulate ServingHandle.stop()'s drain on this batcher
+    b.stop()
+    import queue as _queue
+
+    while True:
+        try:
+            job = b.jobs.get_nowait()
+        except _queue.Empty:
+            break
+        job.error = "server shutting down"
+        job.done.set()
+    assert queued.done.wait(timeout=5) and queued.error
+    release.set()
+    assert first.done.wait(timeout=5)
