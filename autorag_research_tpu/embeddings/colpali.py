@@ -69,16 +69,24 @@ class ColPaliEmbedding(MultiVectorEmbedding):
         import torch
 
         model, _ = _load_colpali(self.checkpoint, self.device)
+        device_batch = {k: v.to(self.device) for k, v in batch.items()}
         with torch.no_grad():
-            out = model(**{k: v.to(self.device) for k, v in batch.items()})
+            out = model(**device_batch)
         emb = out if isinstance(out, torch.Tensor) else out.last_hidden_state
-        mask = batch.get("attention_mask")
+        # the mask must live on the SAME device as emb (indexing a CUDA
+        # tensor with a CPU mask raises); use the moved copy
+        mask = device_batch.get("attention_mask")
         results = []
         for i in range(emb.shape[0]):
             row = emb[i]
             if mask is not None:
                 row = row[mask[i].bool()]
             results.append(row.float().cpu().numpy())
+        # the colpali_engine projection is 128-d; the AutoModel FALLBACK
+        # emits backbone-width hidden states — track the real width so
+        # index sizing never disagrees with the matrices
+        if results and results[0].shape[-1] != self.dim:
+            self.dim = int(results[0].shape[-1])
         return results
 
     def embed_texts_multi(self, texts: Sequence[str]) -> list[np.ndarray]:

@@ -60,6 +60,8 @@ class InfinityEmbedding(_InfinityClient, BaseEmbedding):
 
     def embed_images(self, images: Sequence[bytes]) -> np.ndarray:
         vecs = self._post(self._image_payload(images), modality="image")
+        # image-only pipelines discover the dim here (embed_texts may never run)
+        self.dim = vecs[0].shape[-1] if vecs else self.dim
         return np.stack(vecs)
 
 

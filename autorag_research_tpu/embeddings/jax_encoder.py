@@ -75,9 +75,18 @@ class _EncoderBase:
         outs = []
         for start in range(0, len(texts), self.batch_size):
             chunk = list(texts[start : start + self.batch_size])
+            # pad the tail chunk to ONE compiled shape per instance: every
+            # distinct batch size is a distinct jit shape, and a remote-TPU
+            # compile costs tens of seconds (same fix as JaxCrossEncoder)
+            n_real = len(chunk)
+            pad = self.batch_size - n_real if n_real < self.batch_size else 0
+            if pad:
+                chunk = chunk + [""] * pad
             ids, mask = hash_tokenize(chunk, self.config.vocab_size, self.config.max_len)
             emb = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
-            outs.append((np.asarray(emb, dtype=np.float32), mask))
+            outs.append(
+                (np.asarray(emb, dtype=np.float32)[:n_real], mask[:n_real])
+            )
         if self.config.multi_vector:
             result = []
             for emb, mask in outs:

@@ -77,18 +77,25 @@ class JaxLM(BaseLLM):
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
         self._generate_jit = jax.jit(
-            lambda p, ids, mask: self.decoder.generate(
+            lambda p, ids, mask, rng: self.decoder.generate(
                 p, ids, mask, max_new_tokens=self.max_new_tokens,
-                temperature=self.temperature,
+                temperature=self.temperature, rng=rng,
             )
         )
+        # temperature sampling must advance across calls — a fixed default
+        # key would make every "sample" byte-identical for the same prompt
+        self._sample_key = jax.random.PRNGKey(seed)
         self.calls: list[str] = []
+
+    def _next_key(self):
+        self._sample_key, key = jax.random.split(self._sample_key)
+        return key
 
     # ------------------------------------------------------------- protocol
     async def agenerate(self, prompt: str, **kwargs: Any) -> LLMResult:
         self.calls.append(prompt)
         ids, mask = byte_tokenize([prompt], self.max_prompt_len)
-        tokens, n_new = self._generate_jit(self.params, ids, mask)
+        tokens, n_new = self._generate_jit(self.params, ids, mask, self._next_key())
         tokens = np.asarray(tokens)
         text = byte_detokenize(tokens)[0]
         prompt_tokens = int(mask.sum())
@@ -112,7 +119,7 @@ class JaxLM(BaseLLM):
         batched serving path reports the same per-query ``token_usage`` as
         the single-query :meth:`agenerate` path."""
         ids, mask = byte_tokenize(prompts, self.max_prompt_len)
-        tokens, n_new = self._generate_jit(self.params, ids, mask)
+        tokens, n_new = self._generate_jit(self.params, ids, mask, self._next_key())
         texts = byte_detokenize(np.asarray(tokens))
         prompt_lens = np.asarray(mask).sum(axis=1).astype(int)
         new_lens = np.asarray(n_new).astype(int)

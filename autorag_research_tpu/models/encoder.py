@@ -179,9 +179,17 @@ def contrastive_train_step(
         q = encoder(p, batch["q_ids"], batch["q_mask"])
         d = encoder(p, batch["d_ids"], batch["d_mask"])
         if encoder.config.multi_vector:
-            # late-interaction training: MaxSim as the similarity
+            # late-interaction training: MaxSim as the similarity. Doc pad
+            # positions are zero VECTORS, so an unmasked max(-1) floors every
+            # per-token maxsim at 0 and erases the gradient of anti-correlated
+            # negatives — exclude pads with a NEG_INF bias exactly like the
+            # serving kernel (ops/maxsim), then mask pad QUERY tokens out of
+            # the sum
             sim = jnp.einsum("qtd,nsd->qnts", q, d)
-            scores = sim.max(-1).sum(-1) / jnp.maximum(
+            d_bias = jnp.where(batch["d_mask"][None, :, None, :] > 0, 0.0, -1e9)
+            per_tok = (sim + d_bias).max(-1)  # [Q, N, Tq]
+            per_tok = per_tok * batch["q_mask"][:, None, :]
+            scores = per_tok.sum(-1) / jnp.maximum(
                 batch["q_mask"].sum(-1)[:, None], 1
             )
             labels = jnp.arange(q.shape[0])

@@ -242,8 +242,8 @@ class BiEncoderTrainer:
                     f"need at least dp={dp} training pairs for this mesh, have {len(pairs)}"
                 )
             bsz = max(dp, bsz - bsz % dp)
-        if bsz > len(pairs):  # never let dp alignment silently skip training
-            bsz = len(pairs) - len(pairs) % (self.mesh.shape.get("dp", 1) if self.mesh else 1)
+            # bsz started <= len(pairs) and dp <= len(pairs) is enforced
+            # above, so the dp alignment keeps bsz <= len(pairs)
         global_step = start_step
         done = max_steps is not None and global_step >= max_steps
         for _ in range(epochs):

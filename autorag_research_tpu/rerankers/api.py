@@ -21,6 +21,10 @@ class _RestReranker(BaseReranker):
     endpoint: str
     key_env: str
     provider: str
+    # provider API dialect: Cohere/Jina take "documents"/"top_n", Voyage
+    # takes "documents"/"top_k", Mixedbread takes "input"/"top_k"
+    docs_param: str = "documents"
+    top_k_param: str = "top_n"
 
     def __init__(self, model: str, api_key: str | None = None, timeout: float = 60.0):
         self.model = model
@@ -50,8 +54,8 @@ class _RestReranker(BaseReranker):
             {
                 "model": self.model,
                 "query": query,
-                "documents": list(texts),
-                "top_n": top_k or len(texts),
+                self.docs_param: list(texts),
+                self.top_k_param: top_k or len(texts),
             }
         )
         results = data.get("results", data.get("data", []))
@@ -84,6 +88,7 @@ class VoyageReranker(_RestReranker):
     endpoint = "https://api.voyageai.com/v1/rerank"
     key_env = "VOYAGE_API_KEY"
     provider = "voyageai"
+    top_k_param = "top_k"
 
     def __init__(self, model: str = "rerank-2", **kw):
         super().__init__(model, **kw)
@@ -93,6 +98,8 @@ class MixedbreadReranker(_RestReranker):
     endpoint = "https://api.mixedbread.com/v1/reranking"
     key_env = "MXBAI_API_KEY"
     provider = "mixedbreadai"
+    docs_param = "input"
+    top_k_param = "top_k"
 
     def __init__(self, model: str = "mixedbread-ai/mxbai-rerank-large-v1", **kw):
         super().__init__(model, **kw)

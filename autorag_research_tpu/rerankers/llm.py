@@ -22,20 +22,42 @@ LISTWISE_PROMPT = (
 
 
 class LLMListwiseReranker(BaseReranker):
-    """RankGPT-style listwise permutation reranking in one LLM call."""
+    """RankGPT-style listwise permutation reranking.
+
+    Candidate lists up to ``window`` rank in one LLM call; longer lists use
+    the RankGPT sliding-window pass (windows of ``window`` sliding from the
+    tail to the head with stride ``window // 2``), so strong tail candidates
+    bubble forward without ever exceeding one window per prompt."""
 
     def __init__(self, llm, window: int = 20):
         self.llm = llm
-        self.window = window
+        self.window = max(2, window)
         self.model_name = f"llm_listwise({getattr(llm, 'model_name', 'llm')})"
+
+    def _rank_window(self, query: str, texts: list[str]) -> list[int]:
+        passages = "\n".join(f"[{i + 1}] {t}" for i, t in enumerate(texts))
+        prompt = LISTWISE_PROMPT.format(n=len(texts), query=query, passages=passages)
+        response = run_async(self.llm.agenerate(prompt))
+        return self._parse_ranking(response.text, len(texts))
 
     def rerank(self, query: str, texts: Sequence[str], top_k: int | None = None):
         if not texts:
             return []
-        passages = "\n".join(f"[{i + 1}] {t}" for i, t in enumerate(texts))
-        prompt = LISTWISE_PROMPT.format(n=len(texts), query=query, passages=passages)
-        response = run_async(self.llm.agenerate(prompt))
-        order = self._parse_ranking(response.text, len(texts))
+        order = list(range(len(texts)))
+        w = self.window
+        if len(texts) <= w:
+            order = [order[i] for i in self._rank_window(query, list(texts))]
+        else:
+            step = max(1, w // 2)
+            end = len(texts)
+            while True:
+                start = max(0, end - w)
+                seg = order[start:end]
+                ranked = self._rank_window(query, [texts[i] for i in seg])
+                order[start:end] = [seg[i] for i in ranked]
+                if start == 0:
+                    break
+                end -= step
         # score = descending rank position; unranked passages appended last
         scored = [
             (idx, texts[idx], float(len(texts) - pos))

@@ -36,7 +36,11 @@ def resize_image(image_bytes: bytes, max_side: int = 1024) -> bytes:
     if max(w, h) <= max_side:
         return image_bytes
     scale = max_side / max(w, h)
-    img = img.convert("RGB").resize((int(w * scale), int(h * scale)))
+    # clamp at 1px: extreme aspect ratios (e.g. a 1x4096 strip) would round
+    # the short side to 0 and crash PIL
+    img = img.convert("RGB").resize(
+        (max(1, int(w * scale)), max(1, int(h * scale)))
+    )
     buf = io.BytesIO()
     img.save(buf, format="PNG")
     return buf.getvalue()

@@ -180,3 +180,12 @@ def test_basic_rag_runs_fully_on_device(tmp_path):
     assert out.metadata["context_chunk_ids"]
     assert out.token_usage["total_tokens"] > 0
     registry.invalidate()
+
+
+def test_jaxlm_temperature_sampling_advances_across_calls():
+    """temperature>0 must SAMPLE: two calls with the same prompt advance the
+    key and may differ; at temperature 0 decode stays deterministic
+    (regression: a fixed PRNGKey(0) made every sample byte-identical)."""
+    llm = JaxLM(config=CFG, max_prompt_len=16, max_new_tokens=12, temperature=1.5)
+    outs = {llm.generate("same prompt").text for _ in range(4)}
+    assert len(outs) > 1  # 4 high-temperature samples from random init differ

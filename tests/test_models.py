@@ -108,7 +108,12 @@ def test_jax_embedding_adapter_roundtrip(tmp_path, tiny_config):
     np.testing.assert_allclose(out[0], out[2], rtol=1e-6)  # deterministic
     save_params(emb.params, tmp_path / "params.npz")
     emb2 = JaxEncoderEmbedding(tiny_config, params_path=tmp_path / "params.npz")
-    np.testing.assert_allclose(emb2.embed_texts(["alpha beta"])[0], out[0], rtol=1e-6)
+    # atol floor: emb2 (default batch_size) compiles a different padded batch
+    # shape than emb, and XLA's per-shape fusion reassociates float reductions
+    # at the 1e-7 level — identical params, not identical rounding
+    np.testing.assert_allclose(
+        emb2.embed_texts(["alpha beta"])[0], out[0], rtol=1e-5, atol=1e-6
+    )
 
 
 def test_multi_vector_adapter(tiny_config):

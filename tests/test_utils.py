@@ -104,3 +104,16 @@ def test_kernel_timer():
     xs = jnp.ones((4, 8, 8))
     dt = timer.measure(lambda x: x @ x, xs)
     assert dt > 0
+
+
+def test_resize_extreme_aspect_ratio_clamps_to_1px():
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (1, 2048), "blue")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    small = resize_image(buf.getvalue(), max_side=512)
+    out = Image.open(io.BytesIO(small))
+    assert out.size == (1, 512)  # short side clamped, no PIL ValueError

@@ -327,6 +327,59 @@ class TestRerankers:
         out = LLMListwiseReranker(llm).rerank("q", ["a", "b", "c"])
         assert [r.index for r in out] == [1, 0, 2]
 
+    def test_llm_listwise_sliding_window(self):
+        """Lists longer than the window rank via RankGPT sliding passes —
+        each prompt holds at most `window` passages, and a strong tail
+        candidate bubbles to the front (regression: window was unused and
+        the whole list went into ONE prompt)."""
+        import re
+
+        from autorag_research_tpu.rerankers import LLMListwiseReranker
+
+        prompts = []
+
+        def responder(p):
+            prompts.append(p)
+            # rank the passage whose text contains 'best' first, rest as-is
+            nums = re.findall(r"\[(\d+)\] (\w+)", p)
+            order = sorted(nums, key=lambda t: t[1] != "best")
+            return " > ".join(n for n, _ in order)
+
+        texts = ["doc%d" % i for i in range(9)] + ["best"]
+        out = LLMListwiseReranker(MockLLM(responder=responder), window=4).rerank(
+            "q", texts
+        )
+        assert out[0].text == "best"  # bubbled from the tail through windows
+        for p in prompts:
+            assert len(re.findall(r"\[\d+\]", p)) <= 4
+
+    def test_api_reranker_provider_param_names(self):
+        """Voyage/Mixedbread take top_k (and Mixedbread 'input'); Cohere/Jina
+        take top_n/documents (regression: one payload shape for all four)."""
+        from autorag_research_tpu.rerankers.api import (
+            CohereReranker,
+            MixedbreadReranker,
+            VoyageReranker,
+        )
+
+        seen = {}
+
+        def fake_post(self, payload):
+            seen.update(payload)
+            return {"results": [{"index": 0, "relevance_score": 1.0}]}
+
+        for cls, docs_key, topk_key in (
+            (CohereReranker, "documents", "top_n"),
+            (VoyageReranker, "documents", "top_k"),
+            (MixedbreadReranker, "input", "top_k"),
+        ):
+            seen.clear()
+            rr = cls(api_key="k")
+            rr._post = fake_post.__get__(rr)
+            rr.rerank("q", ["a", "b"], top_k=1)
+            assert seen[docs_key] == ["a", "b"], cls.__name__
+            assert seen[topk_key] == 1, cls.__name__
+
     def test_embedding_similarity(self):
         from autorag_research_tpu.rerankers import EmbeddingSimilarityReranker
 
