@@ -108,3 +108,40 @@ class TestGenerationInputs:
         mi = service.build_metric_input(catalog.get_query(1), pid)
         assert mi.generation_gt == ["topic zero"]
         assert mi.generated_texts == "topic zero answer"
+
+
+class TestMixedModalityGT:
+    def test_mixed_gt_satisfied_by_either_table(self, tmp_path):
+        """A mixed OR group (text chunk | page image) counts as recalled when
+        EITHER result table holds a hit — the open_ragbench-style GT shape
+        (reference open_ragbench.py:217-229 builds exactly this)."""
+        from autorag_research_tpu.store.catalog import Catalog
+        from autorag_research_tpu.store.gt import image as image_gt, or_all_mixed, text as text_gt
+
+        cat = Catalog(tmp_path / "mixed.db")
+        cat.add_chunks([{"id": 1, "contents": "text evidence"}])
+        cat.add_image_chunks([{"id": "p1", "image": b"\x89PNG fake", "mimetype": "image/png"}])
+        cat.add_queries([
+            {"id": 10, "contents": "q text hit"},
+            {"id": 11, "contents": "q image hit"},
+            {"id": 12, "contents": "q no hit"},
+        ])
+        for qid in (10, 11, 12):
+            cat.add_retrieval_gt(qid, or_all_mixed([text_gt(1), image_gt("p1")]))
+        pid = cat.get_or_create_pipeline("p_mixed")
+        cat.add_retrieved_results(pid, [(10, 1, 0.9)], unit="chunk")
+        cat.add_retrieved_results(pid, [(11, "p1", 0.8)], unit="image_chunk")
+        cat.add_retrieved_results(pid, [(12, 1, 0.0)], unit="chunk")
+        # query 12's only hit scores 0.0 but is still a retrieved row
+
+        service = RetrievalEvaluationService(cat)
+        summary = service.evaluate(pid, "recall", retrieval_recall)
+        mid = summary.metric_id
+        rows = cat.connect().execute(
+            "SELECT query_id, value FROM evaluation_result WHERE pipeline_id=? AND metric_id=?",
+            (pid, mid),
+        ).fetchall()
+        got = {r["query_id"]: r["value"] for r in rows}
+        assert got[10] == 1.0  # satisfied via the text table
+        assert got[11] == 1.0  # satisfied via the image table
+        assert got[12] == 1.0  # chunk 1 retrieved (score irrelevant for recall)
