@@ -30,12 +30,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from autorag_research_tpu.ops.topk import sort_topk
-
-# Python literals (not jnp scalars) so Pallas kernels see them as
-# compile-time constants rather than captured tracers.
-NEG_INF = -3.4e38  # large-finite to avoid inf arithmetic in VPU
-INT_MAX = 2**31 - 1
+# sentinels re-exported from topk (the canonical definition) — Python
+# literals there, so Pallas kernels see compile-time constants
+from autorag_research_tpu.ops.topk import (  # noqa: F401
+    INT_MAX,
+    NEG_INF,
+    pad_to_k,
+    sort_topk,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -63,10 +65,7 @@ def dense_topk_xla_full(
         precision=_precision_for(queries.dtype),
     )
     top_s, top_i = jax.lax.top_k(scores, k_eff)
-    if k_eff < k:
-        top_s = jnp.pad(top_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        top_i = jnp.pad(top_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return top_s, top_i
+    return pad_to_k(top_s, top_i, k, k_eff)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n"))
@@ -117,10 +116,7 @@ def dense_topk_xla(
     (scores, ids), _ = jax.lax.scan(
         body, init, (tiles, jnp.arange(tiles.shape[0], dtype=jnp.int32))
     )
-    if k_eff < k:
-        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return scores, ids
+    return pad_to_k(scores, ids, k, k_eff)
 
 
 # ------------------------------------------------------------------ Pallas
@@ -252,10 +248,7 @@ def dense_topk_pallas(
         interpret=interpret,
     )(queries, corpus)
     out_s, out_i = out_s[:q], out_i[:q]
-    if k_eff < k:
-        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return out_s, out_i
+    return pad_to_k(out_s, out_i, k, k_eff)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
@@ -295,10 +288,7 @@ def dense_topk_xla_two_stage(
     cand_s = tile_s.reshape(-1, t * k_eff)
     out_s, pos = jax.lax.top_k(cand_s, k_eff)
     out_i = jnp.take_along_axis(cand_i, pos, axis=1)
-    if k_eff < k:
-        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return out_s, out_i
+    return pad_to_k(out_s, out_i, k, k_eff)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "recall_target"))
@@ -330,10 +320,7 @@ def dense_topk_approx(
     )
     out_s, out_i = jax.lax.approx_max_k(scores, k_eff, recall_target=recall_target)
     out_i = out_i.astype(jnp.int32)
-    if k_eff < k:
-        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return out_s, out_i
+    return pad_to_k(out_s, out_i, k, k_eff)
 
 
 def quantize_int8(x) -> tuple["jnp.ndarray", "jnp.ndarray"]:
@@ -422,10 +409,7 @@ def dense_topk_int8(
             out_s, out_i = jax.lax.approx_max_k(scores, k_eff, recall_target=0.99)
         out_s = out_s * (q_scale[:, None] * corpus_scale)
         out_i = out_i.astype(jnp.int32)
-        if k_eff < k:
-            out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-            out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-        return out_s, out_i
+        return pad_to_k(out_s, out_i, k, k_eff)
     scores = s_i32.astype(jnp.float32) * corpus_scale[None, :]
     if exact:
         out_s, out_i = jax.lax.top_k(scores, k_eff)
@@ -433,10 +417,7 @@ def dense_topk_int8(
         out_s, out_i = jax.lax.approx_max_k(scores, k_eff, recall_target=0.99)
     out_s = out_s * q_scale[:, None]
     out_i = out_i.astype(jnp.int32)
-    if k_eff < k:
-        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return out_s, out_i
+    return pad_to_k(out_s, out_i, k, k_eff)
 
 
 def on_tpu() -> bool:

@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, _extract_topk, _precision_for, _round_up
-from autorag_research_tpu.ops.topk import sort_topk
+from autorag_research_tpu.ops.topk import pad_to_k, sort_topk
 
 
 # score-intermediate budget for auto tile sizing: the scan materializes a
@@ -118,10 +118,7 @@ def maxsim_topk_xla(
         init,
         ((doc_tiles, len_tiles), jnp.arange(doc_tiles.shape[0], dtype=jnp.int32)),
     )
-    if k_eff < k:
-        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return scores, ids
+    return pad_to_k(scores, ids, k, k_eff)
 
 
 # ------------------------------------------------------------------ Pallas
@@ -270,10 +267,7 @@ def maxsim_topk_pallas(
         interpret=interpret,
     )(queries, docs, dbias)
     out_s, out_i = out_s[:b], out_i[:b]
-    if k_eff < k:
-        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return out_s, out_i
+    return pad_to_k(out_s, out_i, k, k_eff)
 
 
 def _maxsim_kernel_v2(
@@ -407,10 +401,7 @@ def maxsim_topk_pallas_v2(
         interpret=interpret,
     )(queries, docs, dlens)
     out_s, out_i = out_s[:b], out_i[:b]
-    if k_eff < k:
-        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return out_s, out_i
+    return pad_to_k(out_s, out_i, k, k_eff)
 
 
 # bias value for matmul-fused doc-token masking (v3): must stay finite in
@@ -569,10 +560,7 @@ def maxsim_topk_pallas_v3(
         interpret=interpret,
     )(queries, docs)
     out_s, out_i = out_s[:b], out_i[:b]
-    if k_eff < k:
-        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return out_s, out_i
+    return pad_to_k(out_s, out_i, k, k_eff)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -617,10 +605,7 @@ def maxsim_rerank(
     ids = jnp.where(valid, cand, INT_MAX)
     k_eff = min(k, c)
     s, i = sort_topk(scores, ids, k_eff)
-    if k_eff < k:
-        s = jnp.pad(s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        i = jnp.pad(i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return s, i
+    return pad_to_k(s, i, k, k_eff)
 
 
 def maxsim_topk(queries, query_lens, docs, doc_lens, k, method: str = "auto"):

@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, _round_up
-from autorag_research_tpu.ops.topk import sort_topk
+from autorag_research_tpu.ops.topk import pad_to_k, sort_topk
 
 DOC_PAD = -1
 QUERY_PAD = -2
@@ -100,10 +100,7 @@ def bm25_topk_xla(
         init,
         ((id_tiles, w_tiles), jnp.arange(id_tiles.shape[0], dtype=jnp.int32)),
     )
-    if k_eff < k:
-        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return scores, ids
+    return pad_to_k(scores, ids, k, k_eff)
 
 
 # ------------------------------------------------------------------ Pallas
@@ -222,10 +219,7 @@ def _launch_bm25_pallas(
         interpret=interpret,
     )(q_ids, q_weights, doc_ids, doc_weights)
     out_s, out_i = out_s[:bsz], out_i[:bsz]
-    if k_eff < k:
-        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return out_s, out_i
+    return pad_to_k(out_s, out_i, k, k_eff)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_q", "block_n", "interpret"))
@@ -576,7 +570,19 @@ def bm25_topk_pallas_v2_skip(
     slots_pad = _round_up(slots, 128)
     bq = min(block_q, _round_up(bsz, 8))
     bsz_pad = _round_up(bsz, bq)
+    requested_block_n = block_n
     block_n = max(block_n, _round_up(k_eff, 128))
+    if block_n != requested_block_n:
+        # the Bloom bitmaps were built at the CALLER's tile granularity; a
+        # k-driven bump re-tiles the corpus so bitmap tile t no longer covers
+        # kernel tile t — false negatives would silently drop positive hits
+        # even when the tile COUNTS happen to coincide. Refuse like the probe
+        # wrapper does; callers gate k (index/sparse.py pruned_ok).
+        raise ValueError(
+            f"k={k} needs block_n >= {block_n} but tile bitmaps were built at "
+            f"block_n={requested_block_n}; rebuild the bitmaps or route to an "
+            "unpruned kernel"
+        )
     n_pad = _round_up(n, block_n)
     n_tiles = n_pad // block_n
     if bitmaps.shape[0] != n_tiles:
@@ -633,10 +639,7 @@ def bm25_topk_pallas_v2_skip(
         interpret=interpret,
     )(q_ids_p, q_weights_p, matched, doc_ids, doc_weights)
     out_s, out_i = out_s[:bsz], out_i[:bsz]
-    if k_eff < k:
-        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return out_s, out_i
+    return pad_to_k(out_s, out_i, k, k_eff)
 
 
 def build_term_tile_lists(
@@ -886,10 +889,7 @@ def bm25_topk_pallas_probe(
         interpret=interpret,
     )(cand.astype(jnp.int32), count.astype(jnp.int32), q_ids_p, q_weights_p, doc_ids, doc_weights)
     out_s, out_i = out_s[:bsz], out_i[:bsz]
-    if k_eff < k:
-        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return out_s, out_i
+    return pad_to_k(out_s, out_i, k, k_eff)
 
 
 def pack_slots(
@@ -903,6 +903,13 @@ def pack_slots(
     p = max(1, 128 // width)
     if p == 1:
         return doc_ids, doc_weights, 1
+    if doc_ids.shape[1] > width and (doc_ids[:, width:] != DOC_PAD).any():
+        # enforce the documented precondition instead of silently slicing
+        # live term slots off (scores would quietly understate)
+        raise ValueError(
+            f"pack_slots(width={width}): some docs have live terms beyond "
+            f"slot {width}; pack only corpora whose docs fit the width"
+        )
     # layout stride MUST be 128 // p — the kernel derives its lane->group
     # mapping from pack alone, so the layout and mapping share one formula
     # (laying out at the raw width broke widths where 128 // (128 // width)
@@ -1075,10 +1082,7 @@ def bm25_topk_pallas_packed(
     out_s = out_s.reshape(bsz_pad, p_pad * k_eff)[:bsz]
     out_i = out_i.reshape(bsz_pad, p_pad * k_eff)[:bsz]
     out_s, out_i = sort_topk(out_s, out_i, k_eff)
-    if k_eff < k:
-        out_s = jnp.pad(out_s, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        out_i = jnp.pad(out_i, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return out_s, out_i
+    return pad_to_k(out_s, out_i, k, k_eff)
 
 
 def bm25_topk(q_ids, q_weights, doc_ids, doc_weights, k, method: str = "auto"):

@@ -15,18 +15,39 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# canonical pad sentinels shared by every kernel wrapper (dense.py re-exports
+# them): large-FINITE score to avoid inf arithmetic on the VPU, INT_MAX id so
+# pads always lose the (-score, id) tie-break
+NEG_INF = -3.4e38
+INT_MAX = 2**31 - 1
+
+
+def pad_to_k(
+    scores: jax.Array, ids: jax.Array, k: int, k_eff: int
+) -> tuple[jax.Array, jax.Array]:
+    """Pad [..., k_eff] results out to the caller's k with the sentinels
+    (the shared epilogue of every top-k wrapper)."""
+    if k_eff >= k:
+        return scores, ids
+    pad = [(0, 0)] * (scores.ndim - 1) + [(0, k - k_eff)]
+    return (
+        jnp.pad(scores, pad, constant_values=NEG_INF),
+        jnp.pad(ids, pad, constant_values=INT_MAX),
+    )
 
 
 def sort_topk(scores: jax.Array, ids: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """Exact top-k along the last axis by ``(-score, id)`` lexicographic order.
 
-    scores: [..., M] float; ids: [..., M] int. Returns ([..., k], [..., k]).
+    scores: [..., M] float; ids: [..., M] int. Returns ([..., k], [..., k]) —
+    padded with the sentinels when fewer than k candidates exist, so the
+    return shape contract holds for every M.
     """
     neg_scores, sorted_ids = jax.lax.sort(
         (-scores.astype(jnp.float32), ids), num_keys=2
     )
-    return -neg_scores[..., :k], sorted_ids[..., :k]
+    out_s, out_i = -neg_scores[..., :k], sorted_ids[..., :k]
+    return pad_to_k(out_s, out_i, k, out_s.shape[-1])
 
 
 def merge_topk(

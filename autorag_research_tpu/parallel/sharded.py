@@ -24,7 +24,7 @@ from autorag_research_tpu.ops.dense import (
     dense_topk_int8,
     on_tpu,
 )
-from autorag_research_tpu.ops.topk import merge_topk
+from autorag_research_tpu.ops.topk import merge_topk, pad_to_k
 from autorag_research_tpu.parallel.mesh import CORPUS_AXIS
 
 
@@ -95,10 +95,7 @@ def sharded_dense_topk(
     scores, ids = jax.shard_map(
         local_search, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )(queries, corpus)
-    if k_eff < k:
-        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return scores, ids
+    return pad_to_k(scores, ids, k, k_eff)
 
 
 def shard_corpus_int8(
@@ -157,10 +154,7 @@ def sharded_dense_topk_int8(
     scores, ids = jax.shard_map(
         local_search, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )(queries, corpus_q, corpus_scale)
-    if k_eff < k:
-        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return scores, ids
+    return pad_to_k(scores, ids, k, k_eff)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_total", "mesh", "method"))
@@ -200,10 +194,7 @@ def sharded_bm25_topk(
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )(q_ids, q_weights, doc_ids, doc_weights)
-    if k_eff < k:
-        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return scores, ids
+    return pad_to_k(scores, ids, k, k_eff)
 
 
 @functools.partial(
@@ -258,10 +249,7 @@ def sharded_ivf_topk(
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )(queries, corpus_sh, centroids_sh, members_sh)
-    if k_eff < k:
-        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return scores, ids
+    return pad_to_k(scores, ids, k, k_eff)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "n_total", "mesh", "method"))
@@ -304,7 +292,4 @@ def sharded_maxsim_topk(
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )(queries, query_lens, docs, doc_lens)
-    if k_eff < k:
-        scores = jnp.pad(scores, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        ids = jnp.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=INT_MAX)
-    return scores, ids
+    return pad_to_k(scores, ids, k, k_eff)

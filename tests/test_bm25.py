@@ -752,3 +752,39 @@ def test_cluster_layout_applies_on_every_build_path():
     assert max(pos) - min(pos) == len(pos) - 1, (
         "docs sharing the rarest term must be contiguous after cluster_layout"
     )
+
+
+def test_v2_skip_refuses_k_bump_past_bitmap_granularity():
+    """A k that forces a bigger tile than the bitmaps were built at must
+    raise — re-tiling silently past the Bloom granularity would drop hits
+    even when the tile counts coincide (regression)."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.sparse import (
+        bm25_topk_pallas_v2_skip,
+        build_tile_bitmaps,
+    )
+
+    ids = np.zeros((4096, 8), np.int32)
+    ids[:, 0] = np.arange(4096) % 97
+    w = np.ones((4096, 8), np.float32)
+    bitmaps = jnp.asarray(build_tile_bitmaps(ids, 2048))
+    q_ids = jnp.asarray([[1, 2]], dtype=jnp.int32)
+    q_w = jnp.ones((1, 2), jnp.float32)
+    with pytest.raises(ValueError, match="bitmaps were built"):
+        bm25_topk_pallas_v2_skip(
+            q_ids, q_w, jnp.asarray(ids), jnp.asarray(w), bitmaps,
+            k=2500, block_n=2048, interpret=True,
+        )
+
+
+def test_pack_slots_refuses_live_terms_beyond_width():
+    from autorag_research_tpu.ops.sparse import DOC_PAD, pack_slots
+
+    ids = np.full((4, 32), DOC_PAD, np.int32)
+    ids[:, :20] = 7  # live terms out to slot 20
+    w = np.ones((4, 32), np.float32)
+    with pytest.raises(ValueError, match="beyond"):
+        pack_slots(ids, w, width=16)
+    packed, _, p = pack_slots(ids[:, :20], w[:, :20], width=20)
+    assert p == 128 // 20 // 1 or p >= 1  # packs fine when terms fit

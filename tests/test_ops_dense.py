@@ -203,3 +203,21 @@ def test_int8_zero_rows():
     assert cs[0] == 0.0 and cq[0].max() == 0
     s, i = dense_topk_int8(jnp.zeros((1, 8)), jnp.asarray(cq), jnp.asarray(cs), 2, exact=True)
     assert float(np.asarray(s).max()) == 0.0
+
+
+def test_sort_topk_pads_when_fewer_candidates_than_k():
+    """sort_topk's [..., k] return-shape contract holds for M < k (regression:
+    it returned [..., M] and downstream fixed-k consumers shape-erred)."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.topk import INT_MAX, NEG_INF, pad_to_k, sort_topk
+
+    s = jnp.asarray([[0.5, 0.9]], jnp.float32)
+    i = jnp.asarray([[3, 1]], jnp.int32)
+    out_s, out_i = sort_topk(s, i, 5)
+    assert out_s.shape == (1, 5) and out_i.shape == (1, 5)
+    assert out_i[0, :2].tolist() == [1, 3]
+    assert float(out_s[0, 2]) == np.float32(NEG_INF) and int(out_i[0, 4]) == INT_MAX
+    # pad_to_k no-ops when k_eff >= k
+    ps, pi = pad_to_k(out_s, out_i, 5, 5)
+    assert ps is out_s and pi is out_i
