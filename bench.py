@@ -43,7 +43,45 @@ def cpu_baseline_qps(corpus: np.ndarray, queries: np.ndarray, k: int) -> float:
     return n_queries / dt
 
 
+def probe_device(timeout_s: float = 240.0) -> None:
+    """Fail fast (one JSON error line) when the TPU tunnel is unreachable.
+
+    ``jax.devices()`` through a dead axon relay blocks FOREVER — without this
+    probe the whole bench (and the driver running it) hangs instead of
+    reporting. Probed in a subprocess so the hang can be bounded."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        if out.returncode == 0:
+            log(f"devices: {out.stdout.strip().splitlines()[-1]}")
+            return
+        err = (out.stderr or "").strip().splitlines()[-1:] or ["unknown"]
+        reason = f"device init failed: {err[0]}"
+    except subprocess.TimeoutExpired:
+        reason = f"device init timed out after {timeout_s:.0f}s (axon tunnel down?)"
+    print(
+        json.dumps(
+            {
+                "metric": "dense_exact_qps",
+                "value": 0,
+                "unit": "queries/sec",
+                "vs_baseline": 0,
+                "error": reason,
+            }
+        ),
+        flush=True,
+    )
+    log(f"ABORT: {reason}")
+    sys.exit(1)
+
+
 def main() -> None:
+    probe_device()
+
     import jax
     import jax.numpy as jnp
 
