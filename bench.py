@@ -53,7 +53,15 @@ def probe_device(timeout_s: float = 240.0) -> None:
 
     try:
         out = subprocess.run(
-            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            [
+                sys.executable,
+                "-c",
+                # a silent CPU fallback must NOT publish host-CPU numbers
+                # under the TPU flagship metric
+                "import jax; ds = jax.devices(); "
+                "assert ds[0].platform != 'cpu', f'cpu fallback: {ds}'; "
+                "print(ds)",
+            ],
             timeout=timeout_s, capture_output=True, text=True,
         )
         if out.returncode == 0:
@@ -66,7 +74,7 @@ def probe_device(timeout_s: float = 240.0) -> None:
     print(
         json.dumps(
             {
-                "metric": "dense_exact_qps",
+                "metric": "dense_exact_top10_qps_500k_x768",
                 "value": 0,
                 "unit": "queries/sec",
                 "vs_baseline": 0,

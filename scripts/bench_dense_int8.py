@@ -14,7 +14,6 @@ Run: python scripts/bench_dense_int8.py [--n 500000] [--q 256,1024]
 """
 
 import argparse
-import os
 import sys
 import time
 
@@ -23,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from autorag_research_tpu.ops.dense import (  # noqa: E402
     dense_topk,
     dense_topk_approx,

@@ -34,6 +34,8 @@ def main():
         "--fast is shorthand for --profile fast",
     )
     args = ap.parse_args()
+    if args.fast and args.profile and args.profile != "fast":
+        ap.error("--fast conflicts with --profile " + args.profile)
     profile = args.profile or ("fast" if args.fast else "exact")
 
     import jax
@@ -132,7 +134,18 @@ def main():
         f"(p50 {p50:.0f}ms, p99 {p99:.0f}ms, {args.clients} clients)",
         file=sys.stderr,
     )
-    print(json.dumps({"serving_qps": round(qps, 1), "p50_ms": round(p50), "p99_ms": round(p99)}))
+    print(
+        json.dumps(
+            {
+                "serving_qps": round(qps, 1),
+                "p50_ms": round(p50),
+                "p99_ms": round(p99),
+                "profile": profile,
+                "docs": args.docs,
+                "clients": args.clients,
+            }
+        )
+    )
     handle.stop()
 
 
