@@ -187,7 +187,65 @@ DEFAULT_CONFIGS: dict[str, str] = {
         "# credentials read from AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY\n"
         "max_tokens: 1024\n"
     ),
+    "llm/ollama.yaml": (
+        "type: ollama\nmodel: llama3.1\nbase_url: http://localhost:11434/v1\n"
+    ),
+    "llm/together.yaml": (
+        "type: together\nmodel: meta-llama/Llama-3.3-70B-Instruct-Turbo\n"
+        "# api key read from TOGETHER_API_KEY\n"
+    ),
+    "llm/xai_grok.yaml": (
+        "type: xai\nmodel: grok-4-1-fast-non-reasoning\n"
+        "# api key read from XAI_API_KEY\n"
+    ),
+    "llm/huggingface.yaml": (
+        "type: huggingface\nmodel: my-model\n"
+        "# any TGI / OpenAI-compatible local HF endpoint\n"
+        "base_url: http://localhost:8080/v1\n"
+    ),
+    "llm/azure_openai.yaml": (
+        "type: azure_openai\ndeployment: my-deployment\n"
+        "base_url: https://my-resource.openai.azure.com\n"
+        "api_version: '2024-06-01'\n# api key read from AZURE_OPENAI_API_KEY\n"
+    ),
+    "llm/anthropic_haiku.yaml": (
+        "type: anthropic\nmodel: claude-haiku-4-5\nmax_tokens: 1024\n"
+    ),
+    "llm/anthropic_opus.yaml": (
+        "type: anthropic\nmodel: claude-opus-4-6\nmax_tokens: 1024\n"
+    ),
+    "llm/gemini_pro.yaml": (
+        "type: gemini\nmodel: gemini-2.5-pro\nmax_tokens: 1024\n"
+    ),
     "embedding/mock.yaml": "type: mock\ndim: 64\n",
+    "embedding/openai_small.yaml": (
+        "type: openai\nmodel: text-embedding-3-small\n"
+        "# api key read from OPENAI_API_KEY\n"
+    ),
+    "embedding/openai_large.yaml": (
+        "type: openai\nmodel: text-embedding-3-large\n"
+    ),
+    "embedding/openai_like.yaml": (
+        "type: openai_compat\nmodel: my-model\nbase_url: http://localhost:8000/v1\n"
+    ),
+    "embedding/together.yaml": "type: together\n",
+    "embedding/jina.yaml": "type: jina\n",
+    "embedding/ollama.yaml": "type: ollama\n",
+    "embedding/vllm.yaml": (
+        "type: vllm\nmodel: my-model\nbase_url: http://localhost:8000/v1\n"
+    ),
+    "embedding/colpali.yaml": (
+        "type: colpali\ncheckpoint: vidore/colpali-v1.3\ndevice: cpu\n"
+    ),
+    "embedding/colqwen2.yaml": "type: colqwen\ndevice: cpu\n",
+    "embedding/bipali.yaml": "type: bipali\ndevice: cpu\n",
+    "embedding/infinity.yaml": (
+        "type: infinity\nbase_url: http://localhost:7997\nmodel: my-model\n"
+    ),
+    "embedding/infinity_colqwen2.yaml": (
+        "type: infinity_multi\nbase_url: http://localhost:7997\n"
+        "model: vidore/colqwen2-v1.0\n"
+    ),
     "embedding/jax_encoder.yaml": (
         "type: jax_encoder\nhidden: 256\nlayers: 4\nheads: 4\nout_dim: 128\n"
     ),
@@ -198,6 +256,27 @@ DEFAULT_CONFIGS: dict[str, str] = {
     "reranker/llm_listwise.yaml": "type: llm_listwise\nllm: mock\n",
     "reranker/jax_cross_encoder.yaml": (
         "type: jax_cross_encoder\n# params_path: /path/to/trained.npz\n"
+    ),
+    # the reference's full reranker preset roster (configs/reranker/*.yaml);
+    # every type name resolves through injection._builtin_factories
+    "reranker/cross_encoder.yaml": (
+        "type: cross_encoder\ncheckpoint: cross-encoder/ms-marco-MiniLM-L-6-v2\n"
+    ),
+    "reranker/colbert.yaml": "type: colbert\n",
+    "reranker/monot5.yaml": "type: monot5\n",
+    "reranker/upr.yaml": "type: upr\n",
+    "reranker/flag_embedding.yaml": "type: flag_embedding\n",
+    "reranker/flag_embedding_llm.yaml": "type: flag_embedding_llm\n",
+    "reranker/koreranker.yaml": "type: koreranker\n",
+    "reranker/sentence_transformer.yaml": "type: sentence_transformer\n",
+    "reranker/tart.yaml": "type: tart\n",
+    "reranker/flashrank.yaml": "type: flashrank\n",
+    "reranker/openvino.yaml": "type: openvino\n",
+    "reranker/cohere.yaml": "type: cohere\nmodel: rerank-v3.5\n",
+    "reranker/jina.yaml": "type: jina\nmodel: jina-reranker-v2-base-multilingual\n",
+    "reranker/voyageai.yaml": "type: voyageai\nmodel: rerank-2\n",
+    "reranker/mixedbreadai.yaml": (
+        "type: mixedbreadai\nmodel: mixedbread-ai/mxbai-rerank-large-v1\n"
     ),
 }
 

@@ -55,6 +55,31 @@ def _builtin_factories() -> None:
     register_model_type("llm", "vllm", _openai_compat)
     register_model_type("llm", "ollama", _openai_compat)
 
+    # named OpenAI-compatible providers with pinned endpoint + key env
+    # (reference preset roles: together.yaml, xai-grok-*.yaml, huggingface.yaml)
+    def _openai_compat_preset(default_base_url: str, key_env: str):
+        def factory(base_url: str | None = None, **kw):
+            from autorag_research_tpu.llm.openai_compat import OpenAICompatLLM
+
+            kw.setdefault("api_key_env", key_env)
+            return OpenAICompatLLM(base_url=base_url or default_base_url, **kw)
+
+        return factory
+
+    for name, url, env in [
+        ("together", "https://api.together.xyz/v1", "TOGETHER_API_KEY"),
+        ("xai", "https://api.x.ai/v1", "XAI_API_KEY"),
+        ("huggingface", "http://localhost:8080/v1", "HF_TOKEN"),
+    ]:
+        register_model_type("llm", name, _openai_compat_preset(url, env))
+
+    def _azure_openai(**kw):
+        from autorag_research_tpu.llm.openai_compat import AzureOpenAILLM
+
+        return AzureOpenAILLM(**kw)
+
+    register_model_type("llm", "azure_openai", _azure_openai)
+
     def _anthropic(**kw):
         from autorag_research_tpu.llm.providers import AnthropicLLM
 
@@ -103,6 +128,68 @@ def _builtin_factories() -> None:
         return JaxEncoderEmbedding(EncoderConfig(**config_kw), **rest)
 
     register_model_type("embedding", "jax_encoder", _jax_encoder)
+
+    # remote OpenAI-compatible /embeddings endpoints (reference roles:
+    # openai-{small,large}.yaml, openai-like.yaml, together/ollama/vllm/jina)
+    def _openai_embedding_preset(default_base_url: str, key_env: str, model: str):
+        def factory(base_url: str | None = None, **kw):
+            from autorag_research_tpu.embeddings.openai_compat import (
+                OpenAICompatEmbedding,
+            )
+
+            kw.setdefault("api_key_env", key_env)
+            kw.setdefault("model", model)
+            return OpenAICompatEmbedding(base_url=base_url or default_base_url, **kw)
+
+        return factory
+
+    for name, url, env, model in [
+        ("openai", "https://api.openai.com/v1", "OPENAI_API_KEY", "text-embedding-3-small"),
+        ("openai_compat", "https://api.openai.com/v1", "OPENAI_API_KEY", "text-embedding-3-small"),
+        ("together", "https://api.together.xyz/v1", "TOGETHER_API_KEY", "BAAI/bge-large-en-v1.5"),
+        ("jina", "https://api.jina.ai/v1", "JINA_API_KEY", "jina-embeddings-v3"),
+        ("ollama", "http://localhost:11434/v1", "OLLAMA_API_KEY", "nomic-embed-text"),
+        ("vllm", "http://localhost:8000/v1", "VLLM_API_KEY", ""),
+    ]:
+        register_model_type("embedding", name, _openai_embedding_preset(url, env, model))
+
+    # local torch multi-vector page embedders (reference colpali/colqwen2/
+    # bipali presets) and the Infinity server client
+    def _lazy_embedding(path: str, **preset):
+        def factory(**kw):
+            import importlib
+
+            module, cls = path.rsplit(".", 1)
+            merged = {**preset, **kw}
+            return getattr(importlib.import_module(module), cls)(**merged)
+
+        return factory
+
+    register_model_type(
+        "embedding", "colpali",
+        _lazy_embedding("autorag_research_tpu.embeddings.colpali.ColPaliEmbedding"),
+    )
+    register_model_type(
+        "embedding", "colqwen",
+        _lazy_embedding(
+            "autorag_research_tpu.embeddings.colpali.ColPaliEmbedding",
+            checkpoint="vidore/colqwen2-v1.0",
+        ),
+    )
+    register_model_type(
+        "embedding", "bipali",
+        _lazy_embedding("autorag_research_tpu.embeddings.colpali.BiPaliEmbedding"),
+    )
+    register_model_type(
+        "embedding", "infinity",
+        _lazy_embedding("autorag_research_tpu.embeddings.infinity.InfinityEmbedding"),
+    )
+    register_model_type(
+        "embedding", "infinity_multi",
+        _lazy_embedding(
+            "autorag_research_tpu.embeddings.infinity.InfinityMultiVectorEmbedding"
+        ),
+    )
 
     from autorag_research_tpu.rerankers import (
         EmbeddingSimilarityReranker,

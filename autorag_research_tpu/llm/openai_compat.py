@@ -65,18 +65,24 @@ class OpenAICompatLLM(BaseLLM):
             body["logprobs"] = True
             body["top_logprobs"] = 5
         req = urllib.request.Request(
-            f"{self.base_url}/chat/completions",
+            self._endpoint(),
             data=json.dumps(body).encode(),
-            headers={
-                "Content-Type": "application/json",
-                "Authorization": f"Bearer {self.api_key}",
-            },
+            headers=self._headers(),
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                 return json.loads(resp.read())
         except Exception as exc:  # noqa: BLE001
             raise LLMError(f"{self.model_name} call failed: {exc}") from exc
+
+    def _endpoint(self) -> str:
+        return f"{self.base_url}/chat/completions"
+
+    def _headers(self) -> dict:
+        return {
+            "Content-Type": "application/json",
+            "Authorization": f"Bearer {self.api_key}",
+        }
 
     def _parse(self, data: dict) -> LLMResult:
         if not data.get("choices"):
@@ -109,3 +115,37 @@ class OpenAICompatLLM(BaseLLM):
     async def agenerate(self, prompt: str, images: list[bytes] | None = None, **kwargs: Any) -> LLMResult:
         data = await asyncio.to_thread(self._request, prompt, images, **kwargs)
         return self._parse(data)
+
+
+class AzureOpenAILLM(OpenAICompatLLM):
+    """Azure OpenAI chat deployment (reference preset role:
+    ``configs/llm/azure-openai.yaml`` -> langchain AzureChatOpenAI).
+
+    Azure differs from the plain OpenAI dialect in the URL scheme
+    (``/openai/deployments/{deployment}/chat/completions?api-version=...``)
+    and the auth header (``api-key`` instead of a Bearer token)."""
+
+    def __init__(
+        self,
+        deployment: str,
+        base_url: str,  # https://<resource>.openai.azure.com
+        api_version: str = "2024-06-01",
+        api_key: str | None = None,
+        api_key_env: str = "AZURE_OPENAI_API_KEY",
+        **kw,
+    ):
+        super().__init__(
+            model=deployment, base_url=base_url, api_key=api_key,
+            api_key_env=api_key_env, **kw,
+        )
+        self.deployment = deployment
+        self.api_version = api_version
+
+    def _endpoint(self) -> str:
+        return (
+            f"{self.base_url}/openai/deployments/{self.deployment}"
+            f"/chat/completions?api-version={self.api_version}"
+        )
+
+    def _headers(self) -> dict:
+        return {"Content-Type": "application/json", "api-key": self.api_key}

@@ -276,3 +276,24 @@ def test_cli_train_command(tmp_path, capsys):
         "--epochs", "3", "--batch-size", "6", "--hidden", "32", "--layers", "1",
     ])
     assert rc == 0 and out2.exists()
+
+
+def test_every_model_preset_type_resolves_in_injection_registry():
+    """Contract between cli init's config tree and the injection registry:
+    every llm/embedding/reranker preset's `type:` must be a registered
+    factory (a preset naming an unknown type would fail only at run time)."""
+    import yaml
+
+    from autorag_research_tpu.cli.templates import DEFAULT_CONFIGS
+    from autorag_research_tpu.injection import _FACTORIES
+
+    checked = 0
+    for rel, content in DEFAULT_CONFIGS.items():
+        kind = rel.split("/", 1)[0]
+        if kind not in ("llm", "embedding", "reranker"):
+            continue
+        spec = yaml.safe_load(content)
+        t = spec["type"]
+        assert t in _FACTORIES[kind], f"{rel}: type '{t}' not registered for {kind}"
+        checked += 1
+    assert checked >= 30  # presets across all three kinds

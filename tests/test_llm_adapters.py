@@ -307,3 +307,59 @@ class TestProviderAdapters:
         llm = reg.load_llm("br")
         assert type(llm).__name__ == "BedrockLLM"
         assert llm.region_name == "us-west-2"
+
+
+class TestAzureOpenAI:
+    def test_endpoint_and_headers_dialect(self):
+        """Azure speaks /openai/deployments/{d}/chat/completions?api-version=
+        with an api-key header, not OpenAI's Bearer scheme."""
+        from autorag_research_tpu.llm.openai_compat import AzureOpenAILLM
+
+        llm = AzureOpenAILLM(
+            deployment="gpt-4o-dep",
+            base_url="https://myres.openai.azure.com",
+            api_version="2024-06-01",
+            api_key="azkey",
+        )
+        assert llm._endpoint() == (
+            "https://myres.openai.azure.com/openai/deployments/gpt-4o-dep"
+            "/chat/completions?api-version=2024-06-01"
+        )
+        assert llm._headers() == {
+            "Content-Type": "application/json",
+            "api-key": "azkey",
+        }
+
+
+class TestOpenAICompatEmbedding:
+    def test_batching_order_and_dim_discovery(self):
+        from autorag_research_tpu.embeddings.openai_compat import OpenAICompatEmbedding
+
+        calls = []
+
+        def transport(url, body, headers, timeout):
+            calls.append(list(body["input"]))
+            # return rows deliberately OUT of order; 'index' is authoritative
+            rows = [
+                {"index": i, "embedding": [float(hash(t) % 7), 1.0, 2.0]}
+                for i, t in enumerate(body["input"])
+            ]
+            return {"data": rows[::-1]}
+
+        emb = OpenAICompatEmbedding(
+            model="text-embedding-3-small", api_key="k",
+            batch_size=2, transport=transport,
+        )
+        out = emb.embed_texts(["a", "b", "c"])
+        assert out.shape == (3, 3) and emb.dim == 3
+        assert calls == [["a", "b"], ["c"]]
+        assert out[0][0] == float(hash("a") % 7)  # order restored by index
+
+    def test_error_body_raises_llm_error(self):
+        from autorag_research_tpu.embeddings.openai_compat import OpenAICompatEmbedding
+
+        emb = OpenAICompatEmbedding(
+            api_key="k", transport=lambda u, b, h, t: {"error": {"code": 429}}
+        )
+        with pytest.raises(LLMError, match="no embeddings"):
+            emb.embed_texts(["x"])
