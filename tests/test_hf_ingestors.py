@@ -181,6 +181,39 @@ def test_open_ragbench(service):
     ing.ingest()
     assert cat.count("chunk") == 1
     assert cat.count("image_chunk") == 1
+    # mixed-mode GT like the reference: the source chunk OR the page image
+    rels = cat.get_relations_by_query("o1")
+    chunk_gt = [r["chunk_id"] for r in rels if r["chunk_id"] is not None]
+    image_gt = [r["image_chunk_id"] for r in rels if r["image_chunk_id"] is not None]
+    assert len(chunk_gt) == 1 and image_gt == ["o1_page"]
+    # all in ONE OR group
+    assert len({r["group_index"] for r in rels}) == 1
+
+
+def test_visrag_min_corpus_cnt_preserves_gold(service):
+    """min_corpus_cnt subsamples the page corpus while ALWAYS keeping the
+    selected queries' gold pages (reference _filter_corpus semantics)."""
+    from autorag_research_tpu.data.visrag import VisRAGIngestor
+
+    cat, svc = service
+    corpus = [{"corpus-id": f"pg{i}", "image": _png("white")} for i in range(20)]
+    data = {
+        "corpus": corpus,
+        "queries": [
+            {"query-id": "q1", "query": "find page 17", "answer": "yes"},
+            {"query-id": "q_textless"},  # no query/text -> must be skipped
+        ],
+        "qrels": [
+            {"query-id": "q1", "corpus-id": "pg17", "score": 1},
+            {"query-id": "q_textless", "corpus-id": "pg3", "score": 1},
+        ],
+    }
+    ing = VisRAGIngestor(data=data)
+    ing.set_service(svc)
+    ing.ingest(min_corpus_cnt=5)
+    assert cat.count("image_chunk") == 5
+    assert "pg17" in cat.get_image_chunks(["pg17"])  # gold page survived
+    assert cat.count("query") == 1  # text-less query row filtered out
 
 
 def test_offline_load_raises_cleanly():
