@@ -43,6 +43,10 @@ PERCEIVE_PROMPT = (
     "Extract the facts from this item that are relevant to the question. "
     "Reply 'NONE' if nothing is relevant.\n\nQuestion: {query}\n\nItem:\n{item}\n\nFacts:"
 )
+VISUAL_PROMPT = (
+    "Describe the visual content relevant to answering this question.\n\n"
+    "Question: {query}\n\nDescription:"
+)
 MODERATE_PROMPT = (
     "Answer the question by synthesizing information from the context. Show "
     "your reasoning process.\n\nContext:\n{context}\n\nQuestion: {query}\n"
@@ -111,6 +115,22 @@ class AutoThinkRAGPipeline(BaseGenerationPipeline):
 
         if complexity in ("simple", "moderate"):
             context = "\n".join(text for _, text, _ in items)
+            # visual interpretation runs for EVERY tier (reference
+            # autothinkrag.py:484-517 injects visual_context into the simple
+            # and moderate prompts too) — image evidence must reach the LLM,
+            # not '(image chunk N)' placeholders
+            images = [img for _, _, img in items if img is not None]
+            if images:
+                response = await self.llm.agenerate(
+                    VISUAL_PROMPT.format(query=query), images=images
+                )
+                tracker.record(response)
+                interp = response.text.strip()
+                if interp:
+                    context = (
+                        f"{context}\n\nVisual Interpretation:\n{interp}"
+                        if context else f"Visual Interpretation:\n{interp}"
+                    )
             template = DIRECT_PROMPT if complexity == "simple" else MODERATE_PROMPT
             response = await self.llm.agenerate(
                 template.format(context=context, query=query)

@@ -30,6 +30,14 @@ from autorag_research_tpu.utils.concurrency import RetryPolicy, run_async, run_w
 logger = logging.getLogger("AutoRAG-Research-TPU")
 
 
+def select_top_evidence(evidence: dict[Any, float], k: int) -> list[Any]:
+    """Deterministic evidence selection by the repo-wide ``(-score, doc_id)``
+    order (CLAUDE.md invariant). Sorting by score alone lets tied docs fall
+    back to dict INSERTION order, which varies with retriever shard count —
+    the persisted context_chunk_ids would then differ across device meshes."""
+    return sorted(evidence, key=lambda d: (-evidence[d], d))[:k]
+
+
 @dataclass
 class GenerationResult:
     text: str
@@ -143,6 +151,14 @@ class BaseGenerationPipeline(BasePipeline):
                     # must land in the image result table or metrics zero out)
                     unit = getattr(self.retrieval_pipeline, "retrieval_unit", "chunk")
                     if unit in ("chunk", "image_chunk"):
+                        # a crash AFTER this insert but BEFORE the executor
+                        # result commits leaves the query pending; the resumed
+                        # attempt may retrieve a different (LLM-driven) doc
+                        # set — clear the stale rows or metrics evaluate the
+                        # contaminated union
+                        self.catalog.delete_retrieved_for_query(
+                            qid, self.pipeline_id, unit
+                        )
                         self.catalog.add_retrieved_results(
                             self.pipeline_id,
                             [

@@ -65,6 +65,13 @@ class BasicRAGPipeline(BaseGenerationPipeline):
                 return await asyncio.gather(*[self.llm.agenerate(p) for p in prompts])
 
             results = run_async(gather())
+        if len(results) != len(prompts):
+            # fail fast into the batcher's error path — zip would silently
+            # drop the tail and strand those serving clients until timeout
+            raise RuntimeError(
+                f"batched LLM returned {len(results)} results for "
+                f"{len(prompts)} prompts"
+            )
         out = []
         for res, chunk_ids, hits in zip(results, ids_per, hits_per):
             tracker = TokenUsageTracker()

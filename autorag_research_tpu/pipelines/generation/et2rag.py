@@ -155,17 +155,25 @@ class ET2RAGPipeline(BaseGenerationPipeline):
             docs, self.organization_strategy, self.num_subsets, self.subset_size, rng
         )
 
+        semaphore = asyncio.Semaphore(8)
+
         async def partial(subset):
             context = "\n".join(text for _, text in subset)
-            response = await self.llm.agenerate(
-                PARTIAL_PROMPT.format(context=context, query=query)
-            )
+            async with semaphore:
+                response = await self.llm.agenerate(
+                    PARTIAL_PROMPT.format(context=context, query=query)
+                )
             tracker.record(response)
             return response.text.strip()
 
         answers = await asyncio.gather(*[partial(s) for s in subsets])
         if self.embedding_model is not None and len(answers) > 1:
-            winner = similarity_vote(answers, self.embedding_model)
+            # the embedding model is synchronous (device round-trip):
+            # off-thread it so concurrently running queries' LLM I/O on this
+            # event loop is not frozen for the duration
+            winner = await asyncio.to_thread(
+                similarity_vote, answers, self.embedding_model
+            )
             votes: dict[str, int] = {}
         else:
             counts = Counter(normalize_string(a) for a in answers)

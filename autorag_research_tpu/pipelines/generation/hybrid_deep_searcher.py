@@ -15,7 +15,7 @@ from dataclasses import dataclass
 from typing import Any
 
 from autorag_research_tpu.config import BasePipelineConfig
-from autorag_research_tpu.pipelines.generation.base import BaseGenerationPipeline, GenerationResult
+from autorag_research_tpu.pipelines.generation.base import BaseGenerationPipeline, GenerationResult, select_top_evidence
 from autorag_research_tpu.schema import GENERATION_CONTEXT_CHUNK_ID_KEY
 from autorag_research_tpu.utils.tokens import TokenUsageTracker
 
@@ -142,7 +142,7 @@ class HybridDeepSearcherPipeline(BaseGenerationPipeline):
             tracker.record(response)
             answer = response.text.strip()
 
-        final_ids = sorted(evidence, key=lambda d: -evidence[d])[:top_k]
+        final_ids = select_top_evidence(evidence, top_k)
         return GenerationResult(
             text=answer,
             token_usage=tracker.total,

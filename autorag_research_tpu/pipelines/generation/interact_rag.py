@@ -26,7 +26,7 @@ from typing import Any
 
 from autorag_research_tpu.config import BasePipelineConfig
 from autorag_research_tpu.ops.fusion import cc_fuse
-from autorag_research_tpu.pipelines.generation.base import BaseGenerationPipeline, GenerationResult
+from autorag_research_tpu.pipelines.generation.base import BaseGenerationPipeline, GenerationResult, select_top_evidence
 from autorag_research_tpu.schema import GENERATION_CONTEXT_CHUNK_ID_KEY
 from autorag_research_tpu.utils.tokens import TokenUsageTracker
 
@@ -152,11 +152,9 @@ class InteractRAGPipeline(BaseGenerationPipeline):
                         working.get(h["doc_id"], -1e30), float(h["score"])
                     )
             elif cmd == "entity":
-                rows = self.catalog.connect().execute(
-                    "SELECT id FROM chunk WHERE contents LIKE ? LIMIT 20",
-                    (f"%{arg}%",),
-                ).fetchall()
-                match_ids = [r["id"] for r in rows]
+                # catalog helper escapes LIKE wildcards (the entity term is
+                # LLM-controlled — 'entity(%)' must not match every chunk)
+                match_ids = self.catalog.find_chunks_by_contents(arg, limit=20)
                 # the three snippets most related to the QUESTION (not the
                 # entity term) — rank matches by the exact engine's scores
                 if len(match_ids) > 3:
@@ -185,7 +183,7 @@ class InteractRAGPipeline(BaseGenerationPipeline):
                         and ((term in contents[d].lower()) == (cmd == "include"))
                     }
 
-        final_ids = sorted(working, key=lambda d: -working[d])[:top_k]
+        final_ids = select_top_evidence(working, top_k)
         if answer is None:
             context = "\n".join(lookup(final_ids).values())
             response = await self.llm.agenerate(

@@ -14,7 +14,7 @@ from dataclasses import dataclass
 from typing import Any
 
 from autorag_research_tpu.config import BasePipelineConfig
-from autorag_research_tpu.pipelines.generation.base import BaseGenerationPipeline, GenerationResult
+from autorag_research_tpu.pipelines.generation.base import BaseGenerationPipeline, GenerationResult, select_top_evidence
 from autorag_research_tpu.schema import GENERATION_CONTEXT_CHUNK_ID_KEY
 from autorag_research_tpu.utils.tokens import TokenUsageTracker
 
@@ -72,7 +72,7 @@ class IRCoTPipeline(BaseGenerationPipeline):
         answer = None
         for _ in range(self.max_steps):
             steps += 1
-            ordered = sorted(evidence.items(), key=lambda kv: -kv[1])
+            ordered = [(d, evidence[d]) for d in select_top_evidence(evidence, len(evidence))]
             paragraphs = "\n".join(
                 f"- {p}" for p in self.get_chunk_contents([d for d, _ in ordered[: top_k * 2]])
             )
@@ -90,7 +90,7 @@ class IRCoTPipeline(BaseGenerationPipeline):
                 break
             await expand(sentence)
 
-        final_ids = [d for d, _ in sorted(evidence.items(), key=lambda kv: -kv[1])[:top_k]]
+        final_ids = select_top_evidence(evidence, top_k)
         if answer is None:
             paragraphs = "\n".join(f"- {p}" for p in self.get_chunk_contents(final_ids))
             response = await self.llm.agenerate(

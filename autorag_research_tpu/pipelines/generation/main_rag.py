@@ -10,6 +10,7 @@ ordered documents; Agent-3 (judge) optionally revises the answer.
 
 from __future__ import annotations
 
+import asyncio
 import math
 from dataclasses import dataclass
 from typing import Any
@@ -73,11 +74,20 @@ class MainRAGPipeline(BaseGenerationPipeline):
         lookup = self.catalog.get_chunk_contents(ids)
         docs = [(h, lookup[h["doc_id"]]) for h in hits if h["doc_id"] in lookup]
 
-        scores = []
-        for h, text in docs:
-            response = await self.llm.agenerate(PREDICT_PROMPT.format(query=query, doc=text))
+        # per-doc judgments are independent: fan out under a semaphore like
+        # spd_rag/autothinkrag (sequential awaits cost pool_k LLM round-trips
+        # of pure latency per query)
+        semaphore = asyncio.Semaphore(8)
+
+        async def judge(text):
+            async with semaphore:
+                response = await self.llm.agenerate(
+                    PREDICT_PROMPT.format(query=query, doc=text)
+                )
             tracker.record(response)
-            scores.append(_yes_score(response))
+            return _yes_score(response)
+
+        scores = list(await asyncio.gather(*[judge(text) for _, text in docs]))
 
         if scores:
             mean = sum(scores) / len(scores)

@@ -11,7 +11,7 @@ from dataclasses import dataclass
 from typing import Any
 
 from autorag_research_tpu.config import BasePipelineConfig
-from autorag_research_tpu.pipelines.generation.base import BaseGenerationPipeline, GenerationResult
+from autorag_research_tpu.pipelines.generation.base import BaseGenerationPipeline, GenerationResult, select_top_evidence
 from autorag_research_tpu.pipelines.retrieval.question_decomposition import (
     DEFAULT_DECOMPOSITION_PROMPT,
     parse_subquestions,
@@ -55,7 +55,11 @@ class QuestionDecompositionGenerationPipeline(BaseGenerationPipeline):
         )
         tracker.record(response)
         subs = parse_subquestions(response.text)[: self.max_subquestions]
-        per_k = self.per_subquestion_k or max(1, top_k // max(len(subs) + 1, 1))
+        # reference semantics (question_decomposition.py:223-230): each
+        # question retrieves the FULL top_k and the merged pool dedups by max
+        # score — the old floor division (top_k // (n+1)) made the pool
+        # mathematically unable to reach top_k unique docs
+        per_k = self.per_subquestion_k or top_k
 
         evidence: dict[Any, float] = {}
         for question in [query, *subs]:
@@ -63,7 +67,7 @@ class QuestionDecompositionGenerationPipeline(BaseGenerationPipeline):
                 evidence[hit["doc_id"]] = max(
                     evidence.get(hit["doc_id"], -1e30), float(hit["score"])
                 )
-        final_ids = sorted(evidence, key=lambda d: -evidence[d])[:top_k]
+        final_ids = select_top_evidence(evidence, top_k)
         context = "\n".join(self.get_chunk_contents(final_ids))
         response = await self.llm.agenerate(ANSWER_PROMPT.format(context=context, query=query))
         tracker.record(response)

@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from typing import Any
 
 from autorag_research_tpu.config import BasePipelineConfig
-from autorag_research_tpu.pipelines.generation.base import BaseGenerationPipeline, GenerationResult
+from autorag_research_tpu.pipelines.generation.base import BaseGenerationPipeline, GenerationResult, select_top_evidence
 from autorag_research_tpu.schema import GENERATION_CONTEXT_CHUNK_ID_KEY
 from autorag_research_tpu.utils.tokens import TokenUsageTracker
 
@@ -132,10 +132,14 @@ def parse_critique(text: str, output_format: str) -> dict:
             for a in TAG2_ACTIONS.get(str(tag).strip().lower(), ()):
                 if a not in actions:
                     actions.append(a)
+        # reference semantics (rag_critic.py:682-704): ONLY an explicit
+        # 'Correct' judgement approves; anything else — 'Error', 'Incorrect',
+        # empty, unparseable prose — is a revise verdict (falling back to
+        # regeneration when no tag maps to a fix action)
         return {
-            "approved": judgement not in ("error",) and not actions,
-            "feedback": str(data.get("Error_analysis", "")),
-            "actions": actions or (["generate_answer"] if judgement == "error" else []),
+            "approved": False,
+            "feedback": str(data.get("Error_analysis", "")) or text.strip()[:500],
+            "actions": actions or ["generate_answer"],
         }
     verdict = str(data.get("verdict", "")).strip().lower()
     raw = data.get("recommended_actions") or []
@@ -204,7 +208,7 @@ class RAGCriticPipeline(BaseGenerationPipeline):
         await expand(search_query)
 
         def active_ids():
-            return sorted(evidence, key=lambda d: -evidence[d])[: top_k * 2]
+            return select_top_evidence(evidence, top_k * 2)
 
         def context():
             return "\n".join(self.get_chunk_contents(active_ids()))
@@ -282,7 +286,7 @@ class RAGCriticPipeline(BaseGenerationPipeline):
                     ),
                 )
 
-        final_ids = sorted(evidence, key=lambda d: -evidence[d])[:top_k]
+        final_ids = select_top_evidence(evidence, top_k)
         return GenerationResult(
             text=answer,
             token_usage=tracker.total,

@@ -76,6 +76,9 @@ class VisRAGGenerationPipeline(BaseGenerationPipeline):
                 GENERATION_CONTEXT_CHUNK_ID_KEY: ids,
                 "image_chunk_ids": ids,
             },
+            # base.run() persists these into the image_chunk result table —
+            # without them retrieval metrics for this pipeline read empty sets
+            retrieved=hits,
         )
 
 

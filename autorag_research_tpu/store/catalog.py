@@ -408,6 +408,20 @@ class Catalog:
         ).fetchall()
 
     # ----------------------------------------------------------------- chunks
+    def find_chunks_by_contents(self, term: str, limit: int = 20) -> list[Any]:
+        """Substring match over chunk contents with LIKE wildcards escaped
+        (the term may be LLM-controlled — a bare '%' must not match every
+        chunk). Returns chunk ids ordered by id."""
+        escaped = (
+            term.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        )
+        rows = self.connect().execute(
+            "SELECT id FROM chunk WHERE contents LIKE ? ESCAPE '\\' "
+            "ORDER BY id LIMIT ?",
+            (f"%{escaped}%", limit),
+        ).fetchall()
+        return [r["id"] for r in rows]
+
     def get_chunk_contents(self, chunk_ids: Sequence[Any]) -> dict[Any, str]:
         if not chunk_ids:
             return {}
@@ -568,6 +582,19 @@ class Catalog:
         table, _ = self._result_table(unit)
         with self.connect() as conn:
             conn.execute(f"DELETE FROM {table} WHERE pipeline_id=?", (pipeline_id,))
+
+    def delete_retrieved_for_query(
+        self, query_id: Any, pipeline_id: int, unit: str = "chunk"
+    ) -> None:
+        """Clear ONE query's retrieved rows before a re-run writes fresh ones
+        (a crash between result insert and executor-result insert would
+        otherwise union the stale attempt's docs with the resumed attempt's)."""
+        table, _ = self._result_table(unit)
+        with self.connect() as conn:
+            conn.execute(
+                f"DELETE FROM {table} WHERE query_id=? AND pipeline_id=?",
+                (query_id, pipeline_id),
+            )
 
     @staticmethod
     def _result_table(unit: str) -> tuple[str, str]:

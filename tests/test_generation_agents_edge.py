@@ -12,7 +12,7 @@ from __future__ import annotations
 import pytest
 
 from autorag_research_tpu.index import registry
-from autorag_research_tpu.llm import ScriptedLLM
+from autorag_research_tpu.llm import MockLLM, ScriptedLLM
 from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Pipeline
 from autorag_research_tpu.store.catalog import Catalog
 from autorag_research_tpu.utils.concurrency import run_async
@@ -427,3 +427,83 @@ def test_et2rag_all_votes_distinct_falls_back_deterministically(acat, bm25):
         ET2RAGPipeline(acat, "et2_split", retrieval_pipeline=bm25, llm=llm, num_subsets=3)
     )
     assert out.text.startswith("unique answer")
+
+
+def test_rag_critic_incorrect_judgement_is_not_approved(acat, bm25):
+    """Reference semantics (rag_critic.py:682-704): only an explicit
+    'Correct' judgement approves — 'Incorrect' (or unparseable prose) must
+    revise, not silently approve the flagged answer (regression)."""
+    from autorag_research_tpu.pipelines.generation.rag_critic import RAGCriticPipeline
+
+    llm = ScriptedLLM(responses=[
+        "draft answer",
+        '{"Judgement": "Incorrect", "Error_analysis": "contradicts passage"}',
+        "revised answer",  # regenerate action consumes this
+        '{"Judgement": "Correct"}',
+    ])
+    pipe = RAGCriticPipeline(
+        acat, "critic_incorrect", retrieval_pipeline=bm25, llm=llm,
+        critic_output_format="rag_critic_tags", max_rounds=3,
+    )
+    out = generate(pipe)
+    assert out.text == "revised answer"
+    history = out.metadata["critiques"]
+    assert history[0]["approved"] is False
+    assert "contradicts passage" in history[0]["feedback"]
+
+
+def test_autothinkrag_simple_tier_sends_images(acat):
+    """Image evidence must reach the LLM on the simple/moderate tiers via a
+    visual-interpretation call (reference runs it for EVERY tier) — not as
+    '(image chunk N)' placeholder text (regression)."""
+    from autorag_research_tpu.llm import LLMResult
+    from autorag_research_tpu.pipelines.generation.autothinkrag import (
+        AutoThinkRAGPipeline,
+    )
+
+    class FakeImagePipeline:
+        retrieval_unit = "image_chunk"
+
+        async def _retrieve_by_id(self, qid, k):
+            return [{"doc_id": "img1", "score": 1.0}]
+
+    acat.add_image_chunks([{"id": "img1", "image": b"\x89PNG-bytes", "mimetype": "image/png"}])
+    seen = {"images": None}
+
+    class VLM(MockLLM):
+        async def agenerate(self, prompt, images=None, **kw):
+            if images is not None:
+                seen["images"] = images
+                return LLMResult(text="a chart of capitals")
+            if "simple" in prompt or "complexity" in prompt.lower():
+                return LLMResult(text="simple")
+            return LLMResult(text="Paris")
+
+    pipe = AutoThinkRAGPipeline(
+        acat, "atr_img", retrieval_pipeline=FakeImagePipeline(), llm=VLM()
+    )
+    out = generate(pipe)
+    assert out.metadata["complexity"] == "simple"
+    assert seen["images"] == [b"\x89PNG-bytes"]  # the bytes reached the LLM
+    assert out.text == "Paris"
+
+
+def test_basic_rag_batched_length_mismatch_fails_fast(acat, bm25):
+    from autorag_research_tpu.pipelines.generation.basic_rag import BasicRAGPipeline
+
+    class ShortBatchLLM(MockLLM):
+        def generate_batch(self, prompts):
+            return ["only one"]  # fewer than prompts
+
+    pipe = BasicRAGPipeline(acat, "rag_short", retrieval_pipeline=bm25, llm=ShortBatchLLM())
+    with pytest.raises(RuntimeError, match="returned 1 results for 2"):
+        pipe.generate_batch_by_texts(["q one", "q two"], top_k=2)
+
+
+def test_select_top_evidence_breaks_ties_by_doc_id():
+    from autorag_research_tpu.pipelines.generation.base import select_top_evidence
+
+    # insertion order deliberately reversed vs id order on the tied scores
+    evidence = {"z9": 0.5, "a1": 0.5, "m5": 0.9}
+    assert select_top_evidence(evidence, 3) == ["m5", "a1", "z9"]
+    assert select_top_evidence(evidence, 2) == ["m5", "a1"]

@@ -94,3 +94,10 @@ def test_multimodal_executor_end_to_end(mm_catalog):
     meta = json.loads(row["result_metadata"])
     assert meta["image_chunk_ids"] == ["pg2"]
     assert row["generation_result"] == "chart on page two"
+    # visrag persists its retrieval into the IMAGE result table so retrieval
+    # metrics for the generation pipeline evaluate non-empty sets (regression:
+    # GenerationResult.retrieved was never set)
+    retrieved = cat.get_retrieved("q0", pid, "image_chunk")
+    assert [r["doc_id"] for r in retrieved][:1] == ["pg2"]
+    gen_recall = {m.metric_name: m for m in by_name["visrag"].metrics}.get("recall")
+    assert gen_recall is not None and gen_recall.average == 1.0
