@@ -83,15 +83,31 @@ class BaseRetrievalPipeline(BasePipeline):
     ) -> list[list[dict[str, Any]]]:
         """Batched ad-hoc-text retrieval (the serving micro-batch path).
         Default: async fan-out of `_retrieve_by_text`. Device pipelines
-        override with one embed + one kernel launch for the whole batch."""
+        override with one embed + one kernel launch for the whole batch.
+
+        Per-query failures are ISOLATED: one transient error (e.g. an LLM
+        call inside a wrapper pipeline) returns empty results for that query
+        instead of erroring the whole serving micro-batch — the batcher would
+        otherwise stamp the error on every coalesced request."""
         import asyncio
+        import logging
 
         async def gather():
             return await asyncio.gather(
-                *[self._retrieve_by_text(t, top_k) for t in texts]
+                *[self._retrieve_by_text(t, top_k) for t in texts],
+                return_exceptions=True,
             )
 
-        return run_async(gather())
+        out: list[list[dict[str, Any]]] = []
+        for text, res in zip(texts, run_async(gather())):
+            if isinstance(res, BaseException):
+                logging.getLogger("AutoRAG-Research-TPU").warning(
+                    "batched retrieval failed for %r: %s", text[:80], res
+                )
+                out.append([])
+            else:
+                out.append(res)
+        return out
 
     # -------------------------------------------------------------------- run
     def run(

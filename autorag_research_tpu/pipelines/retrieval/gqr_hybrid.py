@@ -47,7 +47,6 @@ def _missing_floor(scores: dict) -> float:
 
 
 class GQRHybridPipeline(BaseRetrievalPipeline):
-    retrieval_unit = "chunk"
 
     def __init__(
         self,
@@ -68,6 +67,9 @@ class GQRHybridPipeline(BaseRetrievalPipeline):
         self.temperature = temperature
         self.consensus_weight = consensus_weight
         self.pool_multiplier = pool_multiplier
+        self.retrieval_unit = getattr(
+            primary_retrieval_pipeline, "retrieval_unit", "chunk"
+        )
         super().__init__(catalog, name)
 
     def _get_pipeline_config(self) -> dict[str, Any]:
@@ -223,7 +225,13 @@ class GQRHybridPipeline(BaseRetrievalPipeline):
         qvec = None
         model = getattr(self.primary, "embedding_model", None)
         if model is not None:
-            qvec = np.asarray(await model.aembed_query(query_text))
+            if hasattr(model, "aembed_texts_multi"):
+                # multi-vector primary: keep the [T, d] query matrix so
+                # _refine takes the MaxSim branch like the id path does
+                # (MultiVectorEmbedding has no aembed_query)
+                qvec = np.asarray((await model.aembed_texts_multi([query_text]))[0])
+            else:
+                qvec = np.asarray(await model.aembed_query(query_text))
         return self._refine(qvec, primary_hits, comp_hits, top_k)
 
 

@@ -19,12 +19,21 @@ from autorag_research_tpu.pipelines.retrieval.base import BaseRetrievalPipeline
 
 
 class _HybridBase(BaseRetrievalPipeline):
-    retrieval_unit = "chunk"
-
     def __init__(self, catalog, name, pipeline_1, pipeline_2, fetch_k_multiplier=2):
         self.pipeline_1 = pipeline_1
         self.pipeline_2 = pipeline_2
         self.fetch_k_multiplier = fetch_k_multiplier
+        # propagate the legs' unit so image-pipeline fusion persists into the
+        # image result table (hardcoding "chunk" wrote image ids into the
+        # chunk table); mixed legs are invalid — ids would collide
+        u1 = getattr(pipeline_1, "retrieval_unit", "chunk")
+        u2 = getattr(pipeline_2, "retrieval_unit", "chunk")
+        if u1 != u2:
+            raise ValueError(
+                f"hybrid legs retrieve different units ({u1} vs {u2}); "
+                "fuse pipelines of one unit"
+            )
+        self.retrieval_unit = u1
         super().__init__(catalog, name)
 
     def _fuse(self, res1, res2, top_k: int, fetch_k: int) -> list[dict[str, Any]]:
@@ -132,7 +141,10 @@ def _theoretical_min(pipeline) -> float:
     """Default tmm theoretical minimum by sub-pipeline score convention:
     cosine similarity -> -1, BM25 -> 0 (reference passes these via config)."""
     config = pipeline._get_pipeline_config() if hasattr(pipeline, "_get_pipeline_config") else {}
-    if config.get("type") == "vector_search":
+    # every cosine-scored leg: dense/MaxSim text search, image search, and
+    # HyDE (dense under the hood) — a 0.0 floor would rank a retrieved
+    # negative-cosine doc BELOW a doc the leg never returned
+    if config.get("type") in ("vector_search", "image_vector_search", "hyde"):
         return -1.0
     return 0.0
 

@@ -62,11 +62,19 @@ class PowerOfNoisePipeline(BaseRetrievalPipeline):
         }
 
     def _n_noise(self, top_k: int) -> int:
-        if self.noise_ratio is not None:
-            return int(round(top_k * self.noise_ratio))
-        return self.noise_count
+        # reference _resolve_noise_count (power_of_noise.py:132-143): noise is
+        # CAPPED at top_k and noise_count takes precedence over noise_ratio
+        if top_k <= 0:
+            return 0
+        if self.noise_count > 0:
+            return min(top_k, self.noise_count)
+        if self.noise_ratio is None:
+            return 0
+        return min(top_k, max(0, round(top_k * self.noise_ratio)))
 
-    def _sample_noise(self, exclude: set, n: int, query_id: Any | None) -> list:
+    def _sample_noise(
+        self, exclude: set, n: int, query_id: Any | None, seed_key: Any = None
+    ) -> list:
         if n <= 0:
             return []
         # sample from the table matching the base pipeline's unit so image
@@ -77,6 +85,31 @@ class PowerOfNoisePipeline(BaseRetrievalPipeline):
             for rel in self.catalog.get_relations_by_query(query_id):
                 if rel[gt_col] is not None:
                     exclude.add(rel[gt_col])
+            if unit == "chunk":
+                # the reference additionally excludes any chunk whose CONTENTS
+                # contain a generation answer (power_of_noise.py:206-213) —
+                # "guaranteed irrelevant" noise must not carry the answer text
+                row = self.catalog.get_query(query_id)
+                answers = []
+                if row is not None and row["generation_gt"]:
+                    import json as _json
+
+                    answers = [
+                        a.casefold() for a in _json.loads(row["generation_gt"]) if a
+                    ]
+                if answers:
+                    lookup = self.catalog.get_chunk_contents(
+                        [i for i in self._noise_pool(unit) if i not in exclude]
+                    )
+                    for cid, contents in lookup.items():
+                        text = (contents or "").casefold()
+                        if any(a in text for a in answers):
+                            exclude.add(cid)
+        pool = [i for i in self._noise_pool(unit) if i not in exclude]
+        rng = random.Random(f"{self.seed}:{seed_key}")
+        return rng.sample(pool, min(n, len(pool)))
+
+    def _noise_pool(self, unit: str) -> list:
         # the corpus is immutable during a run: fetch the id list ONCE per
         # pipeline instance instead of O(N) rows per query
         cache = getattr(self, "_noise_pool_cache", None)
@@ -86,9 +119,7 @@ class PowerOfNoisePipeline(BaseRetrievalPipeline):
             ).fetchall()
             cache = (unit, [r["id"] for r in rows])
             self._noise_pool_cache = cache
-        pool = [i for i in cache[1] if i not in exclude]
-        rng = random.Random(f"{self.seed}:{query_id}")
-        return rng.sample(pool, min(n, len(pool)))
+        return cache[1]
 
     def _compose(self, retrieved: list[dict], noise_ids: list) -> list[dict]:
         noise = [{"doc_id": nid, "score": None} for nid in noise_ids]
@@ -110,14 +141,27 @@ class PowerOfNoisePipeline(BaseRetrievalPipeline):
 
     async def _retrieve_by_id(self, query_id, top_k):
         n_noise = self._n_noise(top_k)
-        retrieved = await self.base._retrieve_by_id(query_id, max(top_k - n_noise, 0))
-        noise = self._sample_noise({h["doc_id"] for h in retrieved}, n_noise, query_id)
+        base_k = max(top_k - n_noise, 0)
+        # reference: skip the base call entirely at base_top_k == 0
+        retrieved = (
+            await self.base._retrieve_by_id(query_id, base_k) if base_k > 0 else []
+        )
+        noise = self._sample_noise(
+            {h["doc_id"] for h in retrieved}, n_noise, query_id, seed_key=query_id
+        )
         return self._compose(retrieved, noise)
 
     async def _retrieve_by_text(self, query_text, top_k):
         n_noise = self._n_noise(top_k)
-        retrieved = await self.base._retrieve_by_text(query_text, max(top_k - n_noise, 0))
-        noise = self._sample_noise({h["doc_id"] for h in retrieved}, n_noise, None)
+        base_k = max(top_k - n_noise, 0)
+        retrieved = (
+            await self.base._retrieve_by_text(query_text, base_k) if base_k > 0 else []
+        )
+        # seed by the query TEXT (reference _build_seed_key) — seeding every
+        # text query identically would inject the same noise set everywhere
+        noise = self._sample_noise(
+            {h["doc_id"] for h in retrieved}, n_noise, None, seed_key=query_text
+        )
         return self._compose(retrieved, noise)
 
 

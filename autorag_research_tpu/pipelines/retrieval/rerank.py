@@ -13,7 +13,6 @@ from autorag_research_tpu.pipelines.retrieval.base import BaseRetrievalPipeline
 
 
 class RerankPipeline(BaseRetrievalPipeline):
-    retrieval_unit = "chunk"
 
     def __init__(
         self,
@@ -26,6 +25,9 @@ class RerankPipeline(BaseRetrievalPipeline):
         self.inner = inner_retrieval_pipeline
         self.reranker = reranker
         self.fetch_k_multiplier = fetch_k_multiplier
+        self.retrieval_unit = getattr(
+            inner_retrieval_pipeline, "retrieval_unit", "chunk"
+        )
         super().__init__(catalog, name)
 
     def _get_pipeline_config(self) -> dict[str, Any]:
@@ -48,9 +50,21 @@ class RerankPipeline(BaseRetrievalPipeline):
         ranked = await self.reranker.arerank(
             query_text, [text for _, text in pool], top_k=top_k
         )
-        return [
+        out = [
             {"doc_id": pool[r.index][0]["doc_id"], "score": r.score} for r in ranked
         ]
+        if len(out) < top_k:
+            # top up with candidates whose contents were missing (partial
+            # ingest) in their original retrieval order — dropping them could
+            # silently return fewer than top_k results
+            ranked_ids = {h["doc_id"] for h in out}
+            floor = min((h["score"] for h in out), default=0.0)
+            for i, h in enumerate(hits):
+                if len(out) >= top_k:
+                    break
+                if h["doc_id"] not in ranked_ids and not lookup.get(h["doc_id"]):
+                    out.append({"doc_id": h["doc_id"], "score": floor - 1.0 - i})
+        return out
 
     async def _retrieve_by_id(self, query_id, top_k):
         text = self.catalog.get_query_text(query_id)

@@ -49,7 +49,6 @@ def _parse_score(text: str) -> float:
 
 
 class RetroStarPipeline(BaseRetrievalPipeline):
-    retrieval_unit = "chunk"
 
     def __init__(
         self,
@@ -82,6 +81,7 @@ class RetroStarPipeline(BaseRetrievalPipeline):
         self.sample_weights = sample_weights or [1.0] * num_samples
         self.max_document_chars = max_document_chars
         self.max_rerank_concurrency = max_rerank_concurrency
+        self.retrieval_unit = getattr(retrieval_pipeline, "retrieval_unit", "chunk")
         super().__init__(catalog, name)
 
     def _get_pipeline_config(self) -> dict[str, Any]:

@@ -76,7 +76,12 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
                 self.catalog,
                 "multi_vector",
                 self.table,
-                builder=lambda: MultiVectorIndex.from_catalog(self.catalog, self.table),
+                builder=lambda: MultiVectorIndex.from_catalog(
+                    self.catalog, self.table, **self.index_options
+                ),
+                # options are part of the cache identity like the other
+                # branches — they were silently dropped before
+                **{str(k): str(v) for k, v in sorted(self.index_options.items())},
             )
         elif self.index_type == "ivf_contiguous":
             from autorag_research_tpu.index.ivf_contiguous import IVFContiguousIndex
@@ -136,7 +141,9 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
         return embs
 
     def _multi_search(self, idx, mats, top_k):
-        if self.maxsim_prefilter and getattr(idx, "_mesh", None) is None:
+        if self.maxsim_prefilter:
+            # the index handles the sharded case itself (warns + full scan);
+            # swallowing the kwarg here would hide that signal
             return idx.search(mats, top_k, prefilter=self.maxsim_prefilter)
         return idx.search(mats, top_k)
 

@@ -422,3 +422,79 @@ def test_retro_star_score_tag_contract():
     assert _parse_score("<score>150</score>") == 100.0  # clamped
     assert _parse_score("I rate this 7") == 7.0  # bare-number fallback
     assert _parse_score("no score") == 0.0
+
+
+class TestUnitPropagation:
+    def test_hybrid_of_image_pipelines_uses_image_unit(self, tmp_path):
+        """Hybrid legs' unit propagates (regression: hardcoded 'chunk' wrote
+        image ids into the chunk result table); mixed legs raise."""
+        from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Pipeline
+        from autorag_research_tpu.pipelines.retrieval.hybrid import HybridRRFPipeline
+        from autorag_research_tpu.pipelines.retrieval.image_vector_search import (
+            ImageVectorSearchPipeline,
+        )
+
+        registry.invalidate()
+        cat = Catalog(tmp_path / "u.db", embedding_dim=32)
+        cat.add_chunks([{"id": 0, "contents": "text", "embedding": EMB.embed_query("t")}])
+        cat.add_image_chunks(
+            [{"id": "p1", "image": b"\x89PNG", "mimetype": "image/png",
+              "embedding": EMB.embed_query("img")}]
+        )
+        img1 = ImageVectorSearchPipeline(cat, "i1", embedding_model=EMB)
+        img2 = ImageVectorSearchPipeline(cat, "i2", embedding_model=EMB)
+        hy = HybridRRFPipeline(cat, "h_img", pipeline_1=img1, pipeline_2=img2)
+        assert hy.retrieval_unit == "image_chunk"
+        from autorag_research_tpu.pipelines.retrieval.rerank import RerankPipeline
+        from autorag_research_tpu.rerankers import MockReranker
+
+        rr = RerankPipeline(cat, "rr_img", inner_retrieval_pipeline=img1,
+                            reranker=MockReranker())
+        assert rr.retrieval_unit == "image_chunk"
+        with pytest.raises(ValueError, match="different units"):
+            HybridRRFPipeline(cat, "h_mixed", pipeline_1=img1,
+                              pipeline_2=BM25Pipeline(cat, "b_mix"))
+        registry.invalidate()
+
+
+class TestPowerOfNoiseSemantics:
+    def test_noise_capped_at_top_k_and_base_skipped(self, wcat):
+        from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Pipeline
+        from autorag_research_tpu.pipelines.retrieval.power_of_noise import (
+            PowerOfNoisePipeline,
+        )
+
+        base = BM25Pipeline(wcat, "b_pon")
+        calls = []
+        orig = base._retrieve_by_id
+
+        async def spy(qid, k):
+            calls.append(k)
+            return await orig(qid, k)
+
+        base._retrieve_by_id = spy
+        pipe = PowerOfNoisePipeline(
+            wcat, "pon_cap", base_retrieval_pipeline=base, noise_count=20
+        )
+        out = run_async(pipe._retrieve_by_id(0, 5))
+        # reference: noise = min(top_k, count) = 5, base_k = 0 -> base SKIPPED
+        assert len(out) == 5 and calls == []
+
+    def test_text_path_noise_varies_by_query_text(self, wcat):
+        from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Pipeline
+        from autorag_research_tpu.pipelines.retrieval.power_of_noise import (
+            PowerOfNoisePipeline,
+        )
+
+        pipe = PowerOfNoisePipeline(
+            wcat, "pon_seed",
+            base_retrieval_pipeline=BM25Pipeline(wcat, "b_seed"),
+            noise_count=3,
+        )
+        sets = [
+            {h["doc_id"] for h in run_async(pipe._retrieve_by_text(t, 4))}
+            for t in ("alpha question", "beta question", "gamma question")
+        ]
+        # seeded by query TEXT (reference _build_seed_key): distinct texts
+        # must not all draw an identical noise set (regression: seed was None)
+        assert len({frozenset(s) for s in sets}) > 1
