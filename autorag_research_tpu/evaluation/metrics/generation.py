@@ -208,8 +208,20 @@ def bleu(
     smooth_method: str = "exp",
     smooth_value: float | None = None,
     effective_order: bool = True,
-    **_: Any,
+    **extra: Any,
 ) -> list[float]:
+    # this implementation is bit-parity with sacrebleu's 13a tokenizer ONLY;
+    # silently ignoring semantic options (tokenize='intl'/'zh', lowercase,
+    # trg_lang) would score materially wrong with no signal
+    unsupported = {
+        k: v for k, v in extra.items()
+        if k in ("tokenize", "lowercase", "trg_lang") and v not in (None, "13a", False)
+    }
+    if unsupported:
+        raise TypeError(
+            f"bleu: unsupported sacrebleu option(s) {sorted(unsupported)} — "
+            "this implementation matches the default 13a tokenizer only"
+        )
     return [
         sentence_bleu(
             mi.generated_texts or "",
@@ -231,10 +243,10 @@ _ROUGE_TOKEN_RE = re.compile(r"[a-z0-9]+")
 def _rouge_tokens(text: str, use_stemmer: bool) -> list[str]:
     tokens = _ROUGE_TOKEN_RE.findall(text.lower())
     if use_stemmer:
-        from nltk.stem.porter import PorterStemmer
-
-        stemmer = PorterStemmer()
-        tokens = [stemmer.stem(t) if len(t) > 3 else t for t in tokens]
+        # the shared memoized porter stem (same PorterStemmer.stem meteor
+        # uses) — constructing a stemmer per call was pure wasted work;
+        # rouge_score's len>3 guard stays
+        tokens = [_stem(t) if len(t) > 3 else t for t in tokens]
     return tokens
 
 

@@ -110,7 +110,12 @@ def bart_score_batch(
         return _forced_decode_logprob(tok, model, srcs, tgts, max_length, batch_size)
 
     if direction == "faithfulness":
-        srcs = ["\n".join(mi.retrieved_contents or []) for mi in metric_inputs]
+        # reference _join_retrieved_contents: double-newline join of STRIPPED
+        # passages is the conditioning context
+        srcs = [
+            "\n\n".join(c.strip() for c in (mi.retrieved_contents or []))
+            for mi in metric_inputs
+        ]
         tgts = [mi.generated_texts or "" for mi in metric_inputs]
         return score(srcs, tgts)
 
@@ -124,9 +129,13 @@ def bart_score_batch(
         elif direction == "recall":
             vals = score([pred] * len(refs), refs)
         elif direction == "f1":
+            # reference bart_score_f1: (max-over-refs precision +
+            # max-over-refs recall) / 2 — NOT max over per-ref means, which
+            # is strictly smaller whenever the best directions come from
+            # different references
             p = score(refs, [pred] * len(refs))
             r = score([pred] * len(refs), refs)
-            vals = [(a + b) / 2 for a, b in zip(p, r)]
+            vals = [(max(p) + max(r)) / 2]
         else:
             raise ValueError(f"unknown bart_score direction: {direction}")
         out.append(max(vals))

@@ -24,7 +24,6 @@ from __future__ import annotations
 import itertools
 import math
 from collections.abc import Callable
-from dataclasses import dataclass
 
 from autorag_research_tpu.evaluation.metrics.util import metric
 from autorag_research_tpu.schema import MetricInput
@@ -163,13 +162,3 @@ RETRIEVAL_METRICS: dict[str, Callable] = {
     "map": retrieval_map,
 }
 
-
-@dataclass
-class RetrievalMetricSpec:
-    """Name + kwargs for a retrieval metric (configs resolve to this)."""
-
-    name: str
-    kwargs: dict | None = None
-
-    def func(self) -> Callable:
-        return RETRIEVAL_METRICS[self.name]

@@ -105,12 +105,17 @@ class BaseEvaluationService:
                 continue
             inputs = [self.build_metric_input(r, pipeline_id) for r in pending]
             values = metric_func(inputs)
+            # persist only SCORED queries (reference _evaluate_query_level
+            # filters 'score is not None'): a None means not-evaluable-yet
+            # (missing GT / missing executor result) and must be RETRIED on
+            # the next run, not counted as done forever
             self.catalog.add_evaluation_results(
                 pipeline_id,
                 metric_id,
                 [
-                    (r["id"], float(v) if v is not None else None)
-                    for r, v in zip(pending, values)
+                    (r["id"], float(v))
+                    for r, v in zip(pending, values, strict=True)
+                    if v is not None
                 ],
             )
         return self._summarize(pipeline_id, metric_id, query_ids)
@@ -135,8 +140,9 @@ class BaseEvaluationService:
             pipeline_id,
             metric_id,
             [
-                (r["id"], float(v) if v is not None else None)
-                for r, v in zip(all_rows, values)
+                (r["id"], float(v))
+                for r, v in zip(all_rows, values, strict=True)
+                if v is not None
             ],
         )
         return self._summarize(pipeline_id, metric_id, query_ids)
@@ -206,11 +212,19 @@ class GenerationEvaluationService(BaseEvaluationService):
         gt, scores = self._gt_for_query(qid)
         gt_contents = self._gt_contents(gt)
         generation_gt = None
-        if query_row["generation_gt"]:
+        raw_gt = query_row["generation_gt"]
+        if raw_gt:
             try:
-                generation_gt = json.loads(query_row["generation_gt"])
+                parsed = json.loads(raw_gt)
             except (TypeError, ValueError):
-                generation_gt = [query_row["generation_gt"]]
+                parsed = None
+            if isinstance(parsed, list):
+                generation_gt = [str(a) for a in parsed if a is not None]
+            else:
+                # a bare scalar answer ('2019', 'true', '"Paris"') parses
+                # to a non-list — treat the RAW stored string as one answer
+                # instead of crashing or iterating it character-wise
+                generation_gt = [str(raw_gt)]
         return MetricInput(
             query=query_row["contents"],
             generated_texts=generated,
@@ -226,21 +240,42 @@ class GenerationEvaluationService(BaseEvaluationService):
         ``generation_evaluation.py:138-199``): canonical/alias metadata keys ->
         persisted retrieval rows -> legacy metadata keys."""
         for key in GENERATION_CONTEXT_CHUNK_ID_KEYS:
-            ids = metadata.get(key)
-            if ids:
-                return self._contents_for(ids)
+            if key in metadata:
+                # the first PRESENT key decides (reference
+                # _get_metadata_chunk_ids): an explicit [] means the
+                # generator USED no context — falling through to persisted
+                # retrieval rows would score faithfulness against evidence
+                # it never conditioned on
+                return self._contents_for(metadata[key] or [])
         rows = self.catalog.get_retrieved(qid, pipeline_id, "chunk")
         if rows:
             return self._contents_for([r["doc_id"] for r in rows])
         for key in GENERATION_LEGACY_RETRIEVED_CHUNK_ID_KEYS:
-            ids = metadata.get(key)
-            if ids:
-                return self._contents_for(ids)
+            if key in metadata:
+                return self._contents_for(metadata[key] or [])
         return []
 
     def _contents_for(self, chunk_ids) -> list[str]:
-        lookup = self.catalog.get_chunk_contents(list(chunk_ids))
-        return [lookup[cid] for cid in chunk_ids if cid in lookup]
+        # dedup preserving order and drop Nones (reference
+        # _deduplicate_chunk_ids) — repeated ids from multi-round pipelines
+        # would double-count context text
+        ids = list(dict.fromkeys(c for c in chunk_ids if c is not None))
+        if not ids:
+            return []
+        lookup = dict(self.catalog.get_chunk_contents(ids))
+        # json round-trips stringify non-native id types; catalog PKs may be
+        # int — remap like _gt_contents does or stringified ids drop evidence
+        int_forms = []
+        for cid in ids:
+            if cid not in lookup and isinstance(cid, str):
+                try:
+                    int_forms.append(int(cid))
+                except ValueError:
+                    pass
+        if int_forms:
+            for k, v in self.catalog.get_chunk_contents(int_forms).items():
+                lookup[str(k)] = v
+        return [lookup[cid] for cid in ids if cid in lookup]
 
     def _gt_contents(self, gt: list[list[str]]) -> list[list[str]]:
         """Resolve text contents per GT group; image ids have no text and are

@@ -145,3 +145,67 @@ class TestMixedModalityGT:
         assert got[10] == 1.0  # satisfied via the text table
         assert got[11] == 1.0  # satisfied via the image table
         assert got[12] == 1.0  # chunk 1 retrieved (score irrelevant for recall)
+
+
+class TestServiceHardening:
+    def test_scalar_generation_gt_wraps_as_single_answer(self, catalog):
+        """A bare scalar stored in generation_gt ('2019', '0', JSON string)
+        must become a one-answer list, not crash or iterate char-wise."""
+        pid = catalog.get_or_create_pipeline("gt_scalar")
+        service = GenerationEvaluationService(catalog)
+        for qid, raw in ((1, "2019"), (2, "0"), (3, '"Paris"')):
+            catalog.connect().execute(
+                "UPDATE query SET generation_gt=? WHERE id=?", (raw, qid)
+            )
+            catalog.add_executor_result(qid, pid, "an answer", result_metadata={})
+        mi = service.build_metric_input(catalog.get_query(1), pid)
+        assert mi.generation_gt == ["2019"]
+        assert service.build_metric_input(catalog.get_query(2), pid).generation_gt == ["0"]
+        # a JSON-encoded string is a non-list parse -> raw string as one answer
+        assert service.build_metric_input(
+            catalog.get_query(3), pid
+        ).generation_gt == ['"Paris"']
+
+    def test_none_scores_are_retried_not_persisted(self, catalog):
+        """None = not-evaluable-yet: the query must be scored on the NEXT run
+        once evaluable (regression: a NULL row marked it done forever)."""
+        pid = catalog.get_or_create_pipeline("retry_none")
+        catalog.add_retrieved_results(pid, [(1, 1, 0.9)])
+        service = RetrievalEvaluationService(catalog)
+        state = {"ready": False}
+
+        def flaky_metric(inputs):
+            if not state["ready"]:
+                return [None] * len(inputs)
+            return [1.0] * len(inputs)
+
+        s1 = service.evaluate(pid, "flaky", flaky_metric)
+        assert s1.count == 0
+        state["ready"] = True
+        s2 = service.evaluate(pid, "flaky", flaky_metric)
+        assert s2.count == 3  # all queries retried and scored
+
+    def test_empty_context_chunk_ids_is_no_evidence(self, catalog):
+        """An explicit context_chunk_ids: [] means the generator USED no
+        context — persisted retrieval rows must not leak in as evidence
+        (reference stops at the first PRESENT key)."""
+        pid = catalog.get_or_create_pipeline("empty_ev")
+        service = GenerationEvaluationService(catalog)
+        catalog.add_retrieved_results(pid, [(1, 5, 0.9)])
+        catalog.add_executor_result(
+            1, pid, "no-context answer", result_metadata={"context_chunk_ids": []}
+        )
+        mi = service.build_metric_input(catalog.get_query(1), pid)
+        assert mi.retrieved_contents is None
+
+    def test_stringified_int_ids_resolve_and_dedup(self, catalog):
+        """json round-trips stringify non-native id types; '12'-style ids
+        must still resolve against int catalog PKs, deduplicated in order."""
+        pid = catalog.get_or_create_pipeline("str_ids")
+        service = GenerationEvaluationService(catalog)
+        catalog.add_executor_result(
+            1, pid, "a", result_metadata={"context_chunk_ids": ["2", "1", "2", None]}
+        )
+        mi = service.build_metric_input(catalog.get_query(1), pid)
+        lookup = catalog.get_chunk_contents([2, 1])
+        assert mi.retrieved_contents == [lookup[2], lookup[1]]
