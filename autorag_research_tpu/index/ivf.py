@@ -73,6 +73,26 @@ def _kmeans(data: jax.Array, init_idx: jax.Array, n_cells: int, iterations: int)
     return centroids
 
 
+def train_centroids(
+    mat: "np.ndarray", n_cells: int, iterations: int, rng
+) -> "jnp.ndarray":
+    """Sampled k-means training shared by IVFIndex and IVFContiguousIndex:
+    centroids train on a capped sample (k-means cost is O(sample x C x d)
+    per iteration); callers then run their own assignment pass."""
+    n = mat.shape[0]
+    sample_cap = max(n_cells * 64, 50_000)
+    if n > sample_cap:
+        sample = np.sort(rng.choice(n, size=sample_cap, replace=False))
+        train = jnp.asarray(mat[sample])
+    else:
+        train = jnp.asarray(mat)
+    n_train = train.shape[0]
+    init_idx = jnp.asarray(
+        rng.choice(n_train, size=n_cells, replace=n_train < n_cells)
+    )
+    return _kmeans(train, init_idx, n_cells, iterations)
+
+
 @functools.partial(jax.jit, static_argnames=("n_prefs",))
 def _assign_prefs_chunk(data: jax.Array, centroids: jax.Array, n_prefs: int):
     sims = jnp.dot(data, centroids.T, preferred_element_type=jnp.float32)
@@ -170,19 +190,7 @@ class IVFIndex:
     # ------------------------------------------------------------------ build
     def _build(self, mat: np.ndarray, seed: int, iterations: int) -> None:
         rng = np.random.default_rng(seed)
-        # centroids train on a sample (k-means cost is O(sample x C x d) per
-        # iteration); the full corpus then gets one assignment pass
-        sample_cap = max(self.n_cells * 64, 50_000)
-        if self._n > sample_cap:
-            sample = np.sort(rng.choice(self._n, size=sample_cap, replace=False))
-            train = jnp.asarray(mat[sample])
-        else:
-            train = jnp.asarray(mat)
-        n_train = train.shape[0]
-        init_idx = jnp.asarray(
-            rng.choice(n_train, size=self.n_cells, replace=n_train < self.n_cells)
-        )
-        centroids = _kmeans(train, init_idx, self.n_cells, iterations)
+        centroids = train_centroids(mat, self.n_cells, iterations, rng)
         pref_cells, pref_sims = _assign_prefs(
             jnp.asarray(mat), centroids, min(8, self.n_cells)
         )
@@ -355,6 +363,8 @@ class IVFIndex:
                     "n_cells": self.n_cells,
                     "nprobe": self.nprobe,
                     "cell_pad": self.cell_pad,
+                    "pad_factor": self.pad_factor,
+                    "kmeans_iterations": self.kmeans_iterations,
                     "ids": self.ids,
                 },
                 default=str,
@@ -371,6 +381,10 @@ class IVFIndex:
         idx.n_cells = meta["n_cells"]
         idx.nprobe = meta["nprobe"]
         idx.cell_pad = meta["cell_pad"]
+        # build params are needed by _to_device_sharded's per-shard rebuild —
+        # loaded artifacts previously crashed with AttributeError on a mesh
+        idx.pad_factor = float(meta.get("pad_factor", 2.0))
+        idx.kmeans_iterations = int(meta.get("kmeans_iterations", 8))
         idx._host = arrays["embeddings"]
         idx.centroids = arrays["centroids"]
         idx.members = arrays["members"]
@@ -382,4 +396,8 @@ class IVFIndex:
     @classmethod
     def from_catalog(cls, catalog, table: str = "chunk", **kwargs) -> "IVFIndex":
         ids, mat = catalog.get_embeddings_matrix(table)
+        if not ids:
+            from autorag_research_tpu.exceptions import EmbeddingMissingError
+
+            raise EmbeddingMissingError(f"no embeddings in table '{table}'")
         return cls(ids, mat, **kwargs)

@@ -35,7 +35,7 @@ import numpy as np
 from autorag_research_tpu.exceptions import IndexNotBuiltError
 from autorag_research_tpu.index.base import SearchHit
 from autorag_research_tpu.index.dense import l2_normalize
-from autorag_research_tpu.index.ivf import _kmeans
+from autorag_research_tpu.index.ivf import train_centroids
 from autorag_research_tpu.ops.dense import INT_MAX, NEG_INF, _precision_for
 from autorag_research_tpu.ops.topk import sort_topk
 
@@ -104,16 +104,7 @@ class IVFContiguousIndex:
     def _build(self, mat: np.ndarray, seed: int, iterations: int) -> None:
         n, d = mat.shape
         rng = np.random.default_rng(seed)
-        sample_cap = max(self.n_cells * 64, 50_000)
-        if n > sample_cap:
-            sample = np.sort(rng.choice(n, size=sample_cap, replace=False))
-            train = jnp.asarray(mat[sample])
-        else:
-            train = jnp.asarray(mat)
-        init_idx = jnp.asarray(
-            rng.choice(train.shape[0], size=self.n_cells, replace=train.shape[0] < self.n_cells)
-        )
-        centroids = np.asarray(_kmeans(train, init_idx, self.n_cells, iterations))
+        centroids = np.asarray(train_centroids(mat, self.n_cells, iterations, rng))
 
         # single-preference assignment, chunked (full [N, C] stays off-host)
         assign = np.empty(n, dtype=np.int32)
@@ -267,4 +258,8 @@ class IVFContiguousIndex:
     @classmethod
     def from_catalog(cls, catalog, table: str = "chunk", **kwargs) -> "IVFContiguousIndex":
         ids, mat = catalog.get_embeddings_matrix(table)
+        if not ids:
+            from autorag_research_tpu.exceptions import EmbeddingMissingError
+
+            raise EmbeddingMissingError(f"no embeddings in table '{table}'")
         return cls(ids, mat, **kwargs)

@@ -103,14 +103,6 @@ def _to_blob(vec: Sequence[float] | np.ndarray | None) -> bytes | None:
     return np.asarray(vec, dtype=np.float32).tobytes()
 
 
-def _from_blob(blob: bytes | None, dim: int | None = None) -> np.ndarray | None:
-    if blob is None:
-        return None
-    arr = np.frombuffer(blob, dtype=np.float32)
-    if dim is not None and dim > 0 and arr.size % dim == 0 and arr.size != dim:
-        arr = arr.reshape(-1, dim)
-    return arr
-
 
 class Catalog:
     """Direct-API relational catalog over one SQLite database."""
@@ -130,6 +122,8 @@ class Catalog:
             path = Path(self._tmpdir.name) / "catalog.db"
         self.path = str(path)
         self._local = threading.local()
+        self._all_conns: list = []  # every thread's connection, for close()
+        self._conns_lock = threading.Lock()
         with self.connect() as conn:
             conn.executescript(_SCHEMA)
         if embedding_dim is not None:
@@ -149,13 +143,22 @@ class Catalog:
         if conn is None:
             conn = self._new_conn()
             self._local.conn = conn
+            with self._conns_lock:
+                self._all_conns.append(conn)
         return conn
 
     def close(self) -> None:
-        conn = getattr(self._local, "conn", None)
-        if conn is not None:
-            conn.close()
-            self._local.conn = None
+        # close EVERY thread's connection (threading.local only exposes the
+        # caller's): serving/executor worker threads would otherwise leak fds
+        # and the tmpdir cleanup below would unlink files still held open
+        with self._conns_lock:
+            conns, self._all_conns = self._all_conns, []
+        for conn in conns:
+            try:
+                conn.close()
+            except Exception:  # noqa: BLE001 - already closed / in use
+                pass
+        self._local.conn = None
         if self._tmpdir is not None:
             self._tmpdir.cleanup()
             self._tmpdir = None
@@ -321,6 +324,10 @@ class Catalog:
                 "INSERT OR IGNORE INTO _quarantine (id) VALUES (?)",
                 [(i,) for i in exclude_ids],
             )
+            # the temp-table writes opened an implicit transaction — commit
+            # it or this connection pins a stale read snapshot (and blocks
+            # WAL checkpointing) until some later write happens to commit
+            conn.commit()
             sql += " AND id NOT IN (SELECT id FROM _quarantine)"
         sql += " ORDER BY id LIMIT ?"
         params.append(limit)

@@ -129,7 +129,14 @@ class IngestionService:
                                 if image
                                 else embedding_model.embed_texts_multi([item])
                             )[0]
-                            self.catalog.set_multi_embeddings(table, [(rid, m)])
+                            if m is None or not len(m):
+                                # same guard as the batch path: an EMPTY
+                                # matrix stored here breaks every subsequent
+                                # multi-vector read of the whole table
+                                raise ValueError("empty multi-vector matrix")
+                            self.catalog.set_multi_embeddings(
+                                table, [(rid, np.asarray(m, np.float32))]
+                            )
                         else:
                             v = (
                                 embedding_model.embed_images([item])

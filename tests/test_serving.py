@@ -470,9 +470,18 @@ def test_metrics_endpoint_live(tmp_path):
         post(h, "/search", {"query": "no such field", "top_k": -1})  # 400
         post(h, "/generate", {"query": "capital of France"})
         url = f"http://127.0.0.1:{h.port}/metrics"
-        with urllib.request.urlopen(url) as resp:
-            assert resp.headers["Content-Type"].startswith("text/plain")
-            text = resp.read().decode()
+        # counters record AFTER the response body is sent (Prometheus
+        # counters are eventually consistent) — poll briefly
+        import time as _time
+
+        text = ""
+        for _ in range(40):
+            with urllib.request.urlopen(url) as resp:
+                assert resp.headers["Content-Type"].startswith("text/plain")
+                text = resp.read().decode()
+            if 'code="200",endpoint="/generate"' in text:
+                break
+            _time.sleep(0.05)
         assert 'autorag_requests_total{code="200",endpoint="/search"} 1' in text
         assert 'autorag_requests_total{code="400",endpoint="/search"} 1' in text
         assert 'autorag_requests_total{code="200",endpoint="/generate"} 1' in text
@@ -484,10 +493,16 @@ def test_metrics_endpoint_live(tmp_path):
         assert f"autorag_corpus_docs {len(DOCS)}" in text
         assert 'autorag_queue_depth{kind="search",pipeline="bm25"} 0' in text
         assert "autorag_batches_inflight" in text
-        # a second scrape counts the first /metrics hit itself
-        with urllib.request.urlopen(url) as resp:
-            text2 = resp.read().decode()
-        assert 'autorag_requests_total{code="200",endpoint="/metrics"} 1' in text2
+        # a later scrape counts the earlier /metrics hits themselves
+        # (same post-send recording race: poll)
+        text2 = ""
+        for _ in range(40):
+            with urllib.request.urlopen(url) as resp:
+                text2 = resp.read().decode()
+            if 'autorag_requests_total{code="200",endpoint="/metrics"}' in text2:
+                break
+            _time.sleep(0.05)
+        assert 'autorag_requests_total{code="200",endpoint="/metrics"}' in text2
         # unknown (client-controlled) paths clamp to endpoint="other" so a
         # scanner can't mint unbounded label series
         for bad in ("/nope", "/nope2?q=1"):
