@@ -41,6 +41,17 @@ def pad_ragged(mats: Sequence[np.ndarray], max_tokens: int | None = None) -> tup
     return out, lens
 
 
+def _mean_token_proxies(docs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-doc single-vector proxy (normalized mean of real token vectors) —
+    ONE definition for both build and load so the PLAID-style prefilter
+    stage can never diverge between fresh and restored indexes."""
+    if len(docs):
+        sums = docs.sum(axis=1)
+        counts = np.maximum(lens[:, None], 1)
+        return l2_normalize(sums / counts)
+    return np.zeros((0, docs.shape[2]), np.float32)
+
+
 class MultiVectorIndex:
     def __init__(
         self,
@@ -70,12 +81,7 @@ class MultiVectorIndex:
         # single-vector proxy per doc (mean of token vectors, normalized) —
         # the PLAID-style candidate-generation stage (see ``search``'s
         # ``prefilter`` and ops/maxsim.maxsim_rerank)
-        if self._n:
-            sums = self._docs.sum(axis=1)
-            counts = np.maximum(self._lens[:, None], 1)
-            self._proxies = l2_normalize(sums / counts)
-        else:
-            self._proxies = np.zeros((0, self._docs.shape[2]), np.float32)
+        self._proxies = _mean_token_proxies(self._docs, self._lens)
         self._device: tuple[jax.Array, jax.Array] | None = None
         self._proxies_device: jax.Array | None = None
 
@@ -234,11 +240,6 @@ class MultiVectorIndex:
         idx._n = len(idx.ids)
         idx._device = None
         # rebuild the prefilter proxies (derived state, cheap vs the npz read)
-        if idx._n:
-            sums = idx._docs.sum(axis=1)
-            counts = np.maximum(idx._lens[:, None], 1)
-            idx._proxies = l2_normalize(sums / counts)
-        else:
-            idx._proxies = np.zeros((0, idx._docs.shape[2]), np.float32)
+        idx._proxies = _mean_token_proxies(idx._docs, idx._lens)
         idx._proxies_device = None
         return idx
