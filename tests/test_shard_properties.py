@@ -119,3 +119,34 @@ def test_bm25_random_sizes_and_duplicate_docs(seed):
         got = idx.search(queries, k)
         got = [[(h.doc_id, round(h.score, 5)) for h in row] for row in got]
         assert got == want, (n, k, shards)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_maxsim_random_sizes_and_ties(seed):
+    from autorag_research_tpu.index.multi_vector import MultiVectorIndex
+
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(13, 90))  # awkward sizes -> pad rows on shards
+    d = 16
+    docs = [
+        rng.normal(size=(int(rng.integers(2, 7)), d)).astype(np.float32)
+        for _ in range(n)
+    ]
+    # duplicates -> exact MaxSim ties across shard boundaries
+    for i in range(max(2, n // 6)):
+        docs[(i * 5 + 2) % n] = docs[i % n]
+    ids = [f"m{i:03d}" for i in range(n)]
+    queries = [
+        rng.normal(size=(int(rng.integers(2, 5)), d)).astype(np.float32)
+        for _ in range(3)
+    ]
+    k = int(rng.integers(2, 9))
+
+    single = MultiVectorIndex(ids, docs, search_method="xla").search(queries, k)
+    want = [[(h.doc_id, round(h.score, 5)) for h in row] for row in single]
+    for shards in (2, 4, 8):
+        idx = MultiVectorIndex(ids, docs, search_method="xla")
+        idx.to_device(corpus_mesh(n_corpus=shards))
+        got = idx.search(queries, k)
+        got = [[(h.doc_id, round(h.score, 5)) for h in row] for row in got]
+        assert got == want, (n, k, shards)
