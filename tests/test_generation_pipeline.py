@@ -116,3 +116,29 @@ def test_generation_failure_isolation(gen_catalog):
     assert not pres.success
     assert len(pres.stats.get("failed_queries", [])) == 1
     assert pres.stats["total_queries"] == 1  # the good one persisted
+
+
+def test_crash_between_inserts_does_not_contaminate_resume(gen_catalog):
+    """A crash AFTER retrieved rows commit but BEFORE the executor result
+    leaves the query pending; the resumed attempt's (different) doc set must
+    fully REPLACE the stale rows, not union with them (regression)."""
+    from autorag_research_tpu.pipelines.generation.basic_rag import BasicRAGPipeline
+    from autorag_research_tpu.pipelines.retrieval.bm25 import BM25Pipeline
+
+    cat = gen_catalog
+    bm25 = BM25Pipeline(cat, "bm25_crash")
+    rag = BasicRAGPipeline(
+        cat, "rag_crash", retrieval_pipeline=bm25,
+        llm=MockLLM(responder=lambda p: "Paris"),
+    )
+    pid = rag.pipeline_id
+    # simulate the interrupted first attempt: retrieved rows for a DIFFERENT
+    # doc set committed, no executor result
+    cat.add_retrieved_results(pid, [(0, 2, 0.9), (0, 1, 0.8)])
+    assert cat.get_executor_result(0, pid) is None  # query still pending
+    stats = rag.run(top_k=1)
+    assert stats["failed_queries"] == []
+    rows = cat.get_retrieved(0, pid, "chunk")
+    # only the resumed attempt's docs remain (top_k=1 on 'capital of France'
+    # retrieves doc 0) — the stale docs 1/2 are gone
+    assert [r["doc_id"] for r in rows] == [0]
