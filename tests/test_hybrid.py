@@ -233,3 +233,57 @@ class TestReviewRegressions:
         # tied scores: doc 2 must rank before doc 10 (numeric, not string, order)
         out = rrf_fuse(hits([(10, 1.0)]), hits([(2, 1.0)]), k=60, top_k=2, fetch_k=1)
         assert [h["doc_id"] for h in out] == [2, 10]
+
+
+class TestFusionHostDeviceFuzz:
+    """Randomized host-vs-device fusion agreement: the batched device fusers
+    must reproduce the host fusers' exact ids and scores over random
+    candidate lists (overlaps, disjoint tails, duplicates across legs)."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_rrf_agreement(self, seed):
+        rng = np.random.default_rng(300 + seed)
+        fetch_k = int(rng.integers(2, 9))
+        top_k = int(rng.integers(1, 2 * fetch_k + 1))
+        pool = int(rng.integers(fetch_k, 4 * fetch_k))
+        ids_1 = rng.choice(pool, size=fetch_k, replace=False).astype(np.int32)
+        ids_2 = rng.choice(pool, size=fetch_k, replace=False).astype(np.int32)
+        r1 = hits([(int(i), float(fetch_k - r)) for r, i in enumerate(ids_1)])
+        r2 = hits([(int(i), float(fetch_k - r)) for r, i in enumerate(ids_2)])
+        host = rrf_fuse(r1, r2, k=60, top_k=top_k, fetch_k=fetch_k)
+        scores, ids = fuse_batch_rrf(
+            ids_1[None, :], ids_2[None, :], k=60, top_k=top_k, fetch_k=fetch_k
+        )
+        got_ids = [int(i) for i in np.asarray(ids)[0][: len(host)]]
+        assert got_ids == [h["doc_id"] for h in host], (seed, fetch_k, top_k)
+        np.testing.assert_allclose(
+            np.asarray(scores)[0][: len(host)],
+            [h["score"] for h in host], rtol=1e-6,
+        )
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_cc_agreement(self, seed):
+        from autorag_research_tpu.ops.fusion import fuse_batch_cc
+
+        rng = np.random.default_rng(400 + seed)
+        fetch_k = int(rng.integers(2, 8))
+        top_k = int(rng.integers(1, fetch_k + 2))
+        weight = float(rng.uniform(0.1, 0.9))
+        pool = int(rng.integers(fetch_k, 3 * fetch_k))
+        ids_1 = rng.choice(pool, size=fetch_k, replace=False).astype(np.int32)
+        ids_2 = rng.choice(pool, size=fetch_k, replace=False).astype(np.int32)
+        s1 = np.sort(rng.uniform(-0.5, 1.0, size=fetch_k))[::-1].astype(np.float32)
+        s2 = np.sort(rng.uniform(0.0, 10.0, size=fetch_k))[::-1].astype(np.float32)
+        r1 = hits([(int(i), float(s)) for i, s in zip(ids_1, s1)])
+        r2 = hits([(int(i), float(s)) for i, s in zip(ids_2, s2)])
+        host = cc_fuse(r1, r2, weight=weight, top_k=top_k, normalize_method="mm")
+        scores, ids = fuse_batch_cc(
+            ids_1[None, :], s1[None, :], ids_2[None, :], s2[None, :],
+            weight=weight, top_k=top_k, normalize_method="mm",
+        )
+        got_ids = [int(i) for i in np.asarray(ids)[0][: len(host)]]
+        assert got_ids == [h["doc_id"] for h in host], (seed, fetch_k, top_k)
+        np.testing.assert_allclose(
+            np.asarray(scores)[0][: len(host)],
+            [h["score"] for h in host], rtol=1e-5, atol=1e-6,
+        )
