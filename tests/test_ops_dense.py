@@ -221,3 +221,89 @@ def test_sort_topk_pads_when_fewer_candidates_than_k():
     # pad_to_k no-ops when k_eff >= k
     ps, pi = pad_to_k(out_s, out_i, 5, 5)
     assert ps is out_s and pi is out_i
+
+
+def test_int8_scan_matches_flat_exact(data):
+    # the bounded-memory scan path must be bit-identical to the flat fused
+    # path in exact mode (same dequant folding, same (-score, id) ties)
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.dense import (
+        _dense_topk_int8_flat,
+        _dense_topk_int8_scan,
+        quantize_int8,
+        quantize_int8_global,
+    )
+
+    q, c = data
+    cq, cs = quantize_int8(np.asarray(c))
+    s_f, i_f = _dense_topk_int8_flat(q, jnp.asarray(cq), jnp.asarray(cs), 10, True)
+    # tile_n=128 forces 3 tiles with a ragged last tile (333 docs)
+    s_t, i_t = _dense_topk_int8_scan(
+        q, jnp.asarray(cq), jnp.asarray(cs), 10, True, 128
+    )
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_t))
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_t), rtol=1e-6)
+    # global-scale layout: selection on bare s32 converts, scale post-merge
+    cg, gs = quantize_int8_global(np.asarray(c))
+    s_fg, i_fg = _dense_topk_int8_flat(q, jnp.asarray(cg), jnp.float32(gs), 10, True)
+    s_tg, i_tg = _dense_topk_int8_scan(
+        q, jnp.asarray(cg), jnp.float32(gs), 10, True, 128
+    )
+    np.testing.assert_array_equal(np.asarray(i_fg), np.asarray(i_tg))
+    np.testing.assert_allclose(np.asarray(s_fg), np.asarray(s_tg), rtol=1e-6)
+
+
+def test_int8_scan_cross_tile_ties_ascending():
+    # duplicate docs across tile boundaries -> identical quantized scores;
+    # the running sort_topk merge must order ties by ascending id like the
+    # flat path's global lax.top_k
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.dense import _dense_topk_int8_scan, quantize_int8
+
+    c = np.tile(np.ones((1, 16), np.float32), (300, 1))
+    q = np.ones((2, 16), np.float32)
+    cq, cs = quantize_int8(c)
+    _, ids = _dense_topk_int8_scan(
+        jnp.asarray(q), jnp.asarray(cq), jnp.asarray(cs), 5, True, 128
+    )
+    np.testing.assert_array_equal(np.asarray(ids), [[0, 1, 2, 3, 4]] * 2)
+
+
+def test_int8_dispatcher_routes_by_score_bytes(data, monkeypatch):
+    # shrink the budget so the public entry point routes through the scan
+    # path, and confirm it still agrees with the flat result
+    import jax.numpy as jnp
+
+    import autorag_research_tpu.ops.dense as dense_mod
+
+    q, c = data
+    cq, cs = dense_mod.quantize_int8(np.asarray(c))
+    s_flat, i_flat = dense_mod.dense_topk_int8(
+        q, jnp.asarray(cq), jnp.asarray(cs), 10, exact=True
+    )
+    monkeypatch.setattr(dense_mod, "FULL_MATERIALIZE_BUDGET", 1)
+    s_scan, i_scan = dense_mod.dense_topk_int8(
+        q, jnp.asarray(cq), jnp.asarray(cs), 10, exact=True, tile_n=128
+    )
+    np.testing.assert_array_equal(np.asarray(i_flat), np.asarray(i_scan))
+    np.testing.assert_allclose(np.asarray(s_flat), np.asarray(s_scan), rtol=1e-6)
+
+
+def test_int8_scan_k_larger_than_n():
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.dense import _dense_topk_int8_scan, quantize_int8
+    from autorag_research_tpu.ops.topk import INT_MAX
+
+    rng = np.random.default_rng(7)
+    c = rng.normal(size=(5, 8)).astype(np.float32)
+    q = rng.normal(size=(2, 8)).astype(np.float32)
+    cq, cs = quantize_int8(c)
+    s, i = _dense_topk_int8_scan(
+        jnp.asarray(q), jnp.asarray(cq), jnp.asarray(cs), 10, True, 128
+    )
+    assert s.shape == (2, 10)
+    assert (np.asarray(i)[:, 5:] == INT_MAX).all()
+    assert len(set(np.asarray(i)[0, :5])) == 5
