@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -78,28 +79,27 @@ def dense_topk_xla(
     ordered by (-score, id).
     """
     q = queries.shape[0]
-    n = corpus.shape[0]
+    n, d = corpus.shape
     k_eff = min(k, n)
     tile_n = min(tile_n, _round_up(n, 128))
-    n_pad = _round_up(n, tile_n)
-    pad = n_pad - n
-    if pad:
-        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
-    tiles = corpus.reshape(n_pad // tile_n, tile_n, corpus.shape[1])
+    # Full tiles stream via dynamic_slice out of the ORIGINAL corpus buffer —
+    # never pad the whole corpus (a padded scan-xs copy would double resident
+    # HBM for the entire call). The ragged tail merges in one step outside
+    # the scan.
+    t_full = n // tile_n
+    rem = n - t_full * tile_n
+    tile_k = min(k_eff, tile_n)
 
-    def body(carry, inp):
+    def body(carry, tile_idx):
         carry_s, carry_i = carry
-        tile, tile_idx = inp
+        base = tile_idx * tile_n
+        tile = jax.lax.dynamic_slice(corpus, (base, 0), (tile_n, d))
         scores = jnp.dot(
             queries,
             tile.T,
             preferred_element_type=jnp.float32,
             precision=_precision_for(queries.dtype),
         )  # [Q, tile_n]
-        base = tile_idx * tile_n
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
-        scores = jnp.where(col < n, scores, NEG_INF)
-        tile_k = min(k_eff, tile_n)
         tile_s, tile_local = jax.lax.top_k(scores, tile_k)  # ties -> lower index
         tile_i = tile_local + base
         merged_s, merged_i = sort_topk(
@@ -113,9 +113,26 @@ def dense_topk_xla(
         jnp.full((q, k_eff), NEG_INF, jnp.float32),
         jnp.full((q, k_eff), INT_MAX, jnp.int32),
     )
-    (scores, ids), _ = jax.lax.scan(
-        body, init, (tiles, jnp.arange(tiles.shape[0], dtype=jnp.int32))
-    )
+    scores, ids = init
+    if t_full:
+        (scores, ids), _ = jax.lax.scan(
+            body, init, jnp.arange(t_full, dtype=jnp.int32)
+        )
+    if rem:
+        tail_scores = jnp.dot(
+            queries,
+            corpus[t_full * tile_n :].T,
+            preferred_element_type=jnp.float32,
+            precision=_precision_for(queries.dtype),
+        )  # [Q, rem]
+        tail_k = min(k_eff, rem)
+        tail_s, tail_local = jax.lax.top_k(tail_scores, tail_k)
+        tail_i = tail_local + t_full * tile_n
+        scores, ids = sort_topk(
+            jnp.concatenate([scores, tail_s], axis=1),
+            jnp.concatenate([ids, tail_i], axis=1),
+            k_eff,
+        )
     return pad_to_k(scores, ids, k, k_eff)
 
 
@@ -385,9 +402,16 @@ def dense_topk_int8(
     Dispatches by shape like :func:`dense_topk`: one fused matmul +
     k-selection while the [Q, N] score matrix fits ``FULL_MATERIALIZE_BUDGET``;
     beyond that, a corpus-tiled scan with a running deterministic merge
-    (bounded memory — this is what lets a 4x-denser int8 corpus, e.g.
-    8M x 768 in 5.9 GB, actually serve on one chip where the flat score
-    matrix would not fit HBM).
+    (bounded memory — this is what makes a 4x-denser int8 corpus, e.g.
+    8M x 768 in 5.9 GB resident, servable on one chip where the flat score
+    matrix would not fit HBM; measured at 2M x 768, see
+    scripts/bench_dense_int8.py — the 8M shape is a capacity projection
+    until scripts/bench_dense_int8_8m.py records a run).
+
+    ``tile_n`` only applies on the tiled-scan path — the flat path ignores
+    it (and its peak HBM is the score matrix plus its f32 convert, so
+    dispatch near the budget boundary can transiently hold ~2x the
+    estimate).
 
     Contract: APPROXIMATE (quantization error ~1e-2 relative on
     L2-normalized embeddings; measured top-10 agreement in
@@ -459,47 +483,46 @@ def _dense_topk_int8_scan(
     ties by ascending id.
     """
     q = queries.shape[0]
-    n = corpus_q.shape[0]
+    n, d = corpus_q.shape
     k_eff = min(k, n)
     per_doc = jnp.ndim(corpus_scale) != 0
     q_q, q_scale = quantize_int8(queries.astype(jnp.float32))
     tile_n = min(tile_n, _round_up(n, 128))
-    n_pad = _round_up(n, tile_n)
-    pad = n_pad - n
-    if pad:
-        corpus_q = jnp.pad(corpus_q, ((0, pad), (0, 0)))
-        if per_doc:
-            corpus_scale = jnp.pad(corpus_scale, (0, pad))
-    tiles = corpus_q.reshape(n_pad // tile_n, tile_n, corpus_q.shape[1])
-    scale_tiles = (
-        corpus_scale.reshape(n_pad // tile_n, tile_n)
-        if per_doc
-        # unused placeholder so the scan xs structure is static
-        else jnp.zeros((n_pad // tile_n, 1), jnp.float32)
-    )
-    tile_k = min(k_eff, tile_n)
+    # Stream full tiles with dynamic_slice from the ORIGINAL int8 buffer and
+    # merge the ragged tail outside the scan — padding the whole corpus would
+    # hold a 2x-resident padded copy live for the entire scan (the exact
+    # failure the bounded-memory path exists to avoid).
+    t_full = n // tile_n
+    rem = n - t_full * tile_n
 
-    def body(carry, inp):
-        carry_s, carry_i = carry
-        tile, scale_tile, tile_idx = inp
+    def select(scores, tile_width):
+        sel_k = min(k_eff, tile_width)
+        if exact:
+            return jax.lax.top_k(scores, sel_k)
+        return jax.lax.approx_max_k(scores, sel_k, recall_target=0.99)
+
+    def score_tile(tile, scale_tile):
         s_i32 = jax.lax.dot_general(
             q_q,
             tile,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # [Q, tile_n]
+        )
         scores = s_i32.astype(jnp.float32)
         if per_doc:
             scores = scores * scale_tile[None, :]
+        return scores
+
+    def body(carry, tile_idx):
+        carry_s, carry_i = carry
         base = tile_idx * tile_n
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
-        scores = jnp.where(col < n, scores, NEG_INF)
-        if exact:
-            tile_s, tile_local = jax.lax.top_k(scores, tile_k)
-        else:
-            tile_s, tile_local = jax.lax.approx_max_k(
-                scores, tile_k, recall_target=0.99
-            )
+        tile = jax.lax.dynamic_slice(corpus_q, (base, 0), (tile_n, d))
+        scale_tile = (
+            jax.lax.dynamic_slice(corpus_scale, (base,), (tile_n,))
+            if per_doc
+            else None
+        )
+        tile_s, tile_local = select(score_tile(tile, scale_tile), tile_n)
         tile_i = tile_local.astype(jnp.int32) + base
         merged_s, merged_i = sort_topk(
             jnp.concatenate([carry_s, tile_s], axis=1),
@@ -512,15 +535,259 @@ def _dense_topk_int8_scan(
         jnp.full((q, k_eff), NEG_INF, jnp.float32),
         jnp.full((q, k_eff), INT_MAX, jnp.int32),
     )
-    (out_s, out_i), _ = jax.lax.scan(
-        body,
-        init,
-        (tiles, scale_tiles, jnp.arange(tiles.shape[0], dtype=jnp.int32)),
-    )
+    out_s, out_i = init
+    if t_full:
+        (out_s, out_i), _ = jax.lax.scan(
+            body, init, jnp.arange(t_full, dtype=jnp.int32)
+        )
+    if rem:
+        tail_scale = corpus_scale[t_full * tile_n :] if per_doc else None
+        tail_s, tail_local = select(
+            score_tile(corpus_q[t_full * tile_n :], tail_scale), rem
+        )
+        tail_i = tail_local.astype(jnp.int32) + t_full * tile_n
+        out_s, out_i = sort_topk(
+            jnp.concatenate([out_s, tail_s], axis=1),
+            jnp.concatenate([out_i, tail_i], axis=1),
+            k_eff,
+        )
     if not per_doc:
         out_s = out_s * corpus_scale
     out_s = out_s * q_scale[:, None]
     return pad_to_k(out_s, out_i, k, k_eff)
+
+
+# ------------------------------------------------------- verified exact fast
+def build_verified_sidecar(corpus, rep: str = "int8") -> dict:
+    """Host-side prescreen sidecar for :func:`dense_topk_verified`.
+
+    Returns ``{"corpus_lo", "corpus_scale", "nd_max", "r_max"}``:
+
+    - ``corpus_lo``: the low-precision prescreen corpus — per-row symmetric
+      int8 (``rep="int8"``, 4x less HBM traffic + 2x MXU rate) or bf16
+      (``rep="bf16"``, tighter error bound).
+    - ``corpus_scale``: per-row f32 dequant scales (int8) or None (bf16).
+    - ``nd_max``: max_d ||d||_2 over the exact f32 corpus.
+    - ``r_max``: max_d ||d - dequant(lo(d))||_2 — the exact per-row
+      quantization residual, maximized over the corpus.
+
+    Both maxima are computed in float64 and rounded UP (slack factor +
+    nextafter) so they are provable upper bounds for the f32 arithmetic
+    used on device.
+    """
+    c = np.asarray(corpus, dtype=np.float32)
+    if c.size == 0:
+        raise ValueError("cannot build a verified sidecar for an empty corpus")
+    c64 = c.astype(np.float64)
+    if rep == "int8":
+        corpus_lo, corpus_scale = quantize_int8(c)
+        deq = corpus_lo.astype(np.float64) * corpus_scale.astype(np.float64)[:, None]
+    elif rep == "bf16":
+        import ml_dtypes
+
+        corpus_lo = c.astype(ml_dtypes.bfloat16)
+        corpus_scale = None
+        deq = corpus_lo.astype(np.float64)
+    else:
+        raise ValueError(f"unknown verified prescreen rep: {rep}")
+
+    def _up(x: float) -> float:
+        x32 = np.float32(x * (1.0 + 1e-6))
+        return float(np.nextafter(x32, np.float32(np.inf)))
+
+    r_max = _up(float(np.linalg.norm(c64 - deq, axis=1).max()))
+    nd_max = _up(float(np.linalg.norm(c64, axis=1).max()))
+    return {
+        "corpus_lo": corpus_lo,
+        "corpus_scale": corpus_scale,
+        "nd_max": nd_max,
+        "r_max": r_max,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "kprime", "m", "second_chance", "recall_target"),
+)
+def _dense_topk_verified(
+    queries: jax.Array,
+    corpus: jax.Array,
+    corpus_lo: jax.Array,
+    corpus_scale: jax.Array | None,
+    nd_max: jax.Array,
+    r_max: jax.Array,
+    k: int,
+    kprime: int,
+    m: int,
+    second_chance: int,
+    recall_target: float,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    q_cnt, d = queries.shape
+    n = corpus.shape[0]
+    k_eff = min(k, n)
+    m = min(max(m, k_eff), n)
+    kprime = min(max(kprime, m), n)
+    f_cap = min(second_chance, q_cnt)
+    qf = queries.astype(jnp.float32)
+
+    # ---- pass 1: low-precision prescreen scores over the full corpus -------
+    if corpus_lo.dtype == jnp.int8:
+        q_q, q_scale = quantize_int8(qf)
+        s32 = jax.lax.dot_general(
+            q_q,
+            corpus_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        shat = s32.astype(jnp.float32) * corpus_scale[None, :] * q_scale[:, None]
+        q_hat = q_q.astype(jnp.float32) * q_scale[:, None]
+    else:
+        q_lo = qf.astype(corpus_lo.dtype)
+        shat = jax.lax.dot_general(
+            q_lo,
+            corpus_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        q_hat = q_lo.astype(jnp.float32)
+
+    # Provable per-query error bound:  |true(q,d) - shat(q,d)| <= eps  for
+    # EVERY doc d.  true - shat = (q - q_hat)·d + q_hat·(d - d_hat), so by
+    # Cauchy-Schwarz  eps = ||q - q_hat||·nd_max + ||q_hat||·r_max.  The
+    # 1.001 factor + the D·2^-23 term cover all f32 evaluation rounding
+    # (norms here, dequant multiplies and the f32 accumulation of the bf16
+    # MXU pass on device), scaled by the same norm products they bound.
+    eq = qf - q_hat
+    eqn = jnp.sqrt(jnp.sum(eq * eq, axis=1))
+    qn = jnp.sqrt(jnp.sum(q_hat * q_hat, axis=1))
+    eps = (eqn * nd_max + qn * r_max) * 1.001 + (d * 2.0**-23) * qn * (
+        nd_max + r_max
+    ) + 1e-30
+
+    # ---- pass 2: candidates -> exact f32 rescore of the top-m --------------
+    cand_s, cand_i = jax.lax.approx_max_k(shat, kprime, recall_target=recall_target)
+    cand_i = cand_i.astype(jnp.int32)
+    if m < kprime:
+        rs_s, rs_i = sort_topk(cand_s, cand_i, m)
+    else:
+        rs_s, rs_i = cand_s, cand_i
+    rows = jnp.take(corpus, rs_i, axis=0)  # [Q, m, d]
+    e = jax.lax.dot_general(
+        qf,
+        rows,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(jnp.float32),
+    )  # [Q, m] — TRUE f32 HIGHEST scores of the rescore set
+    out_s, out_i = sort_topk(e, rs_i, k_eff)
+
+    # ---- verification: every doc that could reach the top-k was rescored ---
+    # Any doc with true >= e_(k) must have shat >= e_(k) - eps; count that
+    # threshold set over the full matrix and over the rescore set — equality
+    # proves the true top-k (including (-score, id) tie order) lies entirely
+    # inside the exactly-ranked rescore set.
+    ekth = out_s[:, k_eff - 1]
+    theta = (ekth - eps)[:, None]
+    t_all = jnp.sum((shat >= theta).astype(jnp.int32), axis=1)
+    t_rs = jnp.sum((rs_s >= theta).astype(jnp.int32), axis=1)
+    ok_q = t_all == t_rs
+    n_fail = jnp.sum((~ok_q).astype(jnp.int32))
+
+    # ---- second chance: full exact scan for up to f_cap failed queries -----
+    if f_cap > 0:
+        prio = jnp.where(
+            ok_q, q_cnt + jnp.arange(q_cnt, dtype=jnp.int32), jnp.arange(q_cnt, dtype=jnp.int32)
+        )
+        order = jnp.argsort(prio)[:f_cap]
+        fq = qf[order]
+        fscores = jax.lax.dot_general(
+            fq,
+            corpus,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision_for(jnp.float32),
+        )
+        fs, fi = jax.lax.top_k(fscores, k_eff)
+        take = ~ok_q[order]
+        out_s = out_s.at[order].set(jnp.where(take[:, None], fs, out_s[order]))
+        out_i = out_i.at[order].set(jnp.where(take[:, None], fi, out_i[order]))
+
+    # ---- batch fallback: more failures than the second chance covers -------
+    covered = n_fail <= f_cap
+
+    def _keep(args):
+        return args
+
+    def _full(args):
+        scores = jax.lax.dot_general(
+            qf,
+            corpus,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision_for(jnp.float32),
+        )
+        fs, fi = jax.lax.top_k(scores, k_eff)
+        return fs, fi
+
+    out_s, out_i = jax.lax.cond(covered, _keep, _full, (out_s, out_i))
+    out_s, out_i = pad_to_k(out_s, out_i, k, k_eff)
+    return out_s, out_i, n_fail, covered
+
+
+def dense_topk_verified(
+    queries: jax.Array,
+    corpus: jax.Array,
+    sidecar: dict,
+    k: int,
+    kprime: int = 1024,
+    m: int = 128,
+    second_chance: int = 16,
+    recall_target: float = 0.99,
+    return_stats: bool = False,
+):
+    """GUARANTEED-EXACT dense top-k at prescreen speed (the flat-regime
+    replacement for ``dense_topk_xla_full``).
+
+    Two passes: (1) a low-precision prescreen (int8 or bf16 MXU matmul —
+    2-4x the f32 HIGHEST rate) scores the whole corpus and
+    ``lax.approx_max_k`` proposes ``kprime`` candidates; (2) the top ``m``
+    candidates are gathered from the exact f32 corpus and rescored at
+    ``Precision.HIGHEST``, then selected by ``(-score, doc_id)``.
+
+    Exactness is *verified per query*, never assumed: a provable per-query
+    quantization-error bound ``eps`` (Cauchy-Schwarz over the exact per-row
+    residual norms in the sidecar — see :func:`build_verified_sidecar`)
+    defines the set of docs whose true score could reach the returned k-th
+    score; a fused count over the full prescreen matrix checks that set is
+    contained in the rescore set. Queries that fail the check re-run as a
+    full exact scan (up to ``second_chance`` per batch at fixed cost; more
+    than that falls back to the whole-batch exact path). Every returned
+    score is a true f32 HIGHEST dot product, so results match the full
+    exact scan — including tie order — on every input; the knobs only move
+    the fast-path hit rate. Returns (scores [Q, k], ids [Q, k]); with
+    ``return_stats=True`` also (n_fail, covered).
+
+    Replaces the reference's per-query exact Postgres scan
+    (``orm/repository/base.py:404-426``) in the serving hot path without
+    giving up its exactness contract.
+    """
+    corpus_scale = sidecar["corpus_scale"]
+    out_s, out_i, n_fail, covered = _dense_topk_verified(
+        queries,
+        corpus,
+        jnp.asarray(sidecar["corpus_lo"]),
+        None if corpus_scale is None else jnp.asarray(corpus_scale),
+        jnp.float32(sidecar["nd_max"]),
+        jnp.float32(sidecar["r_max"]),
+        k,
+        kprime,
+        m,
+        second_chance,
+        recall_target,
+    )
+    if return_stats:
+        return out_s, out_i, n_fail, covered
+    return out_s, out_i
 
 
 def on_tpu() -> bool:

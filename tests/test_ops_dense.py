@@ -307,3 +307,144 @@ def test_int8_scan_k_larger_than_n():
     assert s.shape == (2, 10)
     assert (np.asarray(i)[:, 5:] == INT_MAX).all()
     assert len(set(np.asarray(i)[0, :5])) == 5
+
+
+# ---------------------------------------------------------- verified exact
+class TestVerified:
+    """dense_topk_verified must equal the full exact scan on EVERY input —
+    the knobs (rep, kprime, m, second_chance) only move the fast-path rate."""
+
+    @staticmethod
+    def _check(q, c, k, rep="int8", **kw):
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.dense import (
+            build_verified_sidecar,
+            dense_topk_verified,
+            dense_topk_xla_full,
+        )
+
+        side = build_verified_sidecar(c, rep=rep)
+        s, i, n_fail, covered = dense_topk_verified(
+            jnp.asarray(q), jnp.asarray(c), side, k, return_stats=True, **kw
+        )
+        rs, ri = dense_topk_xla_full(jnp.asarray(q), jnp.asarray(c), k)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(rs), rtol=1e-6, atol=1e-7
+        )
+        return int(n_fail), bool(covered)
+
+    def test_matches_full_exact_int8(self, data):
+        q, c = data
+        n_fail, covered = self._check(q, c, 10, rep="int8", kprime=64, m=32)
+        assert covered
+
+    def test_matches_full_exact_bf16(self, data):
+        q, c = data
+        n_fail, covered = self._check(q, c, 10, rep="bf16", kprime=64, m=32)
+        assert covered
+
+    def test_normalized_corpus_fast_path_hits(self):
+        # well-conditioned corpus: the verification must PASS (n_fail == 0),
+        # proving the bound is tight enough to ever take the fast path
+        rng = np.random.default_rng(11)
+        c = rng.normal(size=(2000, 64)).astype(np.float32)
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        q = rng.normal(size=(9, 64)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        n_fail, covered = self._check(q, c, 10, kprime=256, m=128)
+        assert covered and n_fail == 0
+
+    def test_adversarial_mass_ties_fall_back_exactly(self):
+        # 300 identical rows: the tie set exceeds m, verification MUST fail,
+        # and the fallback still returns ascending-id exact results
+        c = np.tile(np.ones((1, 16), np.float32), (300, 1))
+        c = np.concatenate([c, np.zeros((100, 16), np.float32)])
+        q = np.ones((3, 16), np.float32)
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.dense import (
+            build_verified_sidecar,
+            dense_topk_verified,
+        )
+
+        side = build_verified_sidecar(c)
+        s, i, n_fail, covered = dense_topk_verified(
+            jnp.asarray(q), jnp.asarray(c), side, 5,
+            kprime=64, m=32, second_chance=1, return_stats=True,
+        )
+        assert int(n_fail) == 3 and not bool(covered)
+        np.testing.assert_array_equal(np.asarray(i), [[0, 1, 2, 3, 4]] * 3)
+
+    def test_second_chance_repairs_partial_failures(self):
+        # query 0 hits a 200-way tie (forced fail); the rest are clean —
+        # the fixed-size second chance must repair row 0 without a batch
+        # fallback, and every row must match the exact scan
+        rng = np.random.default_rng(12)
+        d = 32
+        tied = np.tile(rng.normal(size=(1, d)).astype(np.float32), (200, 1))
+        rest = rng.normal(size=(800, d)).astype(np.float32)
+        c = np.concatenate([tied, rest]).astype(np.float32)
+        q = rng.normal(size=(6, d)).astype(np.float32)
+        q[0] = tied[0]
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.dense import (
+            build_verified_sidecar,
+            dense_topk_verified,
+            dense_topk_xla_full,
+        )
+
+        side = build_verified_sidecar(c)
+        s, i, n_fail, covered = dense_topk_verified(
+            jnp.asarray(q), jnp.asarray(c), side, 10,
+            kprime=64, m=32, second_chance=4, return_stats=True,
+        )
+        assert bool(covered) and int(n_fail) >= 1
+        rs, ri = dense_topk_xla_full(jnp.asarray(q), jnp.asarray(c), 10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-6)
+
+    def test_negative_scores_and_unnormalized(self):
+        rng = np.random.default_rng(13)
+        c = (rng.normal(size=(500, 24)) * rng.lognormal(0, 2, size=(500, 1))).astype(
+            np.float32
+        )
+        q = -np.abs(rng.normal(size=(5, 24))).astype(np.float32)
+        self._check(q, c, 7, kprime=64, m=32)
+
+    def test_k_larger_than_n_pads(self):
+        rng = np.random.default_rng(14)
+        c = rng.normal(size=(6, 8)).astype(np.float32)
+        q = rng.normal(size=(2, 8)).astype(np.float32)
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.dense import (
+            build_verified_sidecar,
+            dense_topk_verified,
+        )
+        from autorag_research_tpu.ops.topk import INT_MAX
+
+        side = build_verified_sidecar(c)
+        s, i = dense_topk_verified(jnp.asarray(q), jnp.asarray(c), side, 10)
+        assert s.shape == (2, 10)
+        assert (np.asarray(i)[:, 6:] == INT_MAX).all()
+        ns, ni = numpy_topk(q, c, 6)
+        np.testing.assert_array_equal(np.asarray(i)[:, :6], ni)
+
+    def test_zero_query_falls_back(self):
+        # all-zero query: every score is exactly 0, the threshold set is the
+        # whole corpus -> guaranteed fallback, still exact ascending ids
+        rng = np.random.default_rng(15)
+        c = rng.normal(size=(400, 16)).astype(np.float32)
+        q = np.zeros((2, 16), np.float32)
+        self._check(q, c, 5, kprime=64, m=32, second_chance=2)
+
+    def test_sidecar_rejects_empty_and_bad_rep(self):
+        from autorag_research_tpu.ops.dense import build_verified_sidecar
+
+        with pytest.raises(ValueError):
+            build_verified_sidecar(np.zeros((0, 8), np.float32))
+        with pytest.raises(ValueError):
+            build_verified_sidecar(np.ones((2, 8), np.float32), rep="fp4")
