@@ -133,6 +133,24 @@ def cmd_show(args) -> int:
         root = Path(args.root or ".")
         for p in sorted(root.glob("**/catalog.db")):
             print(p.parent)
+    elif what == "dumps":
+        # prebuilt-workspace dumps on HF Hub (reference cli/commands/show.py:30-186)
+        import os
+
+        from autorag_research_tpu.data.hf_storage import DEFAULT_ORG, list_dumps
+        from autorag_research_tpu.data.registry import list_ingestors
+        from autorag_research_tpu.exceptions import StoreError
+
+        names = [args.ingestor] if args.ingestor else [i.name for i in list_ingestors()]
+        token = os.environ.get("HF_TOKEN")
+        for name in names:
+            try:
+                dumps = list_dumps(name, org=args.org or DEFAULT_ORG, token=token)
+            except StoreError as exc:
+                print(f"{name:16s} <unavailable: {exc}>", file=sys.stderr)
+                continue
+            for d in dumps:
+                print(f"{name:16s} {d}")
     else:
         print(f"unknown 'show {what}'", file=sys.stderr)
         return 1
@@ -140,41 +158,89 @@ def cmd_show(args) -> int:
 
 
 # ---------------------------------------------------------------------- data
+def _dump_workspace(workspace: Path, out: Path) -> int:
+    if not workspace.exists():
+        print(f"{workspace} does not exist", file=sys.stderr)
+        return 1
+    with tarfile.open(out, "w:gz") as tar:
+        tar.add(workspace, arcname=workspace.name)
+    print(f"dumped {workspace} -> {out}")
+    return 0
+
+
+def _restore_tarball(src: Path, workspace: Path) -> int:
+    import shutil
+    import tempfile
+
+    if workspace.exists():
+        print(f"refusing to restore over existing {workspace}", file=sys.stderr)
+        return 1
+    workspace.parent.mkdir(parents=True, exist_ok=True)
+    # extract into a scratch dir first so an archive whose root collides
+    # with an existing workspace can never merge into or move it
+    with tempfile.TemporaryDirectory(dir=workspace.parent) as tmp:
+        with tarfile.open(src, "r:gz") as tar:
+            tar.extractall(tmp, filter="data")
+        roots = list(Path(tmp).iterdir())
+        if len(roots) != 1:
+            print(f"unexpected archive layout: {[r.name for r in roots]}", file=sys.stderr)
+            return 1
+        shutil.move(str(roots[0]), str(workspace))
+    print(f"restored {src} -> {workspace}")
+    return 0
+
+
 def cmd_data(args) -> int:
+    """dump/restore locally; upload/download distribute dumps via HF Hub
+    dataset repos (reference ``cli/commands/data.py:33-200`` +
+    ``data/hf_storage.py:17-152``)."""
+    import os
+
+    from autorag_research_tpu.exceptions import StoreError
+
     workspace = Path(args.db)
+    token = os.environ.get("HF_TOKEN")
     if args.action == "dump":
-        out = Path(args.file or f"{workspace.name}.dump.tar.gz")
-        with tarfile.open(out, "w:gz") as tar:
-            tar.add(workspace, arcname=workspace.name)
-        print(f"dumped {workspace} -> {out}")
-    elif args.action == "restore":
-        import shutil
+        return _dump_workspace(workspace, Path(args.file or f"{workspace.name}.dump.tar.gz"))
+    if args.action == "restore":
+        return _restore_tarball(Path(args.file), workspace)
+    if args.action == "upload":
+        from autorag_research_tpu.data.hf_storage import DEFAULT_ORG, upload_dump
+
+        ingestor = args.ingestor or workspace.name
+        dump = Path(args.file or f"{workspace.name}.dump.tar.gz")
+        if not dump.exists():
+            rc = _dump_workspace(workspace, dump)
+            if rc:
+                return rc
+        try:
+            ref = upload_dump(dump, ingestor, org=args.org or DEFAULT_ORG, token=token)
+        except StoreError as exc:
+            print(str(exc), file=sys.stderr)
+            return 1
+        print(f"uploaded {dump} -> hf://datasets/{ref}")
+        return 0
+    if args.action == "download":
         import tempfile
 
-        src = Path(args.file)
+        from autorag_research_tpu.data.hf_storage import DEFAULT_ORG, download_dump
+
+        if not args.ingestor:
+            print("data download requires --ingestor", file=sys.stderr)
+            return 1
         if workspace.exists():
             print(f"refusing to restore over existing {workspace}", file=sys.stderr)
             return 1
-        workspace.parent.mkdir(parents=True, exist_ok=True)
-        # extract into a scratch dir first so an archive whose root collides
-        # with an existing workspace can never merge into or move it
-        with tempfile.TemporaryDirectory(dir=workspace.parent) as tmp:
-            with tarfile.open(src, "r:gz") as tar:
-                tar.extractall(tmp, filter="data")
-            roots = list(Path(tmp).iterdir())
-            if len(roots) != 1:
-                print(f"unexpected archive layout: {[r.name for r in roots]}", file=sys.stderr)
+        dump_name = args.file or f"{workspace.name}.dump.tar.gz"
+        with tempfile.TemporaryDirectory() as tmp:
+            try:
+                path = download_dump(
+                    args.ingestor, dump_name, tmp, org=args.org or DEFAULT_ORG, token=token
+                )
+            except StoreError as exc:
+                print(str(exc), file=sys.stderr)
                 return 1
-            shutil.move(str(roots[0]), str(workspace))
-        print(f"restored {src} -> {workspace}")
-    elif args.action in ("upload", "download"):
-        print(
-            "HF Hub dump distribution requires network egress; on a connected "
-            "deployment use huggingface_hub.upload_file / hf_hub_download on "
-            "the dump tarball.",
-            file=sys.stderr,
-        )
-        return 1
+            return _restore_tarball(path, workspace)
     return 0
 
 
@@ -434,15 +500,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--extra", action="append", help="k=v ingestor params", default=None)
     p.set_defaults(func=cmd_ingest)
 
-    p = sub.add_parser("show", help="list datasets/ingestors/pipelines/metrics/databases")
-    p.add_argument("what", choices=["datasets", "ingestors", "pipelines", "metrics", "databases"])
+    p = sub.add_parser("show", help="list datasets/ingestors/pipelines/metrics/databases/dumps")
+    p.add_argument(
+        "what",
+        choices=["datasets", "ingestors", "pipelines", "metrics", "databases", "dumps"],
+    )
     p.add_argument("--root", default=None)
+    p.add_argument("--ingestor", default=None, help="(dumps) ingestor to list hub dumps for")
+    p.add_argument("--org", default=None, help="(dumps) HF org for dump repos")
     p.set_defaults(func=cmd_show)
 
-    p = sub.add_parser("data", help="dump/restore workspace artifacts")
+    p = sub.add_parser("data", help="dump/restore workspace artifacts, share via HF Hub")
     p.add_argument("action", choices=["dump", "restore", "upload", "download"])
     p.add_argument("--db", required=True)
-    p.add_argument("--file", default=None)
+    p.add_argument("--file", default=None,
+                   help="dump tarball path (local) or dump filename (hub)")
+    p.add_argument("--ingestor", default=None,
+                   help="ingestor name keying the hub dump repo ({org}/{ingestor}-dumps)")
+    p.add_argument("--org", default=None, help="HF org for dump repos")
     p.set_defaults(func=cmd_data)
 
     p = sub.add_parser("drop", help="delete a workspace")

@@ -297,3 +297,83 @@ def test_every_model_preset_type_resolves_in_injection_registry():
         assert t in _FACTORIES[kind], f"{rel}: type '{t}' not registered for {kind}"
         checked += 1
     assert checked >= 30  # presets across all three kinds
+
+
+class TestHfDumps:
+    """data upload/download + show dumps against a mocked HF Hub
+    (reference cli/commands/data.py:33-200, data/hf_storage.py:17-152)."""
+
+    @pytest.fixture
+    def hub(self, monkeypatch):
+        from pathlib import Path
+
+        store = {}
+
+        class FakeApi:
+            def __init__(self, token=None):
+                self.token = token
+
+            def create_repo(self, repo_id, repo_type=None, exist_ok=False):
+                store.setdefault(repo_id, {})
+
+            def upload_file(self, path_or_fileobj, path_in_repo, repo_id, repo_type):
+                store[repo_id][path_in_repo] = Path(path_or_fileobj).read_bytes()
+
+            def list_repo_files(self, repo_id, repo_type=None):
+                if repo_id not in store:
+                    raise FileNotFoundError(repo_id)
+                return sorted(store[repo_id])
+
+        def fake_download(repo_id, filename, repo_type, local_dir, token=None):
+            dest = Path(local_dir) / filename
+            dest.write_bytes(store[repo_id][filename])
+            return str(dest)
+
+        monkeypatch.setattr("huggingface_hub.HfApi", FakeApi)
+        monkeypatch.setattr("huggingface_hub.hf_hub_download", fake_download)
+        return store
+
+    def test_upload_show_download_cycle(self, workspace, hub, capsys):
+        from pathlib import Path
+
+        # upload with no pre-made tarball: dumps implicitly, then pushes
+        assert main(["data", "upload", "--db", "ws", "--ingestor", "local"]) == 0
+        assert Path("ws.dump.tar.gz").exists()
+        assert "ws.dump.tar.gz" in hub["autorag-research-tpu/local-dumps"]
+        out = capsys.readouterr().out
+        assert "hf://datasets/autorag-research-tpu/local-dumps" in out
+        # show dumps lists it
+        assert main(["show", "dumps", "--ingestor", "local"]) == 0
+        assert "ws.dump.tar.gz" in capsys.readouterr().out
+        # download restores into a fresh workspace
+        assert (
+            main(["data", "download", "--db", "ws3", "--ingestor", "local",
+                  "--file", "ws.dump.tar.gz"]) == 0
+        )
+        assert (workspace / "ws3" / "catalog.db").exists()
+        # refuses to clobber an existing workspace
+        assert (
+            main(["data", "download", "--db", "ws3", "--ingestor", "local",
+                  "--file", "ws.dump.tar.gz"]) == 1
+        )
+
+    def test_download_requires_ingestor(self, workspace):
+        assert main(["data", "download", "--db", "ws4"]) == 1
+
+    def test_missing_dump_is_clean_error(self, workspace, hub, capsys):
+        assert (
+            main(["data", "download", "--db", "ws5", "--ingestor", "local",
+                  "--file", "nope.tar.gz"]) == 1
+        )
+        assert "download failed" in capsys.readouterr().err
+
+    def test_no_egress_clean_errors(self, workspace, monkeypatch, capsys):
+        class Boom:
+            def __init__(self, token=None):
+                raise OSError("no egress")
+
+        monkeypatch.setattr("huggingface_hub.HfApi", Boom)
+        assert main(["data", "upload", "--db", "ws", "--ingestor", "local"]) == 1
+        assert "upload failed" in capsys.readouterr().err
+        assert main(["show", "dumps", "--ingestor", "local"]) == 0
+        assert "<unavailable" in capsys.readouterr().err
