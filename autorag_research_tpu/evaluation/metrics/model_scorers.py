@@ -90,7 +90,9 @@ def _forced_decode_logprob(tok, model, sources: list[str], targets: list[str],
             logits = output.logits.view(-1, model.config.vocab_size)
             loss = loss_fct(lsm(logits), tgt_ids.view(-1))
             loss = loss.view(tgt_ids.shape[0], -1) * tgt_mask
-            scores.extend((-loss.sum(dim=1) / tgt_mask.sum(dim=1)).tolist())
+            # reference divides by clamped non-pad target length
+            # (generation.py:926-933); ignore_index already zeroes pads
+            scores.extend((-loss.sum(dim=1) / tgt_mask.sum(dim=1).clamp(min=1)).tolist())
     return scores
 
 
@@ -183,65 +185,208 @@ def bert_score_batch(
     return out
 
 
-_UNIEVAL_DIMENSION_PROMPTS = {
-    "coherence": "question: Is this a coherent response? </s> response: {answer}",
+def _split_sentences(text: str) -> list[str]:
+    """Sentence-split with a regex fallback when punkt data is unavailable —
+    the claim/sentence unit shared by UniEval, AlignScore, and MiniCheck
+    (reference ``generation.py:228-234,347-371``)."""
+    import re
+
+    stripped = text.strip()
+    if not stripped:
+        return []
+    try:
+        import nltk
+
+        sentences = [s.strip() for s in nltk.sent_tokenize(stripped) if s.strip()]
+    except LookupError:
+        sentences = [s.strip() for s in re.split(r"(?<=[.!?])\s+", stripped) if s.strip()]
+    return sentences or [stripped]
+
+
+# The official UniEval summarization Bool-QA prompts, `</s>` separators
+# included (published UniEval `add_question` templates; reference
+# ``generation.py:237-265``).
+_UNIEVAL_PROMPTS = {
+    "fluency": "question: Is this a fluent paragraph? </s> paragraph: {text}",
+    "coherence": (
+        "question: Is this a coherent summary to the document? "
+        "</s> summary: {text} </s> document: {document}"
+    ),
     "consistency": (
-        "question: Is this claim consistent with the document? </s> claim: {answer} "
-        "</s> document: {context}"
+        "question: Is this claim consistent with the document? "
+        "</s> claim: {text} </s> document: {document}"
     ),
-    "fluency": "question: Is this a fluent response? </s> response: {answer}",
     "relevance": (
-        "question: Is this response relevant to the reference? </s> response: {answer} "
-        "</s> reference: {reference}"
+        "question: Is this summary relevant to the reference? "
+        "</s> summary: {text} </s> reference: {reference}"
     ),
+}
+_UNIEVAL_FIELDS = {
+    "fluency": ("generated_texts",),
+    "coherence": ("generated_texts", "retrieved_contents"),
+    "consistency": ("generated_texts", "retrieved_contents"),
+    "relevance": ("generated_texts", "generation_gt"),
 }
 
 
 def unieval_batch(
     metric_inputs: list[MetricInput],
-    dimensions: tuple[str, ...] = ("coherence", "consistency", "fluency", "relevance"),
+    dimension: str = "consistency",
     checkpoint: str = DEFAULT_UNIEVAL_CHECKPOINT,
+    batch_size: int = 8,
+    max_length: int = 1024,
     **_: Any,
-) -> list[float]:
-    """UniEval T5 yes/no probability scorer averaged over dimensions
-    (reference ``unieval.py:18-116``)."""
+) -> list[float | None]:
+    """One UniEval dimension via the official summarization Bool-QA contract
+    (reference ``unieval.py:18-116`` scorer + ``generation.py:1363-1440``):
+    fluency/consistency score per generated SENTENCE and average; coherence
+    scores the full text once; relevance keeps the best score over all
+    references. Score per prompt = p(Yes)/(p(Yes)+p(No)) at the first decoder
+    position. Missing required fields -> None."""
     import torch
 
+    dimension = dimension.strip().lower()
+    if dimension not in _UNIEVAL_PROMPTS:
+        raise ValueError(f"unsupported UniEval dimension: {dimension}")
     tok, model = _load_seq2seq(checkpoint)
     yes_id = tok("Yes", add_special_tokens=False)["input_ids"][0]
     no_id = tok("No", add_special_tokens=False)["input_ids"][0]
 
     def yes_prob(prompts: list[str]) -> list[float]:
+        probs: list[float] = []
         with torch.no_grad():
-            enc = tok(prompts, truncation=True, padding=True, max_length=1024, return_tensors="pt")
-            start = torch.full((len(prompts), 1), model.config.decoder_start_token_id)
-            logits = model(**enc, decoder_input_ids=start).logits[:, 0, :]
-            pair = torch.stack([logits[:, yes_id], logits[:, no_id]], dim=1)
-            probs = torch.softmax(pair, dim=1)[:, 0]
-        return probs.tolist()
+            for i in range(0, len(prompts), batch_size):
+                enc = tok(
+                    prompts[i : i + batch_size],
+                    truncation=True, padding=True,
+                    max_length=max_length, return_tensors="pt",
+                )
+                start = torch.full(
+                    (enc["input_ids"].shape[0], 1), model.config.decoder_start_token_id
+                )
+                logits = model(**enc, decoder_input_ids=start).logits[:, 0, :]
+                full = torch.softmax(logits, dim=1)
+                yes, no = full[:, yes_id], full[:, no_id]
+                probs.extend((yes / (yes + no)).tolist())
+        return probs
 
-    out = []
+    def prompts_for(mi: MetricInput) -> list[str]:
+        text = (mi.generated_texts or "").strip()
+        if dimension == "relevance":
+            refs = [r.strip() for r in (mi.generation_gt or []) if r.strip()]
+            return [_UNIEVAL_PROMPTS["relevance"].format(text=text, reference=r) for r in refs]
+        document = " ".join(c.strip() for c in (mi.retrieved_contents or []))
+        units = _split_sentences(text) if dimension in ("fluency", "consistency") else [text]
+        return [_UNIEVAL_PROMPTS[dimension].format(text=u, document=document) for u in units]
+
+    out: list[float | None] = []
     for mi in metric_inputs:
-        answer = mi.generated_texts or ""
-        context = "\n".join(mi.retrieved_contents or [])
-        reference = (mi.generation_gt or [""])[0]
-        prompts = [
-            _UNIEVAL_DIMENSION_PROMPTS[d].format(answer=answer, context=context, reference=reference)
-            for d in dimensions
-        ]
-        out.append(float(np.mean(yes_prob(prompts))))
+        if any(getattr(mi, f, None) is None for f in _UNIEVAL_FIELDS[dimension]):
+            out.append(None)
+            continue
+        prompts = prompts_for(mi)
+        if not prompts:
+            out.append(None)
+            continue
+        scores = yes_prob(prompts)
+        if dimension == "relevance":
+            out.append(max(scores))
+        elif dimension == "coherence":
+            out.append(scores[0])
+        else:
+            out.append(float(np.mean(scores)))
     return out
+
+
+def _positive_label_id(model) -> int:
+    """Entailment/support class id from config labels, else the last label
+    (reference ``generation.py:658-665``)."""
+    id2label = getattr(model.config, "id2label", {}) or {}
+    for label_id, label in id2label.items():
+        if any(t in str(label).strip().lower() for t in ("entail", "support", "positive", "consistent")):
+            return int(label_id)
+    return max(0, int(getattr(model.config, "num_labels", 2)) - 1)
+
+
+def _alignment_probability(torch, output, positive_id: int):
+    """Support probability under every AlignScore head protocol
+    (reference ``generation.py:667-678``)."""
+    if hasattr(output, "tri_label_logits"):
+        return torch.softmax(output.tri_label_logits, dim=-1)[:, 0]
+    if hasattr(output, "seq_relationship_logits"):
+        return torch.softmax(output.seq_relationship_logits, dim=-1)[:, 1]
+    if hasattr(output, "reg_label_logits"):
+        return output.reg_label_logits.reshape(-1)
+    logits = output.logits
+    if logits.shape[-1] == 1:
+        return torch.sigmoid(logits).reshape(-1)
+    return torch.softmax(logits, dim=-1)[:, positive_id]
+
+
+def _alignscore_windows(
+    tok, contents: list[str], claim: str, max_length: int, token_overlap: int = 32
+) -> list[str]:
+    """Token-budgeted context windows: pack whole sentences up to the budget
+    left by the claim + pair special tokens; overlong single sentences split
+    into overlapping token windows (reference ``generation.py:401-478``)."""
+    special = (
+        int(tok.num_special_tokens_to_add(pair=True))
+        if hasattr(tok, "num_special_tokens_to_add")
+        else 3
+    )
+    claim_tokens = len(tok.encode(claim, add_special_tokens=False))
+    budget = max_length - claim_tokens - special
+    if claim_tokens > max_length - special:
+        raise ValueError(
+            f"AlignScore claim exceeds the model token budget ({claim_tokens} tokens, "
+            f"max_length={max_length})"
+        )
+    windows: list[str] = []
+    for content in contents:
+        stripped = content.strip()
+        if not stripped:
+            continue
+        current: list[str] = []
+        used = 0
+        for sentence in _split_sentences(stripped):
+            n_tok = len(tok.encode(sentence, add_special_tokens=False))
+            if n_tok > budget:
+                if current:
+                    windows.append(" ".join(current))
+                    current, used = [], 0
+                ids = tok.encode(sentence, add_special_tokens=False)
+                stride = max(1, budget - min(token_overlap, max(0, budget - 1)))
+                for start in range(0, len(ids), stride):
+                    piece = tok.decode(ids[start : start + budget], skip_special_tokens=True).strip()
+                    if piece:
+                        windows.append(piece)
+                    if start + budget >= len(ids):
+                        break
+                continue
+            if current and used + n_tok > budget:
+                windows.append(" ".join(current))
+                current, used = [], 0
+            current.append(sentence)
+            used += n_tok
+        if current:
+            windows.append(" ".join(current))
+    return windows
 
 
 def align_score_batch(
     metric_inputs: list[MetricInput],
     checkpoint: str = DEFAULT_ALIGNSCORE_CHECKPOINT,
-    window_tokens: int = 350,
+    max_length: int = 512,
+    batch_size: int = 8,
+    aggregation: str = "mean",
     **_: Any,
-) -> list[float]:
-    """Context-windowed factual-alignment probability: the context is split
-    into token windows; score = max over windows (reference windowing at
-    ``generation.py:401-493``). Uses a sequence-classification checkpoint."""
+) -> list[float | None]:
+    """AlignScore factual consistency (reference ``generation.py:1443-1523``):
+    split the answer into sentence claims, score each claim against every
+    token-budgeted context window (pair-encoded, ``truncation='only_first'``),
+    keep the best window per claim, then mean/min over claims."""
+    if aggregation not in ("mean", "min"):
+        raise ValueError(f"unsupported AlignScore aggregation: {aggregation}")
     try:
         import torch
         from transformers import AutoModelForSequenceClassification, AutoTokenizer
@@ -253,49 +398,99 @@ def align_score_batch(
         raise ModelLoadError(
             f"cannot load local alignscore checkpoint '{checkpoint}'"
         ) from exc
+    positive_id = _positive_label_id(model)
 
-    out = []
-    with torch.no_grad():
-        for mi in metric_inputs:
-            claim = mi.generated_texts or ""
-            context_tokens = "\n".join(mi.retrieved_contents or []).split()
-            windows = [
-                " ".join(context_tokens[i : i + window_tokens])
-                for i in range(0, max(len(context_tokens), 1), window_tokens)
-            ]
-            best = 0.0
-            for w in windows:
-                enc = tok(w, claim, truncation=True, max_length=512, return_tensors="pt")
-                logits = model(**enc).logits
-                prob = torch.softmax(logits, dim=-1)
-                # convention: index 1 = aligned/entailed when binary; else max prob of non-contradiction
-                p = prob[0, 1].item() if prob.shape[-1] >= 2 else prob[0, 0].item()
-                best = max(best, p)
-            out.append(best)
+    def score_pairs(contexts: list[str], claims: list[str]) -> list[float]:
+        scores: list[float] = []
+        with torch.no_grad():
+            for i in range(0, len(contexts), batch_size):
+                enc = tok(
+                    contexts[i : i + batch_size],
+                    claims[i : i + batch_size],
+                    max_length=max_length,
+                    truncation="only_first",
+                    padding="max_length",
+                    return_tensors="pt",
+                )
+                probs = _alignment_probability(torch, model(**enc), positive_id)
+                scores.extend(float(p) for p in probs.tolist())
+        return scores
+
+    out: list[float | None] = []
+    for mi in metric_inputs:
+        if mi.retrieved_contents is None or mi.generated_texts is None:
+            out.append(None)
+            continue
+        claims = _split_sentences(mi.generated_texts)
+        claim_scores: list[float] = []
+        for claim in claims:
+            windows = _alignscore_windows(tok, mi.retrieved_contents, claim, max_length)
+            if not windows:
+                continue
+            claim_scores.append(max(score_pairs(windows, [claim] * len(windows))))
+        if not claim_scores:
+            out.append(None)
+            continue
+        out.append(min(claim_scores) if aggregation == "min" else float(np.mean(claim_scores)))
     return out
 
 
 def mini_check_batch(
     metric_inputs: list[MetricInput],
     checkpoint: str = DEFAULT_MINICHECK_CHECKPOINT,
+    max_length: int = 2048,
+    batch_size: int = 8,
+    context_strategy: str = "max",
+    aggregation: str = "mean",
+    support_token_id: int = 209,
+    unsupported_token_id: int = 3,
     **_: Any,
-) -> list[float]:
-    """MiniCheck fact verification: p(supported) of the generated claim given
-    retrieved documents via a Flan-T5 yes/no head."""
+) -> list[float | None]:
+    """MiniCheck claim grounding (reference ``generation.py:1525-1612``):
+    sentence claims scored against each retrieved passage (``max``) or their
+    concatenation (``concat``) with the official ``predict: {doc}</s>{claim}``
+    source and p(support) = softmax over the (unsupported, support) label
+    token logits at decoder position 0; best context per claim, mean/min over
+    claims. Default label ids are the ``lytang/MiniCheck-Flan-T5-Large``
+    contract (209 support / 3 unsupported)."""
+    if context_strategy not in ("max", "concat"):
+        raise ValueError(f"unsupported MiniCheck context_strategy: {context_strategy}")
+    if aggregation not in ("mean", "min"):
+        raise ValueError(f"unsupported MiniCheck aggregation: {aggregation}")
     import torch
 
     tok, model = _load_seq2seq(checkpoint)
-    yes_id = tok("Yes", add_special_tokens=False)["input_ids"][0]
-    no_id = tok("No", add_special_tokens=False)["input_ids"][0]
-    out = []
-    with torch.no_grad():
-        for mi in metric_inputs:
-            doc = "\n".join(mi.retrieved_contents or [])
-            claim = mi.generated_texts or ""
-            prompt = f"Document: {doc}\nClaim: {claim}\nIs the claim supported by the document? Answer Yes or No."
-            enc = tok(prompt, truncation=True, max_length=1024, return_tensors="pt")
-            start = torch.full((1, 1), model.config.decoder_start_token_id)
-            logits = model(**enc, decoder_input_ids=start).logits[:, 0, :]
-            pair = torch.stack([logits[:, yes_id], logits[:, no_id]], dim=1)
-            out.append(torch.softmax(pair, dim=1)[0, 0].item())
+    sep = tok.eos_token or "</s>"
+
+    def score_pairs(docs: list[str], claims: list[str]) -> list[float]:
+        scores: list[float] = []
+        with torch.no_grad():
+            for i in range(0, len(docs), batch_size):
+                srcs = [
+                    f"predict: {d}{sep}{c}"
+                    for d, c in zip(docs[i : i + batch_size], claims[i : i + batch_size])
+                ]
+                enc = tok(srcs, max_length=max_length, truncation=True, padding=True, return_tensors="pt")
+                dec = torch.zeros((len(srcs), 1), dtype=torch.long)
+                logits = model(**enc, decoder_input_ids=dec).logits[:, 0, :]
+                pair = logits[:, [unsupported_token_id, support_token_id]]
+                scores.extend(torch.softmax(pair, dim=-1)[:, 1].tolist())
+        return scores
+
+    out: list[float | None] = []
+    for mi in metric_inputs:
+        if mi.retrieved_contents is None or mi.generated_texts is None:
+            out.append(None)
+            continue
+        contexts = [c.strip() for c in mi.retrieved_contents if c.strip()]
+        if context_strategy == "concat" and contexts:
+            contexts = ["\n\n".join(contexts)]
+        claims = _split_sentences(mi.generated_texts)
+        if not contexts or not claims:
+            out.append(None)
+            continue
+        claim_scores = []
+        for claim in claims:
+            claim_scores.append(max(score_pairs(contexts, [claim] * len(contexts))))
+        out.append(min(claim_scores) if aggregation == "min" else float(np.mean(claim_scores)))
     return out

@@ -605,9 +605,169 @@ def build_verified_sidecar(corpus, rep: str = "int8") -> dict:
     }
 
 
+def _prescreen_query_side(qf, corpus_lo, corpus_scale):
+    """Low-precision query representation + the prescreen error bound inputs."""
+    if corpus_lo.dtype == jnp.int8:
+        q_q, q_scale = quantize_int8(qf)
+        q_hat = q_q.astype(jnp.float32) * q_scale[:, None]
+        return (q_q, q_scale), q_hat
+    q_lo = qf.astype(corpus_lo.dtype)
+    return (q_lo, None), q_lo.astype(jnp.float32)
+
+
+def _prescreen_eps(qf, q_hat, nd_max, r_max):
+    """Provable per-query error bound: |true(q,d) - shat(q,d)| <= eps for
+    EVERY doc d.  true - shat = (q - q_hat)·d + q_hat·(d - d_hat), so by
+    Cauchy-Schwarz  eps = ||q - q_hat||·nd_max + ||q_hat||·r_max.  The
+    1.001 factor + the D·2^-23 term cover all f32 evaluation rounding
+    (norms here, dequant multiplies and the f32 accumulation of the bf16
+    MXU pass on device), scaled by the same norm products they bound."""
+    d = qf.shape[1]
+    eq = qf - q_hat
+    eqn = jnp.sqrt(jnp.sum(eq * eq, axis=1))
+    qn = jnp.sqrt(jnp.sum(q_hat * q_hat, axis=1))
+    return (eqn * nd_max + qn * r_max) * 1.001 + (d * 2.0**-23) * qn * (
+        nd_max + r_max
+    ) + 1e-30
+
+
+def _seg_stats_xla(q_rep, corpus_lo, corpus_scale, n, seg):
+    """XLA segment statistics: materialize the prescreen score matrix, then
+    three per-segment reductions -> (max1, loc1, max2), each [Q, S].
+
+    ``corpus_lo`` may be padded beyond ``n`` rows (hardware-tile padding);
+    the extra columns are masked to NEG_INF so they never become stats."""
+    q_lo, q_scale = q_rep
+    if corpus_lo.dtype == jnp.int8:
+        s32 = jax.lax.dot_general(
+            q_lo,
+            corpus_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        shat = s32.astype(jnp.float32) * corpus_scale[None, :] * q_scale[:, None]
+    else:
+        shat = jax.lax.dot_general(
+            q_lo,
+            corpus_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    q_cnt, n_lo = shat.shape
+    if n_lo > n:
+        col = jax.lax.broadcasted_iota(jnp.int32, shat.shape, 1)
+        shat = jnp.where(col < n, shat, NEG_INF)
+    s_cnt = -(-n_lo // seg)
+    n_pad = s_cnt * seg
+    shat_pad = (
+        jnp.pad(shat, ((0, 0), (0, n_pad - n_lo)), constant_values=NEG_INF)
+        if n_pad != n_lo
+        else shat
+    )
+    segv = shat_pad.reshape(q_cnt, s_cnt, seg)
+    max1 = jnp.max(segv, axis=2)  # [Q, S]
+    iota = jax.lax.broadcasted_iota(jnp.int32, segv.shape, 2)
+    is_max = segv == max1[:, :, None]
+    loc1 = jnp.min(jnp.where(is_max, iota, INT_MAX), axis=2)  # [Q, S]
+    max2 = jnp.max(jnp.where(iota == loc1[:, :, None], NEG_INF, segv), axis=2)
+    return max1, loc1, max2
+
+
+def _seg_stats_kernel(q_ref, c_ref, max1_ref, loc_ref, max2_ref, *, seg, seg_per_step, block_n, n):
+    """One fused pass: prescreen matmul tile + per-segment max/argmax/runner-up
+    on-chip — the [Q, N] score matrix never exists in HBM."""
+    jstep = pl.program_id(1)
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, block_n]
+    base = jstep * block_n
+    m1s, locs, m2s = [], [], []
+    for s in range(seg_per_step):
+        ss = scores[:, s * seg : (s + 1) * seg]
+        lane = jax.lax.broadcasted_iota(jnp.int32, ss.shape, 1)
+        col = lane + (base + s * seg)
+        ss = jnp.where(col < n, ss, NEG_INF)
+        m1 = jnp.max(ss, axis=1, keepdims=True)  # [BQ, 1]
+        tie = ss == m1
+        loc = jnp.min(jnp.where(tie, lane, INT_MAX), axis=1, keepdims=True)
+        m2 = jnp.max(jnp.where(lane == loc, NEG_INF, ss), axis=1, keepdims=True)
+        m1s.append(m1)
+        locs.append(loc)
+        m2s.append(m2)
+    # outputs live TRANSPOSED [S, Q]: a (seg_per_step, BQ) block satisfies the
+    # (8, 128)-divisibility rule where (BQ, seg_per_step) cannot
+    max1_ref[:] = jnp.concatenate(m1s, axis=1).T
+    loc_ref[:] = jnp.concatenate(locs, axis=1).T
+    max2_ref[:] = jnp.concatenate(m2s, axis=1).T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "seg", "block_q", "seg_per_step", "interpret")
+)
+def _seg_stats_pallas(
+    q_lo: jax.Array,
+    corpus_lo: jax.Array,
+    n: int,
+    seg: int = 128,
+    block_q: int = 256,
+    seg_per_step: int = 16,
+    interpret: bool = False,
+):
+    """Pallas segment statistics -> (max1, loc1, max2), each [Q, S].
+
+    Streams the corpus through VMEM in [seg_per_step*seg, d] tiles; each grid
+    step runs one MXU matmul and ``seg_per_step`` 2-D VPU reductions, writing
+    [BQ, seg_per_step] stat blocks. S may exceed ceil(n/seg) by tile padding;
+    pad segments carry max1 = NEG_INF and are ignored downstream."""
+    q, d = q_lo.shape
+    block_n = seg_per_step * seg
+    d_pad = _round_up(d, 128)
+    bq = min(block_q, _round_up(q, 8))
+    q_pad = _round_up(q, bq)
+    n_pad = _round_up(corpus_lo.shape[0], block_n)
+    q_lo = jnp.pad(q_lo, ((0, q_pad - q), (0, d_pad - d)))
+    corpus_lo = jnp.pad(
+        corpus_lo, ((0, n_pad - corpus_lo.shape[0]), (0, d_pad - d))
+    )
+    grid = (q_pad // bq, n_pad // block_n)
+    s_cnt = n_pad // seg
+    kernel = functools.partial(
+        _seg_stats_kernel, seg=seg, seg_per_step=seg_per_step, block_n=block_n, n=n
+    )
+    max1, loc1, max2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((seg_per_step, bq), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_per_step, bq), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((seg_per_step, bq), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s_cnt, q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((s_cnt, q_pad), jnp.int32),
+            jax.ShapeDtypeStruct((s_cnt, q_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * d_pad,
+            bytes_accessed=(q_pad * d_pad + n_pad * d_pad) * q_lo.dtype.itemsize
+            + 3 * q_pad * s_cnt * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_lo, corpus_lo)
+    return max1.T[:q], loc1.T[:q], max2.T[:q]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "kprime", "m", "second_chance", "recall_target"),
+    static_argnames=("k", "m", "j", "seg", "second_chance", "engine", "interpret"),
 )
 def _dense_topk_verified(
     queries: jax.Array,
@@ -617,80 +777,94 @@ def _dense_topk_verified(
     nd_max: jax.Array,
     r_max: jax.Array,
     k: int,
-    kprime: int,
     m: int,
+    j: int,
+    seg: int,
     second_chance: int,
-    recall_target: float,
+    engine: str = "xla",
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     q_cnt, d = queries.shape
     n = corpus.shape[0]
     k_eff = min(k, n)
-    m = min(max(m, k_eff), n)
-    kprime = min(max(kprime, m), n)
     f_cap = min(second_chance, q_cnt)
     qf = queries.astype(jnp.float32)
 
-    # ---- pass 1: low-precision prescreen scores over the full corpus -------
-    if corpus_lo.dtype == jnp.int8:
-        q_q, q_scale = quantize_int8(qf)
-        s32 = jax.lax.dot_general(
-            q_q,
-            corpus_lo,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+    # ---- pass 1: prescreen scores -> per-segment statistics -----------------
+    # Selecting hundreds of candidates per row with lax.top_k/approx_max_k over
+    # [Q, N] is the measured bottleneck (cost grows ~linearly in k'), so no
+    # large-k selection happens at corpus width. Instead the corpus splits into
+    # S = ceil(N/seg) segments and three CHEAP per-segment reductions run:
+    # max1 (segment max), loc1 (its min-id argmax), max2 (runner-up). The
+    # candidate set is { argmax of the top-m segments by max1 } plus EVERY doc
+    # of the top-j segments by max2; selection now costs top_k over [Q, S].
+    q_rep, q_hat = _prescreen_query_side(qf, corpus_lo, corpus_scale)
+    eps = _prescreen_eps(qf, q_hat, nd_max, r_max)
+    if engine == "pallas":
+        max1, loc1, max2 = _seg_stats_pallas(
+            q_rep[0], corpus_lo, n, seg, interpret=interpret
         )
-        shat = s32.astype(jnp.float32) * corpus_scale[None, :] * q_scale[:, None]
-        q_hat = q_q.astype(jnp.float32) * q_scale[:, None]
     else:
-        q_lo = qf.astype(corpus_lo.dtype)
-        shat = jax.lax.dot_general(
-            q_lo,
-            corpus_lo,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        q_hat = q_lo.astype(jnp.float32)
+        max1, loc1, max2 = _seg_stats_xla(q_rep, corpus_lo, corpus_scale, n, seg)
+    s_cnt = max1.shape[1]
 
-    # Provable per-query error bound:  |true(q,d) - shat(q,d)| <= eps  for
-    # EVERY doc d.  true - shat = (q - q_hat)·d + q_hat·(d - d_hat), so by
-    # Cauchy-Schwarz  eps = ||q - q_hat||·nd_max + ||q_hat||·r_max.  The
-    # 1.001 factor + the D·2^-23 term cover all f32 evaluation rounding
-    # (norms here, dequant multiplies and the f32 accumulation of the bf16
-    # MXU pass on device), scaled by the same norm products they bound.
-    eq = qf - q_hat
-    eqn = jnp.sqrt(jnp.sum(eq * eq, axis=1))
-    qn = jnp.sqrt(jnp.sum(q_hat * q_hat, axis=1))
-    eps = (eqn * nd_max + qn * r_max) * 1.001 + (d * 2.0**-23) * qn * (
-        nd_max + r_max
-    ) + 1e-30
-
-    # ---- pass 2: candidates -> exact f32 rescore of the top-m --------------
-    cand_s, cand_i = jax.lax.approx_max_k(shat, kprime, recall_target=recall_target)
-    cand_i = cand_i.astype(jnp.int32)
-    if m < kprime:
-        rs_s, rs_i = sort_topk(cand_s, cand_i, m)
+    m_eff = min(m, s_cnt)
+    j_eff = min(j, s_cnt)
+    if s_cnt > m_eff:
+        top1_s, top1_i = jax.lax.top_k(max1, m_eff + 1)
+        boundary = top1_s[:, m_eff]  # (m+1)-th largest segment max
+        sel_seg = top1_i[:, :m_eff]
+        sel_val = top1_s[:, :m_eff]
     else:
-        rs_s, rs_i = cand_s, cand_i
-    rows = jnp.take(corpus, rs_i, axis=0)  # [Q, m, d]
+        sel_val, sel_seg = jax.lax.top_k(max1, m_eff)
+        boundary = jnp.full((q_cnt,), NEG_INF, jnp.float32)
+    if s_cnt > j_eff:
+        top2_s, top2_i = jax.lax.top_k(max2, j_eff + 1)
+        m2bound = top2_s[:, j_eff]  # (j+1)-th largest runner-up
+        r_seg = top2_i[:, :j_eff]
+    else:
+        _, r_seg = jax.lax.top_k(max2, j_eff)
+        m2bound = jnp.full((q_cnt,), NEG_INF, jnp.float32)
+
+    # argmax candidates: mask segments that are fully rescored below (their
+    # argmax would duplicate) and NEG_INF pad segments
+    in_r = jnp.any(sel_seg[:, :, None] == r_seg[:, None, :], axis=2)
+    arg_ids = sel_seg * seg + jnp.take_along_axis(loc1, sel_seg, axis=1)
+    arg_valid = (~in_r) & (sel_val > NEG_INF) & (arg_ids < n)
+    # full-segment candidates: every doc of the top-j runner-up segments
+    seg_iota = jnp.arange(seg, dtype=jnp.int32)
+    full_ids = (r_seg[:, :, None] * seg + seg_iota[None, None, :]).reshape(
+        q_cnt, j_eff * seg
+    )
+    full_valid = full_ids < n
+
+    cand_i = jnp.concatenate([arg_ids, full_ids], axis=1)
+    cand_valid = jnp.concatenate([arg_valid, full_valid], axis=1)
+    safe_i = jnp.clip(cand_i, 0, n - 1)
+
+    rows = jnp.take(corpus, safe_i, axis=0)  # [Q, m+j*seg, d]
     e = jax.lax.dot_general(
         qf,
         rows,
         dimension_numbers=(((1,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=_precision_for(jnp.float32),
-    )  # [Q, m] — TRUE f32 HIGHEST scores of the rescore set
-    out_s, out_i = sort_topk(e, rs_i, k_eff)
+    )  # TRUE f32 HIGHEST scores of the rescore set
+    e = jnp.where(cand_valid, e, NEG_INF)
+    sort_ids = jnp.where(cand_valid, cand_i, INT_MAX)
+    out_s, out_i = sort_topk(e, sort_ids, k_eff)
 
     # ---- verification: every doc that could reach the top-k was rescored ---
-    # Any doc with true >= e_(k) must have shat >= e_(k) - eps; count that
-    # threshold set over the full matrix and over the rescore set — equality
-    # proves the true top-k (including (-score, id) tie order) lies entirely
-    # inside the exactly-ranked rescore set.
+    # A doc with true >= e_(k) must have shat >= theta = e_(k) - eps. Every
+    # non-candidate doc lives either in a non-selected segment (shat <= its
+    # segment max1 <= boundary) or is a non-argmax doc of a segment that was
+    # not fully rescored (shat <= its max2 <= m2bound). Two strict scalar
+    # comparisons per query therefore prove the true top-k — including the
+    # (-score, id) tie order — lies entirely inside the exactly-ranked
+    # rescore set.
     ekth = out_s[:, k_eff - 1]
-    theta = (ekth - eps)[:, None]
-    t_all = jnp.sum((shat >= theta).astype(jnp.int32), axis=1)
-    t_rs = jnp.sum((rs_s >= theta).astype(jnp.int32), axis=1)
-    ok_q = t_all == t_rs
+    theta = ekth - eps
+    ok_q = (boundary < theta) & (m2bound < theta)
     n_fail = jnp.sum((~ok_q).astype(jnp.int32))
 
     # ---- second chance: full exact scan for up to f_cap failed queries -----
@@ -739,32 +913,38 @@ def dense_topk_verified(
     corpus: jax.Array,
     sidecar: dict,
     k: int,
-    kprime: int = 1024,
     m: int = 128,
-    second_chance: int = 16,
-    recall_target: float = 0.99,
+    j: int = 2,
+    seg: int = 128,
+    second_chance: int = 0,
+    engine: str = "auto",
+    interpret: bool = False,
     return_stats: bool = False,
 ):
     """GUARANTEED-EXACT dense top-k at prescreen speed (the flat-regime
     replacement for ``dense_topk_xla_full``).
 
     Two passes: (1) a low-precision prescreen (int8 or bf16 MXU matmul —
-    2-4x the f32 HIGHEST rate) scores the whole corpus and
-    ``lax.approx_max_k`` proposes ``kprime`` candidates; (2) the top ``m``
-    candidates are gathered from the exact f32 corpus and rescored at
-    ``Precision.HIGHEST``, then selected by ``(-score, doc_id)``.
+    2-4x the f32 HIGHEST rate) scores the whole corpus, and candidates are
+    extracted with cheap per-segment reductions (max / min-id argmax /
+    runner-up over ``seg``-wide segments — no large-k selection ever runs
+    at corpus width); (2) the argmaxes of the top-``m`` segments plus every
+    doc of the top-``j`` runner-up segments are gathered from the exact f32
+    corpus, rescored at ``Precision.HIGHEST``, and selected by
+    ``(-score, doc_id)``.
 
     Exactness is *verified per query*, never assumed: a provable per-query
     quantization-error bound ``eps`` (Cauchy-Schwarz over the exact per-row
     residual norms in the sidecar — see :func:`build_verified_sidecar`)
-    defines the set of docs whose true score could reach the returned k-th
-    score; a fused count over the full prescreen matrix checks that set is
-    contained in the rescore set. Queries that fail the check re-run as a
-    full exact scan (up to ``second_chance`` per batch at fixed cost; more
-    than that falls back to the whole-batch exact path). Every returned
-    score is a true f32 HIGHEST dot product, so results match the full
-    exact scan — including tie order — on every input; the knobs only move
-    the fast-path hit rate. Returns (scores [Q, k], ids [Q, k]); with
+    defines the prescreen score any contender must reach, and two strict
+    per-query comparisons (the (m+1)-th segment max and the (j+1)-th
+    runner-up, both below ``e_k - eps``) prove no non-rescored doc can
+    reach the returned top-k. Queries that fail re-run as a full exact scan
+    (up to ``second_chance`` per batch at fixed cost; more than that, or
+    ``second_chance=0``, falls back to the whole-batch exact path). Every
+    returned score is a true f32 HIGHEST dot product, so results match the
+    full exact scan — including tie order — on every input; the knobs only
+    move the fast-path hit rate. Returns (scores [Q, k], ids [Q, k]); with
     ``return_stats=True`` also (n_fail, covered).
 
     Replaces the reference's per-query exact Postgres scan
@@ -772,18 +952,30 @@ def dense_topk_verified(
     giving up its exactness contract.
     """
     corpus_scale = sidecar["corpus_scale"]
+    corpus_lo = jnp.asarray(sidecar["corpus_lo"])
+    if engine == "auto":
+        engine = (
+            "pallas" if on_tpu() and corpus_lo.dtype != jnp.int8 else "xla"
+        )
+    if engine == "pallas" and corpus_lo.dtype == jnp.int8:
+        raise ValueError(
+            "pallas verified engine supports the bf16 prescreen only "
+            "(int8 per-row scale folding is not implemented in-kernel)"
+        )
     out_s, out_i, n_fail, covered = _dense_topk_verified(
         queries,
         corpus,
-        jnp.asarray(sidecar["corpus_lo"]),
+        corpus_lo,
         None if corpus_scale is None else jnp.asarray(corpus_scale),
         jnp.float32(sidecar["nd_max"]),
         jnp.float32(sidecar["r_max"]),
         k,
-        kprime,
         m,
+        j,
+        seg,
         second_chance,
-        recall_target,
+        engine,
+        interpret,
     )
     if return_stats:
         return out_s, out_i, n_fail, covered

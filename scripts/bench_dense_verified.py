@@ -31,7 +31,7 @@ D, K, REPS = 768, 10, 20
 
 
 def sustained(qs, corpus, corpus_lo, corpus_scale, nd_max, r_max, cfg):
-    kprime, m, rt, sc = cfg
+    m, j, seg, sc, engine = cfg
 
     @jax.jit
     def run(qs, corpus, corpus_lo, corpus_scale):
@@ -39,7 +39,7 @@ def sustained(qs, corpus, corpus_lo, corpus_scale, nd_max, r_max, cfg):
             s, i, n_fail, covered = _dense_topk_verified(
                 q, corpus, corpus_lo, corpus_scale,
                 jnp.float32(nd_max), jnp.float32(r_max),
-                K, kprime, m, sc, rt,
+                K, m, j, seg, sc, engine,
             )
             return s, i, n_fail, covered
 
@@ -105,20 +105,18 @@ def main():
             file=sys.stderr,
         )
         grid = [
-            (1024, 128, 0.99, 16),
-            (1024, 128, 0.99, 32),
-            (1024, 128, 0.999, 16),
-            (2048, 128, 0.99, 16),
-            (1024, 256, 0.99, 16),
-            (512, 128, 0.99, 16),
-            (1024, 128, 0.99, 0),
+            (128, 2, 128, 0, "xla"),
         ] if rep == "int8" else [
-            (1024, 128, 0.99, 16),
-            (1024, 128, 0.999, 16),
+            (128, 2, 128, 0, "xla"),
+            (128, 2, 128, 0, "pallas"),
+            (64, 1, 128, 0, "pallas"),
+            (128, 2, 128, 16, "pallas"),
+            (256, 2, 128, 0, "pallas"),
+            (128, 4, 128, 0, "pallas"),
         ]
         for cfg in grid:
-            kprime, m, rt, sc = cfg
-            name = f"{rep}_k{kprime}_m{m}_rt{rt}_sc{sc}"
+            m, j, seg, sc, engine = cfg
+            name = f"{rep}_{engine}_m{m}_j{j}_seg{seg}_sc{sc}"
             try:
                 dt, ids, n_fail, n_cov = sustained(
                     q_d, c_d, lo_d, sc_d, side["nd_max"], side["r_max"], cfg

@@ -130,65 +130,114 @@ def test_unieval_runs_in_unit_range(checkpoints):
         mi("paris is the capital", gts=["paris"], contents=["france capital paris"]),
         mi("cats sit", gts=["mats"], contents=["cats sit on mats"]),
     ]
-    out = unieval_batch(inputs, checkpoint=checkpoints["seq2seq"])
-    assert len(out) == 2
-    for v in out:
-        assert 0.0 <= v <= 1.0
-    again = unieval_batch(inputs, checkpoint=checkpoints["seq2seq"])
-    assert out == again
+    for dim in ("coherence", "consistency", "fluency", "relevance"):
+        out = unieval_batch(inputs, dimension=dim, checkpoint=checkpoints["seq2seq"])
+        assert len(out) == 2
+        for v in out:
+            assert 0.0 <= v <= 1.0
+        assert out == unieval_batch(inputs, dimension=dim, checkpoint=checkpoints["seq2seq"])
 
 
-def test_unieval_dimension_subset_averages_only_those(checkpoints):
-    inp = [mi("the answer", gts=["reference"], contents=["document"])]
-    coh = unieval_batch(inp, dimensions=("coherence",), checkpoint=checkpoints["seq2seq"])[0]
-    flu = unieval_batch(inp, dimensions=("fluency",), checkpoint=checkpoints["seq2seq"])[0]
+def test_unieval_relevance_keeps_best_reference(checkpoints):
+    pred = "the answer"
+    a = unieval_batch([mi(pred, gts=["reference"])], dimension="relevance",
+                      checkpoint=checkpoints["seq2seq"])[0]
+    b = unieval_batch([mi(pred, gts=["entirely unrelated gibberish"])],
+                      dimension="relevance", checkpoint=checkpoints["seq2seq"])[0]
+    both = unieval_batch([mi(pred, gts=["reference", "entirely unrelated gibberish"])],
+                         dimension="relevance", checkpoint=checkpoints["seq2seq"])[0]
+    assert both == pytest.approx(max(a, b))
+
+
+def test_unieval_consistency_averages_per_sentence(checkpoints):
+    ctx = ["france capital paris city"]
+    one = unieval_batch([mi("paris is the capital.", contents=ctx)],
+                        dimension="consistency", checkpoint=checkpoints["seq2seq"])[0]
+    two = unieval_batch([mi("cats sit on mats.", contents=ctx)],
+                        dimension="consistency", checkpoint=checkpoints["seq2seq"])[0]
     both = unieval_batch(
-        inp, dimensions=("coherence", "fluency"), checkpoint=checkpoints["seq2seq"]
+        [mi("paris is the capital. cats sit on mats.", contents=ctx)],
+        dimension="consistency", checkpoint=checkpoints["seq2seq"],
     )[0]
-    assert both == pytest.approx((coh + flu) / 2, abs=1e-6)
+    assert both == pytest.approx((one + two) / 2, abs=1e-6)
+
+
+def test_unieval_missing_fields_yield_none(checkpoints):
+    out = unieval_batch([mi("text", gts=None, contents=None)],
+                        dimension="consistency", checkpoint=checkpoints["seq2seq"])
+    assert out == [None]
 
 
 # --------------------------------------------------------------- AlignScore
 def test_align_score_unit_range_and_window_max_monotonicity(checkpoints):
-    base_ctx = "france capital paris city europe grounded evidence"  # 7 tokens
+    base_ctx = "france capital paris city europe grounded evidence."
     score_base = align_score_batch(
         [mi("paris is the capital", contents=[base_ctx])],
         checkpoint=checkpoints["seqcls"],
-        window_tokens=7,
     )[0]
     assert 0.0 <= score_base <= 1.0
-    # appending a second window can only raise a max-over-windows score
-    extra = " ".join(["extra filler tokens alpha beta gamma delta"])
+    # an extra PASSAGE adds windows: a max-over-windows claim score can only rise
     score_more = align_score_batch(
-        [mi("paris is the capital", contents=[base_ctx + " " + extra])],
+        [mi("paris is the capital", contents=[base_ctx, "extra filler tokens alpha beta."])],
         checkpoint=checkpoints["seqcls"],
-        window_tokens=7,
     )[0]
     assert score_more >= score_base - 1e-12
 
 
-def test_align_score_single_window_equals_large_window(checkpoints):
-    ctx = "cats sit on mats in europe"
-    small = align_score_batch(
-        [mi("cats sit", contents=[ctx])], checkpoint=checkpoints["seqcls"], window_tokens=350
-    )[0]
-    huge = align_score_batch(
-        [mi("cats sit", contents=[ctx])], checkpoint=checkpoints["seqcls"], window_tokens=10_000
-    )[0]
-    assert small == pytest.approx(huge)
+def test_align_score_claim_aggregation_mean_vs_min(checkpoints):
+    ctx = ["cats sit on mats in europe."]
+    text = "cats sit. quantum flux capacitors."
+    mean_v = align_score_batch([mi(text, contents=ctx)],
+                               checkpoint=checkpoints["seqcls"], aggregation="mean")[0]
+    min_v = align_score_batch([mi(text, contents=ctx)],
+                              checkpoint=checkpoints["seqcls"], aggregation="min")[0]
+    assert min_v <= mean_v
+    c1 = align_score_batch([mi("cats sit.", contents=ctx)], checkpoint=checkpoints["seqcls"])[0]
+    c2 = align_score_batch([mi("quantum flux capacitors.", contents=ctx)],
+                           checkpoint=checkpoints["seqcls"])[0]
+    assert mean_v == pytest.approx((c1 + c2) / 2, abs=1e-6)
+    assert min_v == pytest.approx(min(c1, c2), abs=1e-6)
+
+
+def test_align_score_overlong_claim_raises(checkpoints):
+    long_claim = " ".join(["document"] * 600)
+    with pytest.raises(ValueError):
+        align_score_batch([mi(long_claim, contents=["ctx"])],
+                          checkpoint=checkpoints["seqcls"], max_length=16)
 
 
 # ---------------------------------------------------------------- MiniCheck
+MINI_IDS = {"support_token_id": 4, "unsupported_token_id": 5}  # tiny vocab Yes/No
+
+
 def test_mini_check_unit_range_and_determinism(checkpoints):
     inputs = [
         mi("paris is the capital", contents=["france capital paris"]),
         mi("quantum flux", contents=["cats sit on mats"]),
     ]
-    out = mini_check_batch(inputs, checkpoint=checkpoints["seq2seq"])
+    out = mini_check_batch(inputs, checkpoint=checkpoints["seq2seq"], **MINI_IDS)
     assert len(out) == 2
     for v in out:
         assert 0.0 <= v <= 1.0
-    assert out == mini_check_batch(inputs, checkpoint=checkpoints["seq2seq"])
+    assert out == mini_check_batch(inputs, checkpoint=checkpoints["seq2seq"], **MINI_IDS)
+
+
+def test_mini_check_max_over_contexts_and_concat(checkpoints):
+    claim = "paris is the capital."
+    ctxs = ["france capital paris.", "cats sit on mats."]
+    per = [
+        mini_check_batch([mi(claim, contents=[c])], checkpoint=checkpoints["seq2seq"],
+                         **MINI_IDS)[0]
+        for c in ctxs
+    ]
+    best = mini_check_batch([mi(claim, contents=ctxs)], checkpoint=checkpoints["seq2seq"],
+                            **MINI_IDS)[0]
+    assert best == pytest.approx(max(per), abs=1e-6)
+    concat = mini_check_batch([mi(claim, contents=ctxs)], checkpoint=checkpoints["seq2seq"],
+                              context_strategy="concat", **MINI_IDS)[0]
+    single = mini_check_batch([mi(claim, contents=["\n\n".join(ctxs)])],
+                              checkpoint=checkpoints["seq2seq"], **MINI_IDS)[0]
+    assert concat == pytest.approx(single, abs=1e-6)
 
 
 # ----------------------------------------------- registry (decorated) surface
@@ -201,7 +250,8 @@ def test_registry_wrappers_execute_and_scatter_none(checkpoints):
         ("bart_score_f1", {"checkpoint": checkpoints["seq2seq"]}),
         ("unieval", {"checkpoint": checkpoints["seq2seq"]}),
         ("align_score", {"checkpoint": checkpoints["seqcls"]}),
-        ("mini_check", {"checkpoint": checkpoints["seq2seq"]}),
+        ("mini_check", {"checkpoint": checkpoints["seq2seq"],
+                        "support_token_id": 4, "unsupported_token_id": 5}),
     ]
     for name, kwargs in cases:
         out = gen.GENERATION_METRICS[name]([valid, invalid], **kwargs)

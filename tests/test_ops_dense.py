@@ -312,7 +312,7 @@ def test_int8_scan_k_larger_than_n():
 # ---------------------------------------------------------- verified exact
 class TestVerified:
     """dense_topk_verified must equal the full exact scan on EVERY input —
-    the knobs (rep, kprime, m, second_chance) only move the fast-path rate."""
+    the knobs (rep, m, j, seg, second_chance) only move the fast-path rate."""
 
     @staticmethod
     def _check(q, c, k, rep="int8", **kw):
@@ -337,28 +337,36 @@ class TestVerified:
 
     def test_matches_full_exact_int8(self, data):
         q, c = data
-        n_fail, covered = self._check(q, c, 10, rep="int8", kprime=64, m=32)
-        assert covered
+        self._check(q, c, 10, rep="int8", seg=16, m=32, j=2)
 
     def test_matches_full_exact_bf16(self, data):
         q, c = data
-        n_fail, covered = self._check(q, c, 10, rep="bf16", kprime=64, m=32)
-        assert covered
+        self._check(q, c, 10, rep="bf16", seg=16, m=32, j=2)
 
-    def test_normalized_corpus_fast_path_hits(self):
-        # well-conditioned corpus: the verification must PASS (n_fail == 0),
-        # proving the bound is tight enough to ever take the fast path
+    def test_planted_top_docs_take_fast_path(self):
+        # well-separated top-10 in distinct segments: verification must PASS
+        # (n_fail == 0), proving the bound is tight enough for the fast path
         rng = np.random.default_rng(11)
         c = rng.normal(size=(2000, 64)).astype(np.float32)
         c /= np.linalg.norm(c, axis=1, keepdims=True)
-        q = rng.normal(size=(9, 64)).astype(np.float32)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
-        n_fail, covered = self._check(q, c, 10, kprime=256, m=128)
-        assert covered and n_fail == 0
+        qv = rng.normal(size=(64,)).astype(np.float32)
+        qv /= np.linalg.norm(qv)
+        planted = []
+        for i in range(10):
+            row = i * 160 + 5
+            planted.append(row)
+            noise = rng.normal(size=(64,)).astype(np.float32) * 0.05
+            v = (1.0 - 0.03 * i) * qv + noise
+            c[row] = v / np.linalg.norm(v)
+        q = np.stack([qv, qv])  # duplicate query: identical verdicts
+        for rep in ("int8", "bf16"):
+            n_fail, covered = self._check(q, c, 10, rep=rep, seg=128, m=64, j=2)
+            assert covered and n_fail == 0, (rep, n_fail)
 
     def test_adversarial_mass_ties_fall_back_exactly(self):
-        # 300 identical rows: the tie set exceeds m, verification MUST fail,
-        # and the fallback still returns ascending-id exact results
+        # 300 identical rows spread over 3+ segments: more tied segments than
+        # j can absorb, verification MUST fail, and the fallback still
+        # returns ascending-id exact results
         c = np.tile(np.ones((1, 16), np.float32), (300, 1))
         c = np.concatenate([c, np.zeros((100, 16), np.float32)])
         q = np.ones((3, 16), np.float32)
@@ -372,22 +380,24 @@ class TestVerified:
         side = build_verified_sidecar(c)
         s, i, n_fail, covered = dense_topk_verified(
             jnp.asarray(q), jnp.asarray(c), side, 5,
-            kprime=64, m=32, second_chance=1, return_stats=True,
+            seg=128, m=8, j=2, second_chance=1, return_stats=True,
         )
         assert int(n_fail) == 3 and not bool(covered)
         np.testing.assert_array_equal(np.asarray(i), [[0, 1, 2, 3, 4]] * 3)
 
     def test_second_chance_repairs_partial_failures(self):
-        # query 0 hits a 200-way tie (forced fail); the rest are clean —
+        # query 0 hits tied PAIRS in 4 distinct segments (more runner-up
+        # segments than j=2 covers -> forced fail); the rest are clean —
         # the fixed-size second chance must repair row 0 without a batch
         # fallback, and every row must match the exact scan
         rng = np.random.default_rng(12)
         d = 32
-        tied = np.tile(rng.normal(size=(1, d)).astype(np.float32), (200, 1))
-        rest = rng.normal(size=(800, d)).astype(np.float32)
-        c = np.concatenate([tied, rest]).astype(np.float32)
+        c = rng.normal(size=(1000, d)).astype(np.float32)
+        tied = rng.normal(size=(d,)).astype(np.float32) * 3.0
+        for row in (0, 1, 150, 151, 300, 301, 450, 451):
+            c[row] = tied
         q = rng.normal(size=(6, d)).astype(np.float32)
-        q[0] = tied[0]
+        q[0] = tied
         import jax.numpy as jnp
 
         from autorag_research_tpu.ops.dense import (
@@ -399,7 +409,7 @@ class TestVerified:
         side = build_verified_sidecar(c)
         s, i, n_fail, covered = dense_topk_verified(
             jnp.asarray(q), jnp.asarray(c), side, 10,
-            kprime=64, m=32, second_chance=4, return_stats=True,
+            seg=8, m=32, j=2, second_chance=5, return_stats=True,
         )
         assert bool(covered) and int(n_fail) >= 1
         rs, ri = dense_topk_xla_full(jnp.asarray(q), jnp.asarray(c), 10)
@@ -412,7 +422,7 @@ class TestVerified:
             np.float32
         )
         q = -np.abs(rng.normal(size=(5, 24))).astype(np.float32)
-        self._check(q, c, 7, kprime=64, m=32)
+        self._check(q, c, 7, seg=16, m=32, j=2)
 
     def test_k_larger_than_n_pads(self):
         rng = np.random.default_rng(14)
@@ -433,13 +443,22 @@ class TestVerified:
         ns, ni = numpy_topk(q, c, 6)
         np.testing.assert_array_equal(np.asarray(i)[:, :6], ni)
 
+    def test_tiny_corpus_fully_rescored_is_always_fast(self):
+        # s_cnt <= j: every doc lands in the rescore set -> always exact,
+        # never falls back
+        rng = np.random.default_rng(16)
+        c = np.tile(rng.normal(size=(1, 16)).astype(np.float32), (40, 1))
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        n_fail, covered = self._check(q, c, 5, seg=32, m=8, j=2)
+        assert covered and n_fail == 0
+
     def test_zero_query_falls_back(self):
-        # all-zero query: every score is exactly 0, the threshold set is the
-        # whole corpus -> guaranteed fallback, still exact ascending ids
+        # all-zero query: every score is exactly 0, the runner-up bound
+        # cannot be strictly below theta -> guaranteed fail, still exact
         rng = np.random.default_rng(15)
         c = rng.normal(size=(400, 16)).astype(np.float32)
         q = np.zeros((2, 16), np.float32)
-        self._check(q, c, 5, kprime=64, m=32, second_chance=2)
+        self._check(q, c, 5, seg=128, m=8, j=1, second_chance=2)
 
     def test_sidecar_rejects_empty_and_bad_rep(self):
         from autorag_research_tpu.ops.dense import build_verified_sidecar
