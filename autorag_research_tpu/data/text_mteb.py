@@ -30,11 +30,15 @@ class TextMTEBIngestor(TextDataIngestor):
         task_name: str = "SciFact",
         score_threshold: int = 1,
         data=None,
+        data_dir: str | None = None,
     ):
         super().__init__(embedding_model)
         self.task_name = task_name
         self.score_threshold = score_threshold
         self._data = data
+        # offline turnkey path: a datasets.save_to_disk snapshot with
+        # corpus/ queries/ qrels/ subdirectories
+        self.data_dir = data_dir
 
     def detect_primary_key_type(self) -> Literal["bigint", "string"]:
         return "string"
@@ -44,9 +48,9 @@ class TextMTEBIngestor(TextDataIngestor):
             return self._data
         repo = f"mteb/{self.task_name.lower()}"
         return {
-            "corpus": load_hf_dataset(repo, "corpus", split="corpus"),
-            "queries": load_hf_dataset(repo, "queries", split="queries"),
-            "qrels": load_hf_dataset(repo, "default", split=subset),
+            "corpus": load_hf_dataset(repo, "corpus", split="corpus", data_dir=self.data_dir),
+            "queries": load_hf_dataset(repo, "queries", split="queries", data_dir=self.data_dir),
+            "qrels": load_hf_dataset(repo, "default", split=subset, data_dir=self.data_dir),
         }
 
     def ingest(self, subset: str = "test", query_limit=None, min_corpus_cnt=None) -> None:

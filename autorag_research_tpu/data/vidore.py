@@ -52,15 +52,17 @@ class ViDoReIngestor(_VidoreBase):
         embedding_model=None,
         dataset_name: str = "vidore/docvqa_test_subsampled",
         data=None,
+        data_dir: str | None = None,
     ):
         super().__init__(embedding_model)
         self.dataset_name = dataset_name
         self._data = data
+        self.data_dir = data_dir  # local datasets.save_to_disk snapshot
 
     def _load(self, subset: str):
         if self._data is not None:
             return self._data
-        return load_hf_dataset(self.dataset_name, split=subset)
+        return load_hf_dataset(self.dataset_name, split=subset, data_dir=self.data_dir)
 
     def ingest(self, subset: str = "test", query_limit=None, min_corpus_cnt=None) -> None:
         service = self._require_service()
@@ -92,19 +94,23 @@ class _SplitVidore(_VidoreBase):
 
     dataset_name: str = ""
 
-    def __init__(self, embedding_model=None, dataset_name: str | None = None, data=None):
+    def __init__(
+        self, embedding_model=None, dataset_name: str | None = None, data=None,
+        data_dir: str | None = None,
+    ):
         super().__init__(embedding_model)
         if dataset_name:
             self.dataset_name = dataset_name
         self._data = data
+        self.data_dir = data_dir  # local datasets.save_to_disk snapshot
 
     def _load(self):
         if self._data is not None:
             return self._data
         return {
-            "corpus": load_hf_dataset(self.dataset_name, "corpus", split="test"),
-            "queries": load_hf_dataset(self.dataset_name, "queries", split="test"),
-            "qrels": load_hf_dataset(self.dataset_name, "qrels", split="test"),
+            "corpus": load_hf_dataset(self.dataset_name, "corpus", split="test", data_dir=self.data_dir),
+            "queries": load_hf_dataset(self.dataset_name, "queries", split="test", data_dir=self.data_dir),
+            "qrels": load_hf_dataset(self.dataset_name, "qrels", split="test", data_dir=self.data_dir),
         }
 
     def ingest(self, subset: str = "test", query_limit=None, min_corpus_cnt=None) -> None:

@@ -107,6 +107,26 @@ class JaxEncoderEmbedding(_EncoderBase, BaseEmbedding):
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         return self._encode(texts)  # type: ignore[return-value]
 
+    def embed_texts_device(self, texts: Sequence[str]):
+        """Serving hot path: embeddings stay ON DEVICE (a jax.Array), so the
+        caller can chain the retrieval kernel without an intermediate
+        device->host readback — through the axon tunnel a chained dispatch
+        costs ~8 ms vs ~34 ms for a readback round-trip
+        (scripts/profile_query_floor.py)."""
+        import jax.numpy as jnp
+
+        outs = []
+        for start in range(0, len(texts), self.batch_size):
+            chunk = list(texts[start : start + self.batch_size])
+            n_real = len(chunk)
+            pad = self.batch_size - n_real if n_real < self.batch_size else 0
+            if pad:
+                chunk = chunk + [""] * pad
+            ids, mask = hash_tokenize(chunk, self.config.vocab_size, self.config.max_len)
+            emb = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            outs.append(emb[:n_real])
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
 
 class JaxEncoderMultiVectorEmbedding(_EncoderBase, MultiVectorEmbedding):
     """Token-level (late interaction) on-TPU embedder."""

@@ -21,7 +21,13 @@ import numpy as np
 
 from autorag_research_tpu.exceptions import EmbeddingMissingError, IndexNotBuiltError
 from autorag_research_tpu.index.base import SearchHit
-from autorag_research_tpu.ops.dense import dense_topk, dense_topk_int8, quantize_int8
+from autorag_research_tpu.ops.dense import (
+    build_verified_sidecar,
+    dense_topk,
+    dense_topk_int8,
+    dense_topk_verified,
+    quantize_int8,
+)
 from autorag_research_tpu.parallel.sharded import (
     shard_corpus,
     shard_corpus_int8,
@@ -48,7 +54,7 @@ class DenseIndex:
         dtype: str = "float32",
         mode: str = "exact",
     ):
-        if mode not in ("exact", "approx", "int8"):
+        if mode not in ("exact", "verified", "approx", "int8"):
             raise ValueError(f"unknown mode: {mode}")
         if len(ids) != embeddings.shape[0]:
             raise ValueError("ids/embeddings length mismatch")
@@ -57,13 +63,22 @@ class DenseIndex:
         self.ids = list(ids)
         self.metric = metric
         self.dtype = dtype
+        # "verified": GUARANTEED-EXACT fast path — bf16 Pallas prescreen with
+        # per-segment stats + bound-checked f32 HIGHEST rescore; falls back to
+        # the full exact scan whenever the per-query coverage proof fails, so
+        # results always equal mode="exact" including tie order (2.4x measured
+        # on v5e @ 500k x 768; ops/dense.dense_topk_verified). Safe for
+        # parity runs. Single-device only: a mesh routes to the sharded
+        # exact path.
         # "approx": lax.approx_max_k k-selection fused into the score pass —
         # 3.1x the exact path at 99.6% top-10 agreement (ops/dense.
         # dense_topk_approx); tie order is NOT (-score, id) deterministic.
         # "int8": per-row symmetric int8 corpus (4x less HBM + 2x MXU rate)
         # + approx selection — 98% top-10 agreement (ops/dense.
-        # dense_topk_int8). Both are serving modes, never for parity runs.
+        # dense_topk_int8). approx/int8 are serving modes, never for parity
+        # runs.
         self.mode = mode
+        self._sidecar = None
         self._device_scale: jax.Array | None = None
         mat = np.asarray(embeddings, dtype=np.float32)
         if metric == "cosine":
@@ -115,6 +130,16 @@ class DenseIndex:
         else:
             self._device = jax.device_put(arr)
             self._mesh = None
+            if self.mode == "verified":
+                side = build_verified_sidecar(
+                    self._host, rep="bf16", pad_rows_to=2048
+                )
+                self._sidecar = {
+                    "corpus_lo": jax.device_put(jnp.asarray(side["corpus_lo"])),
+                    "corpus_scale": None,
+                    "nd_max": side["nd_max"],
+                    "r_max": side["r_max"],
+                }
         return self
 
     def _ensure_device(self) -> jax.Array:
@@ -124,13 +149,25 @@ class DenseIndex:
         return self._device
 
     # ----------------------------------------------------------------- search
-    def topk_rows(self, query_embeddings: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Batch search -> (scores [Q, k], corpus row numbers [Q, k])."""
+    def topk_rows(self, query_embeddings, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Batch search -> (scores [Q, k], corpus row numbers [Q, k]).
+
+        Accepts numpy OR a device ``jax.Array`` — the device path normalizes
+        on-chip and chains straight into the kernel with NO intermediate
+        host readback (the serving fused embed->search dispatch)."""
         if self._n == 0:
             raise IndexNotBuiltError("index has no documents")
-        q = np.atleast_2d(np.asarray(query_embeddings, dtype=np.float32))
-        if self.metric == "cosine":
-            q = l2_normalize(q)
+        if isinstance(query_embeddings, jax.Array):
+            q = query_embeddings.astype(jnp.float32)
+            if q.ndim == 1:
+                q = q[None, :]
+            if self.metric == "cosine":
+                norms = jnp.linalg.norm(q, axis=-1, keepdims=True)
+                q = jnp.where(norms > 0, q / jnp.where(norms == 0, 1.0, norms), 0.0)
+        else:
+            q = np.atleast_2d(np.asarray(query_embeddings, dtype=np.float32))
+            if self.metric == "cosine":
+                q = l2_normalize(q)
         corpus = self._ensure_device()
         if self.mode == "int8":
             qj = jnp.asarray(q)
@@ -144,9 +181,13 @@ class DenseIndex:
         qj = jnp.asarray(q, dtype=corpus.dtype)
         method = "approx" if self.mode == "approx" else "auto"
         if self._mesh is not None:
+            # verified mode on a mesh routes to the sharded exact path (same
+            # results contract; the prescreen kernel is single-device)
             scores, rows = sharded_dense_topk(
                 qj, corpus, k, self._n, self._mesh, method=method
             )
+        elif self.mode == "verified":
+            scores, rows = dense_topk_verified(qj, corpus, self._sidecar, k)
         else:
             scores, rows = dense_topk(qj, corpus, k, method=method)
         return np.asarray(scores, dtype=np.float32), np.asarray(rows)
@@ -191,6 +232,7 @@ class DenseIndex:
         idx._host = mat
         idx._device = None
         idx._device_scale = None
+        idx._sidecar = None
         idx._mesh = None
         idx._n = mat.shape[0]
         return idx

@@ -477,13 +477,7 @@ class SparseIndex:
                     method=method,
                 )
             else:
-                from autorag_research_tpu.ops.dense import on_tpu
-                from autorag_research_tpu.ops.sparse import bm25_topk_pallas_packed
-
-                scores, rows = bm25_topk_pallas_packed(
-                    jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
-                    self.n_docs, k, self._device_pack, interpret=not on_tpu(),
-                )
+                scores, rows = self._search_packed_auto(q_ids, q_w, doc_ids, doc_w, k)
         elif getattr(self, "_mesh", None) is not None:
             from autorag_research_tpu.parallel.sharded import sharded_bm25_topk
 
@@ -521,6 +515,45 @@ class SparseIndex:
                 hits.append(SearchHit(self.ids[int(r)], float(s)))
             out.append(hits)
         return out
+
+    def _search_packed_auto(self, q_ids, q_w, packed_ids, packed_w, k):
+        """Auto path for lane-packed corpora: probe x packed compose when the
+        query is selective (candidate tiles <= half), else the full packed
+        scan. A candidate tile of block_n packed rows covers block_n * pack
+        docs, so the host term->tile lists build at that doc granularity —
+        the two wins (sub-linear tiles, pack x docs per compare) multiply on
+        rare-term queries (scripts/bench_bm25_probe_packed.py)."""
+        import numpy as np
+
+        from autorag_research_tpu.ops.dense import on_tpu
+        from autorag_research_tpu.ops.sparse import (
+            bm25_topk_pallas_packed,
+            bm25_topk_pallas_probe_packed,
+            probe_candidates,
+        )
+
+        pack = self._device_pack
+        bn_rows = max(1, self.probe_block_n // pack)
+        docs_per_tile = bn_rows * pack
+        # the kernel extracts k per sub-row of bn_rows packed rows
+        if self.tile_skip and on_tpu() and min(k, self.n_docs) <= bn_rows:
+            p_tiles = max(1, -(-self.n_docs // docs_per_tile))
+            indptr, tiles = self._ensure_term_tiles(docs_per_tile)
+            cand, count, maxc = probe_candidates(
+                np.asarray(q_ids), indptr, tiles, bq=8, cap=p_tiles
+            )
+            if maxc <= p_tiles // 2:
+                cap = min(p_tiles, max(16, 1 << max(0, maxc - 1).bit_length()))
+                return bm25_topk_pallas_probe_packed(
+                    jnp.asarray(q_ids), jnp.asarray(q_w), packed_ids, packed_w,
+                    self.n_docs, pack, jnp.asarray(cand[:, :cap]),
+                    jnp.asarray(count), k, block_n=bn_rows,
+                    interpret=not on_tpu(),
+                )
+        return bm25_topk_pallas_packed(
+            jnp.asarray(q_ids), jnp.asarray(q_w), packed_ids, packed_w,
+            self.n_docs, k, pack, interpret=not on_tpu(),
+        )
 
     def _search_pruned(self, q_ids, q_w, doc_ids, doc_w, k, method):
         """Pruned device search: probe-mode kernel over the exact candidate

@@ -558,7 +558,7 @@ def _dense_topk_int8_scan(
 
 
 # ------------------------------------------------------- verified exact fast
-def build_verified_sidecar(corpus, rep: str = "int8") -> dict:
+def build_verified_sidecar(corpus, rep: str = "int8", pad_rows_to: int | None = None) -> dict:
     """Host-side prescreen sidecar for :func:`dense_topk_verified`.
 
     Returns ``{"corpus_lo", "corpus_scale", "nd_max", "r_max"}``:
@@ -597,6 +597,19 @@ def build_verified_sidecar(corpus, rep: str = "int8") -> dict:
 
     r_max = _up(float(np.linalg.norm(c64 - deq, axis=1).max()))
     nd_max = _up(float(np.linalg.norm(c64, axis=1).max()))
+    if pad_rows_to:
+        # pre-pad to the Pallas block multiple ON HOST so the kernel wrapper's
+        # in-jit jnp.pad becomes a no-op (a 500k x 768 bf16 pad copy otherwise
+        # costs ~1.5 ms per call); pad rows are masked by col < n in-kernel
+        pad = _round_up(corpus_lo.shape[0], pad_rows_to) - corpus_lo.shape[0]
+        if pad:
+            corpus_lo = np.concatenate(
+                [corpus_lo, np.zeros((pad, corpus_lo.shape[1]), corpus_lo.dtype)]
+            )
+            if corpus_scale is not None:
+                corpus_scale = np.concatenate(
+                    [corpus_scale, np.zeros(pad, corpus_scale.dtype)]
+                )
     return {
         "corpus_lo": corpus_lo,
         "corpus_scale": corpus_scale,
@@ -913,7 +926,7 @@ def dense_topk_verified(
     corpus: jax.Array,
     sidecar: dict,
     k: int,
-    m: int = 128,
+    m: int = 64,
     j: int = 2,
     seg: int = 128,
     second_chance: int = 0,
@@ -943,9 +956,15 @@ def dense_topk_verified(
     (up to ``second_chance`` per batch at fixed cost; more than that, or
     ``second_chance=0``, falls back to the whole-batch exact path). Every
     returned score is a true f32 HIGHEST dot product, so results match the
-    full exact scan — including tie order — on every input; the knobs only
-    move the fast-path hit rate. Returns (scores [Q, k], ids [Q, k]); with
-    ``return_stats=True`` also (n_fail, covered).
+    full exact scan — including (-score, id) tie order on exact ties (e.g.
+    duplicate rows, which score bitwise-equal on every path); the knobs only
+    move the fast-path hit rate. One float-reduction caveat, shared with the
+    full scan itself: docs whose true scores differ below f32
+    reduction-split resolution (~1 ulp, measured 1.5e-8 at 500k x 768) may
+    order differently between evaluation shapes — ``dense_topk_xla_full``
+    orders such pairs differently at batch 1 vs batch 256 too. Returns
+    (scores [Q, k], ids [Q, k]); with ``return_stats=True`` also
+    (n_fail, covered).
 
     Replaces the reference's per-query exact Postgres scan
     (``orm/repository/base.py:404-426``) in the serving hot path without

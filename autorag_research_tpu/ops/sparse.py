@@ -1085,6 +1085,204 @@ def bm25_topk_pallas_packed(
     return pad_to_k(out_s, out_i, k, k_eff)
 
 
+def _bm25_kernel_probe_packed(
+    cand_ref,   # scalar-prefetch [q_tiles, cap] int32: packed-row tile per step
+    count_ref,  # scalar-prefetch [q_tiles] int32
+    qid_ref,    # SMEM [bq, T]
+    qw_ref,     # SMEM [bq, T]
+    tid_ref,    # VMEM [BN, 128] — P packed docs per row
+    tw_ref,     # VMEM [BN, 128]
+    g_ref,      # VMEM [128, P_pad]
+    out_s_ref, out_i_ref, acc_s, acc_i,
+    *, k, n, block_n, bq, n_query_terms, pack,
+):
+    """Probe x packed compose: the candidate-tile grid (sub-linear tile count)
+    runs over the lane-packed layout (pack x docs per compare) — the two
+    measured wins attack different costs (steps vs per-step doc coverage), so
+    they multiply on rare-term queries over short-doc corpora.
+
+    positive_only semantics like the flat probe kernel: acc starts at 0.0,
+    non-positive scores mask to NEG_INF, filler rows come back score <= 0."""
+    from autorag_research_tpu.ops.dense import _extract_topk
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    p_pad = g_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_s[:] = jnp.zeros_like(acc_s)
+        acc_i[:] = jnp.full_like(acc_i, INT_MAX)
+
+    @pl.when(j < count_ref[i])
+    def _score():
+        tid = tid_ref[:]
+        tw = tw_ref[:]
+        g = g_ref[:]
+        bn = tid.shape[0]
+
+        def term_body(t, carry):
+            new = []
+            for b in range(bq):
+                term_id = qid_ref[b, t]
+                term_w = qw_ref[b, t]
+                match = jnp.where(tid == term_id, tw, 0.0)
+                c = jax.lax.dot_general(
+                    g, match,
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                new.append(carry[b] + c * term_w)
+            return tuple(new)
+
+        init = tuple(jnp.zeros((p_pad, bn), jnp.float32) for _ in range(bq))
+        carry = jax.lax.fori_loop(0, n_query_terms, term_body, init)
+        scores = jnp.concatenate(carry, axis=0)  # [bq * P_pad, BN]
+        lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) % p_pad
+        gids = (cand_ref[i, j] * block_n + lane) * pack + sub
+        valid = (sub < pack) & (gids < n) & (scores > 0.0)
+        scores = jnp.where(valid, scores, NEG_INF)
+        gids = jnp.where(valid, gids, INT_MAX)
+        tile_s, tile_i = _extract_topk(scores, gids, k)
+        new_s, new_i = _extract_topk(
+            jnp.concatenate([acc_s[:], tile_s], axis=1),
+            jnp.concatenate([acc_i[:], tile_i], axis=1),
+            k,
+        )
+        acc_s[:] = new_s
+        acc_i[:] = new_i
+
+    @pl.when(j == nj - 1)
+    def _write():
+        out_s_ref[:] = acc_s[:]
+        out_i_ref[:] = acc_i[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_docs", "k", "pack", "block_q", "block_n", "interpret"),
+)
+def bm25_topk_pallas_probe_packed(
+    q_ids: jax.Array,
+    q_weights: jax.Array,
+    packed_ids: jax.Array,     # [R, 128] from pack_slots
+    packed_weights: jax.Array,
+    n_docs: int,
+    pack: int,
+    cand: jax.Array,   # [q_tiles, cap] candidate PACKED-ROW tiles
+    count: jax.Array,  # [q_tiles]
+    k: int,
+    block_q: int = 8,
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Probe-mode BM25 over the lane-packed layout.
+
+    A candidate tile of ``block_n`` packed rows covers exactly
+    ``block_n * pack`` docs, so the host term->tile lists from
+    ``build_term_tile_lists(doc_ids, block_n * pack)`` are the correct
+    candidate source. Same exactness contract as
+    :func:`bm25_topk_pallas_probe`: every tile containing a positive-scoring
+    doc must be listed."""
+    bsz, n_terms = q_ids.shape
+    rows = packed_ids.shape[0]
+    k_eff = min(k, n_docs)
+    p_pad = _round_up(pack, 8)
+
+    bq = min(block_q, _round_up(bsz, 8))
+    bsz_pad = _round_up(bsz, bq)
+    if k_eff > block_n:
+        # each per-(query, lane-group) sub-row extracts k from block_n packed
+        # rows; fewer candidates than k would emit duplicate NEG_INF-tie ids
+        raise ValueError(
+            f"k={k_eff} needs block_n >= {k_eff} packed rows; rebuild the "
+            "term->tile lists at a larger block or use a full-scan method"
+        )
+    rows_pad = _round_up(rows, block_n)
+    q_tiles, cap = cand.shape
+    if q_tiles != bsz_pad // bq:
+        raise ValueError(
+            f"cand has {q_tiles} query tiles, kernel uses {bsz_pad // bq} "
+            f"(bsz={bsz}, block_q={block_q})"
+        )
+    packed_ids = jnp.pad(
+        packed_ids, ((0, rows_pad - rows), (0, 0)), constant_values=DOC_PAD
+    )
+    packed_weights = jnp.pad(packed_weights, ((0, rows_pad - rows), (0, 0)))
+    terms_pad = _round_up(n_terms, 128)
+    row_src = jnp.arange(bsz_pad) % bsz
+    q_ids_p = jnp.pad(
+        q_ids[row_src], ((0, 0), (0, terms_pad - n_terms)), constant_values=QUERY_PAD
+    )
+    q_weights_p = jnp.pad(q_weights[row_src], ((0, 0), (0, terms_pad - n_terms)))
+    import numpy as _np
+
+    width = 128 // pack
+    g_host = _np.zeros((128, p_pad), _np.float32)
+    g_host[_np.arange(128), _np.minimum(_np.arange(128) // width, pack - 1)] = 1.0
+    g = jnp.asarray(g_host)
+
+    kernel = functools.partial(
+        _bm25_kernel_probe_packed, k=k_eff, n=n_docs, block_n=block_n,
+        bq=bq, n_query_terms=n_terms, pack=pack,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(q_tiles, cap),
+        in_specs=[
+            pl.BlockSpec(
+                (bq, terms_pad), lambda i, j, cand, count: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (bq, terms_pad), lambda i, j, cand, count: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (block_n, 128),
+                lambda i, j, cand, count: (cand[i, j], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_n, 128),
+                lambda i, j, cand, count: (cand[i, j], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (128, p_pad), lambda i, j, cand, count: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq * p_pad, k_eff), lambda i, j, cand, count: (i, 0)),
+            pl.BlockSpec((bq * p_pad, k_eff), lambda i, j, cand, count: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq * p_pad, k_eff), jnp.float32),
+            pltpu.VMEM((bq * p_pad, k_eff), jnp.int32),
+        ],
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz_pad * p_pad, k_eff), jnp.float32),
+            jax.ShapeDtypeStruct((bsz_pad * p_pad, k_eff), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        cand.astype(jnp.int32), count.astype(jnp.int32),
+        q_ids_p, q_weights_p, packed_ids, packed_weights, g,
+    )
+    out_s = out_s.reshape(bsz_pad, p_pad * k_eff)[:bsz]
+    out_i = out_i.reshape(bsz_pad, p_pad * k_eff)[:bsz]
+    out_s, out_i = sort_topk(out_s, out_i, k_eff)
+    return pad_to_k(out_s, out_i, k, k_eff)
+
+
 def bm25_topk(q_ids, q_weights, doc_ids, doc_weights, k, method: str = "auto"):
     from autorag_research_tpu.ops.dense import on_tpu
 

@@ -188,6 +188,12 @@ class VectorSearchPipeline(BaseRetrievalPipeline):
         if self.search_mode == "multi":
             mats = self.embedding_model.embed_texts_multi(list(texts))
             batches = self._multi_search(idx, mats, top_k)
+        elif hasattr(self.embedding_model, "embed_texts_device"):
+            # on-device embedder: chain embed -> search WITHOUT the
+            # intermediate device->host readback (saves one tunnel RTT,
+            # ~26 ms/batch through axon; scripts/bench_serving_fused.py)
+            embs = self.embedding_model.embed_texts_device(list(texts))
+            batches = idx.search(embs, top_k)
         else:
             embs = np.asarray(self.embedding_model.embed_texts(list(texts)))
             batches = idx.search(embs, top_k)

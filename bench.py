@@ -116,25 +116,86 @@ def main() -> None:
         @jax.jit
         def run(qs, c):
             s, i = jax.lax.map(lambda q: dense_topk(q, c, K, method=method), qs)
-            return s.sum(), i
+            return s.sum(), s, i
 
-        tot, ids = run(qj, cj)
+        tot, scores, ids = run(qj, cj)
         float(tot)  # force full execution (block_until_ready is lazy over the tunnel)
         t0 = time.perf_counter()
-        tot, ids = run(qj, cj)
+        tot, scores, ids = run(qj, cj)
         float(tot)
-        return (time.perf_counter() - t0) / REPS, np.asarray(ids)
+        return (time.perf_counter() - t0) / REPS, np.asarray(scores), np.asarray(ids)
 
-    dt, ids_exact = sustained(queries, corpus)
-    qps = B / dt
+    dt, scores_exact, ids_exact = sustained(queries, corpus)
+    qps_full = B / dt
     tflops = 2 * B * N * d / dt / 1e12
     log(
-        f"tpu dense exact top-{K} (f32 HIGHEST): {dt * 1e3:.2f} ms / {B}-query "
-        f"batch, {qps:,.0f} QPS, {tflops:.1f} TFLOP/s"
+        f"tpu dense exact top-{K} (full f32 HIGHEST scan): {dt * 1e3:.2f} ms / "
+        f"{B}-query batch, {qps_full:,.0f} QPS, {tflops:.1f} TFLOP/s"
     )
+
+    # verified-exact fast path (ops/dense.dense_topk_verified): bf16 Pallas
+    # prescreen + per-segment stats + bound-checked f32 HIGHEST rescore.
+    # Results are verified per query and fall back to the full scan when the
+    # coverage proof fails, so this IS the exact mode — the flagship metric
+    # reports it, guarded by an ids-equality check against the full scan.
+    qps = qps_full
+    try:
+        from autorag_research_tpu.ops.dense import (
+            _dense_topk_verified,
+            build_verified_sidecar,
+        )
+
+        side = build_verified_sidecar(corpus, rep="bf16", pad_rows_to=4096)
+        lo = jax.device_put(jnp.asarray(side["corpus_lo"]))
+        cj = jax.device_put(jnp.asarray(corpus))
+        qj = jax.device_put(jnp.asarray(queries))
+
+        @jax.jit
+        def run_v(qs, c, lo):
+            def one(q):
+                s, i, n_fail, covered = _dense_topk_verified(
+                    q, c, lo, None,
+                    jnp.float32(side["nd_max"]), jnp.float32(side["r_max"]),
+                    K, 64, 2, 128, 0, "pallas",
+                )
+                return s, i, n_fail, covered
+
+            s, i, nf, cov = jax.lax.map(one, qs)
+            return s.sum(), s, i, nf, cov
+
+        tot, sv, ids_v, nf, cov = run_v(qj, cj, lo)
+        float(tot)
+        t0 = time.perf_counter()
+        tot, sv, ids_v, nf, cov = run_v(qj, cj, lo)
+        float(tot)
+        dt_v = (time.perf_counter() - t0) / REPS
+        ids_v = np.asarray(ids_v)
+        sv = np.asarray(sv)
+        mism = ids_v != ids_exact
+        # sub-ulp near-ties may ORDER differently between f32 HIGHEST
+        # reduction splits — the full scan itself orders such pairs
+        # differently at batch 1 vs batch 256 (measured: a 1.5e-8 pair,
+        # docs/BENCHMARKS.md). Any mismatch beyond ulp scale is a real bug
+        # and reverts the flagship to the full-scan number.
+        ulp_ok = bool(
+            (np.abs(sv[mism] - scores_exact[mism]) <= 4e-7 * (1 + np.abs(scores_exact[mism]))).all()
+        )
+        if ulp_ok:
+            qps = B / dt_v
+            log(
+                f"tpu dense exact top-{K} (VERIFIED fast path): {dt_v * 1e3:.2f} ms "
+                f"/ batch, {qps:,.0f} QPS ({qps / qps_full:.2f}x the full scan; "
+                f"fails={int(np.asarray(nf).sum())}/{REPS * B}, "
+                f"fallbacks={REPS - int(np.asarray(cov).sum())}/{REPS}, "
+                f"id mismatches {int(mism.sum())}/{ids_exact.size} all sub-ulp near-ties)"
+            )
+        else:
+            log("verified fast path DIVERGED beyond ulp scale — reporting the full-scan number")
+    except Exception as exc:  # noqa: BLE001 - flagship must fall back to the full-scan number
+        log(f"verified fast path skipped: {exc}")
     # fast mode: bf16 scores + approx_max_k fused k-selection
     # (ops/dense.dense_topk_approx — measured 3.1x the exact-top_k bf16 path)
-    dt16, ids_fast = sustained(
+    dt16, _, ids_fast = sustained(
         queries.astype(np.float32).astype(jnp.bfloat16),
         corpus.astype(jnp.bfloat16),
         method="approx",

@@ -1,0 +1,105 @@
+"""Focused verified-exact pallas-engine bench: pre-padded sidecar + kernel sweep.
+
+Run: python scripts/bench_verified_pallas.py [--n 500000]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+from autorag_research_tpu.ops.dense import (  # noqa: E402
+    _dense_topk_verified,
+    _seg_stats_pallas,
+    build_verified_sidecar,
+    dense_topk_xla_full,
+)
+
+D, K, REPS = 768, 10, 20
+
+
+def timed(run, *args):
+    tot, *rest = run(*args)
+    float(tot)
+    t0 = time.perf_counter()
+    tot, *rest = run(*args)
+    float(tot)
+    return (time.perf_counter() - t0) / REPS, rest
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=500_000)
+    ap.add_argument("--q", type=int, default=256)
+    args = ap.parse_args()
+    n, q_sz = args.n, args.q
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((n, D), dtype=np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.standard_normal((REPS, q_sz, D), dtype=np.float32)
+    queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+    side = build_verified_sidecar(corpus, rep="bf16", pad_rows_to=4096)
+    c_d = jax.device_put(jnp.asarray(corpus))
+    lo_d = jax.device_put(jnp.asarray(side["corpus_lo"]))
+    q_d = jnp.asarray(queries)
+    q_lo = jnp.asarray(queries[0], dtype=jnp.bfloat16)
+
+    # exact baseline
+    @jax.jit
+    def run_exact(qs, c):
+        s, i = jax.lax.map(lambda q: dense_topk_xla_full(q, c, K), qs)
+        return s.sum(), i
+
+    dt, (ids_exact,) = timed(run_exact, q_d, c_d)
+    ids_exact = np.asarray(ids_exact)
+    print(f"exact xla_full        {dt*1e3:7.2f} ms  {q_sz/dt:9.1f} QPS", file=sys.stderr)
+    base_qps = q_sz / dt
+
+    # kernel-only sweep
+    for sps, bq in [(8, 256), (16, 256), (32, 256), (16, 128), (64, 256)]:
+        @jax.jit
+        def run_k(q, c, sps=sps, bq=bq):
+            m1, l1, m2 = _seg_stats_pallas(q, c, n, 128, bq, sps)
+            return m1.sum(), m1
+
+        try:
+            dt, _ = timed(run_k, q_lo, lo_d)
+        except Exception as exc:  # noqa: BLE001
+            print(f"kernel sps={sps} bq={bq}: FAILED {str(exc)[:120]}", file=sys.stderr)
+            continue
+        # single rep (no lax.map): dt is whole-call
+        print(f"kernel sps={sps:3d} bq={bq}: {dt*REPS*1e3:7.2f} ms/call", file=sys.stderr)
+
+    results = {}
+    for m, j in [(64, 1), (64, 2), (128, 2), (128, 1)]:
+        @jax.jit
+        def run_v(qs, corpus, lo, m=m, j=j):
+            def one(q):
+                return _dense_topk_verified(
+                    q, corpus, lo, None,
+                    jnp.float32(side["nd_max"]), jnp.float32(side["r_max"]),
+                    K, m, j, 128, 0, "pallas",
+                )
+            s, i, nf, cov = jax.lax.map(one, qs)
+            return s.sum(), i, nf, cov
+
+        dt, (ids, nf, cov) = timed(run_v, q_d, c_d, lo_d)
+        qps = q_sz / dt
+        match = (np.asarray(ids) == ids_exact).all()
+        results[f"pallas_m{m}_j{j}"] = round(qps, 1)
+        print(
+            f"pallas m={m:3d} j={j}: {dt*1e3:7.2f} ms  {qps:9.1f} QPS "
+            f"({qps/base_qps:4.2f}x)  fails={int(np.asarray(nf).sum())}/{REPS*q_sz} "
+            f"fallbacks={REPS-int(np.asarray(cov).sum())}/{REPS} ids_match={bool(match)}",
+            file=sys.stderr,
+        )
+    print({"metric": "verified_pallas", "n": n, "exact": round(base_qps, 1), **results})
+
+
+if __name__ == "__main__":
+    main()

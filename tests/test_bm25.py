@@ -788,3 +788,73 @@ def test_pack_slots_refuses_live_terms_beyond_width():
         pack_slots(ids, w, width=16)
     packed, _, p = pack_slots(ids[:, :20], w[:, :20], width=20)
     assert p == 128 // 20 // 1 or p >= 1  # packs fine when terms fit
+
+
+class TestProbePackedKernel:
+    """bm25_topk_pallas_probe_packed: the probe x packed compose must
+    reproduce the full packed scan's positive hits exactly when fed the
+    exact term->tile lists built at block_n * pack doc granularity."""
+
+    @pytest.mark.parametrize("seed", [0, 5])
+    def test_probe_packed_matches_v2_positive_hits(self, seed):
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.sparse import (
+            bm25_topk_pallas_probe_packed,
+            bm25_topk_pallas_v2,
+            build_term_tile_lists,
+            pack_slots,
+            probe_candidates,
+        )
+
+        doc_ids, doc_w = TestTileSkip()._synthetic(seed=seed)  # [600, 24]
+        n = doc_ids.shape[0]
+        pids, pw, pack = pack_slots(doc_ids, doc_w, doc_ids.shape[1])
+        assert pack == 128 // 24  # 5 docs per 128-lane row
+        block_n = 16  # packed rows per tile -> 80 docs per tile
+        indptr, tiles = build_term_tile_lists(doc_ids, block_n * pack)
+        rng = np.random.default_rng(seed + 30)
+        q_ids = np.full((3, 5), -2, np.int32)
+        q_w = np.zeros((3, 5), np.float32)
+        for b in range(3):
+            region = (b * 4 % 10) * 500
+            q_ids[b, :3] = region + rng.choice(400, size=3, replace=False)
+            q_w[b, :3] = rng.uniform(0.5, 1.5, size=3).astype(np.float32)
+        p_tiles = -(-n // (block_n * pack))
+        cand, count, maxc = probe_candidates(q_ids, indptr, tiles, bq=8, cap=p_tiles)
+        s0, i0 = bm25_topk_pallas_v2(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(doc_ids),
+            jnp.asarray(doc_w), k=7, block_q=8, block_n=128, interpret=True,
+        )
+        s1, i1 = bm25_topk_pallas_probe_packed(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(pids),
+            jnp.asarray(pw), n, pack, jnp.asarray(cand), jnp.asarray(count),
+            k=7, block_q=8, block_n=block_n, interpret=True,
+        )
+        s0, i0, s1, i1 = map(np.asarray, (s0, i0, s1, i1))
+        for b in range(3):
+            pos = s0[b] > 0
+            np.testing.assert_array_equal(i1[b][: pos.sum()], i0[b][pos])
+            np.testing.assert_allclose(s1[b][: pos.sum()], s0[b][pos], rtol=1e-5)
+
+    def test_probe_packed_empty_candidates_no_hits(self):
+        import jax.numpy as jnp
+
+        from autorag_research_tpu.ops.sparse import (
+            bm25_topk_pallas_probe_packed,
+            pack_slots,
+        )
+
+        doc_ids, doc_w = TestTileSkip()._synthetic(seed=1)
+        pids, pw, pack = pack_slots(doc_ids, doc_w, doc_ids.shape[1])
+        q_ids = np.full((1, 5), -2, np.int32)
+        q_ids[0, 0] = 499_999  # vocab miss
+        q_w = np.ones((1, 5), np.float32)
+        cand = np.zeros((1, 4), np.int32)
+        count = np.zeros(1, np.int32)  # zero live candidates
+        s, i = bm25_topk_pallas_probe_packed(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(pids),
+            jnp.asarray(pw), doc_ids.shape[0], pack, jnp.asarray(cand),
+            jnp.asarray(count), k=5, block_q=8, block_n=16, interpret=True,
+        )
+        assert (np.asarray(s) <= 0.0).all()

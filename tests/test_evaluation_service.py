@@ -209,3 +209,92 @@ class TestServiceHardening:
         mi = service.build_metric_input(catalog.get_query(1), pid)
         lookup = catalog.get_chunk_contents([2, 1])
         assert mi.retrieved_contents == [lookup[2], lookup[1]]
+
+
+class TestCrashResume:
+    """Kill-mid-evaluate must not double-score or skip queries on resume
+    (VERDICT r3 #9)."""
+
+    def test_kill_between_batches_resumes_exactly_once(self, tmp_path):
+        import numpy as np
+
+        from autorag_research_tpu.store.catalog import Catalog
+
+        cat = Catalog(tmp_path / "cr.db", embedding_dim=8)
+        n = 10
+        cat.add_chunks([{"id": i, "contents": f"c{i}"} for i in range(1, n + 1)])
+        cat.add_queries([{"id": i, "contents": f"q{i}"} for i in range(1, n + 1)])
+        for i in range(1, n + 1):
+            cat.add_retrieval_gt(i, i)
+        pid = cat.get_or_create_pipeline("crash_eval")
+        cat.add_retrieved_results(pid, [(i, i, 0.9) for i in range(1, n + 1)])
+
+        calls = {"batches": 0}
+
+        def crashing_metric(inputs):
+            calls["batches"] += 1
+            if calls["batches"] == 2:
+                raise RuntimeError("simulated crash mid-evaluate")
+            return [1.0] * len(inputs)
+
+        service = RetrievalEvaluationService(cat)
+        with pytest.raises(RuntimeError):
+            service.evaluate(pid, "crash_recall", crashing_metric, batch_size=4)
+        mid = cat.get_or_create_metric("crash_recall", "retrieval")
+        persisted_after_crash = cat.get_evaluated_query_ids(pid, mid)
+        assert len(persisted_after_crash) == 4  # exactly the first batch
+
+        # resume with a recorder: only the NOT-yet-persisted queries arrive
+        seen: list = []
+
+        def recording_metric(inputs):
+            seen.extend(mi.retrieved_ids[0] for mi in inputs)
+            return [1.0] * len(inputs)
+
+        fresh = RetrievalEvaluationService(Catalog(tmp_path / "cr.db"))
+        summary = fresh.evaluate(pid, "crash_recall", recording_metric, batch_size=4)
+        assert summary.count == n and summary.average == 1.0
+        assert len(seen) == n - len(persisted_after_crash)  # no double-scoring
+        assert len(set(seen)) == len(seen)
+        # every query has exactly one persisted row
+        rows = cat.connect().execute(
+            "SELECT query_id, COUNT(*) c FROM evaluation_result "
+            "WHERE pipeline_id=? AND metric_id=? GROUP BY query_id", (pid, mid)
+        ).fetchall()
+        assert len(rows) == n and all(r["c"] == 1 for r in rows)
+
+    def test_kill_after_compute_before_persist_recomputes_that_batch_only(self, tmp_path):
+        from autorag_research_tpu.store.catalog import Catalog
+
+        cat = Catalog(tmp_path / "cr2.db", embedding_dim=8)
+        n = 6
+        cat.add_queries([{"id": i, "contents": f"q{i}"} for i in range(1, n + 1)])
+        for i in range(1, n + 1):
+            cat.add_retrieval_gt(i, i)
+        cat.add_chunks([{"id": i, "contents": f"c{i}"} for i in range(1, n + 1)])
+        pid = cat.get_or_create_pipeline("crash_eval2")
+        cat.add_retrieved_results(pid, [(i, i, 0.9) for i in range(1, n + 1)])
+        service = RetrievalEvaluationService(cat)
+
+        real_add = cat.add_evaluation_results
+        state = {"calls": 0}
+
+        def crashing_add(pipeline_id, metric_id, rows):
+            state["calls"] += 1
+            if state["calls"] == 2:
+                raise RuntimeError("crash AFTER scoring batch 2, BEFORE persist")
+            return real_add(pipeline_id, metric_id, rows)
+
+        cat.add_evaluation_results = crashing_add
+        with pytest.raises(RuntimeError):
+            service.evaluate(pid, "r2", retrieval_recall, batch_size=3)
+        cat.add_evaluation_results = real_add
+
+        summary = service.evaluate(pid, "r2", retrieval_recall, batch_size=3)
+        assert summary.count == n
+        mid = cat.get_or_create_metric("r2", "retrieval")
+        rows = cat.connect().execute(
+            "SELECT query_id, COUNT(*) c FROM evaluation_result "
+            "WHERE pipeline_id=? AND metric_id=? GROUP BY query_id", (pid, mid)
+        ).fetchall()
+        assert len(rows) == n and all(r["c"] == 1 for r in rows)

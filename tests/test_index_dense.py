@@ -221,3 +221,21 @@ def test_int8_quantization_agreement(corpus):
         for a, b in zip(exact, quant)
     ])
     assert agree >= 0.9, agree
+
+
+def test_verified_mode_matches_exact_mode():
+    import numpy as np
+
+    from autorag_research_tpu.index.dense import DenseIndex
+
+    rng = np.random.default_rng(21)
+    emb = rng.normal(size=(700, 32)).astype(np.float32)
+    ids = [f"v{i:03d}" for i in range(700)]
+    # duplicates force ties through the fallback machinery
+    emb[13] = emb[600]
+    q = rng.normal(size=(5, 32)).astype(np.float32)
+    exact = DenseIndex(ids, emb, mode="exact").search(q, 7)
+    verified = DenseIndex(ids, emb, mode="verified").search(q, 7)
+    want = [[(h.doc_id, round(h.score, 5)) for h in row] for row in exact]
+    got = [[(h.doc_id, round(h.score, 5)) for h in row] for row in verified]
+    assert got == want

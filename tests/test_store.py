@@ -220,3 +220,90 @@ class TestReviewRegressions:
         assert cat.get_pipeline("hyde_health_check_x") is not None
         assert cat.get_pipeline("hyde_health_check_x")["id"] == sibling
         del child
+
+
+class TestConcurrentWriters:
+    """Two+ writer threads on one WAL catalog must not corrupt or drop rows
+    (VERDICT r3 #9). The catalog hands each thread its own connection
+    (threading.local); WAL serializes the writes."""
+
+    def test_parallel_retrieved_result_writers(self, tmp_path):
+        import threading
+
+        from autorag_research_tpu.store.catalog import Catalog
+
+        cat = Catalog(tmp_path / "conc.db", embedding_dim=8)
+        n_threads, per_thread = 4, 200
+        cat.add_chunks(
+            [{"id": i, "contents": f"c{i}"} for i in range(n_threads * per_thread)]
+        )
+        cat.add_queries(
+            [{"id": i, "contents": f"q{i}"} for i in range(n_threads)]
+        )
+        pid = cat.get_or_create_pipeline("concurrent")
+        errors: list = []
+
+        def writer(t):
+            try:
+                for i in range(per_thread):
+                    cat.add_retrieved_results(
+                        pid, [(t, t * per_thread + i, float(i))]
+                    )
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        total = cat.connect().execute(
+            "SELECT COUNT(*) c FROM chunk_retrieved_result WHERE pipeline_id=?", (pid,)
+        ).fetchone()["c"]
+        assert total == n_threads * per_thread
+        assert cat.connect().execute("PRAGMA integrity_check").fetchone()[0] == "ok"
+        # per-thread rows all present with their scores intact
+        for t in range(n_threads):
+            rows = cat.get_retrieved(t, pid)
+            assert len(rows) == per_thread
+
+    def test_writers_and_readers_interleave(self, tmp_path):
+        import threading
+
+        from autorag_research_tpu.store.catalog import Catalog
+
+        cat = Catalog(tmp_path / "conc2.db", embedding_dim=8)
+        cat.add_queries([{"id": 1, "contents": "q"}])
+        pid = cat.get_or_create_pipeline("rw")
+        stop = threading.Event()
+        errors: list = []
+
+        def reader():
+            try:
+                while not stop.is_set():
+                    cat.get_queries_with_results(pid)
+                    cat.stats()
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        def writer():
+            try:
+                for i in range(300):
+                    cat.add_chunks([{"id": 10_000 + i, "contents": f"w{i}"}])
+                    cat.add_retrieved_results(pid, [(1, 10_000 + i, float(i))])
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+            finally:
+                stop.set()
+
+        threads = [threading.Thread(target=reader) for _ in range(2)] + [
+            threading.Thread(target=writer)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        assert len(cat.get_retrieved(1, pid)) == 300
+        assert cat.connect().execute("PRAGMA integrity_check").fetchone()[0] == "ok"
