@@ -105,3 +105,77 @@ def test_maxsim_paths_agree_on_tpu(rng):
     s3, i3 = maxsim_topk_pallas_v2(q, ql, docs, dl, 10, block_n=16)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
+
+
+def test_verified_exact_agrees_on_tpu(rng):
+    """Verified fast path vs full scan on the real chip: ids must match
+    everywhere except pairs whose scores sit below f32 reduction-split
+    resolution (which the full scan itself orders batch-dependently)."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.dense import (
+        build_verified_sidecar,
+        dense_topk_verified,
+        dense_topk_xla_full,
+    )
+
+    c = rng.normal(size=(50000, 256)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    c[77] = c[40000]  # exact duplicate tie across segments
+    q = rng.normal(size=(64, 256)).astype(np.float32)
+    q[0] = c[77]
+    side = build_verified_sidecar(c, rep="bf16", pad_rows_to=2048)
+    s1, i1 = dense_topk_xla_full(jnp.asarray(q), jnp.asarray(c), 10)
+    s2, i2, nf, cov = dense_topk_verified(
+        jnp.asarray(q), jnp.asarray(c), side, 10, engine="pallas",
+        return_stats=True,
+    )
+    s1, i1, s2, i2 = map(np.asarray, (s1, i1, s2, i2))
+    mism = i1 != i2
+    assert (np.abs(s2[mism] - s1[mism]) <= 4e-7 * (1 + np.abs(s1[mism]))).all()
+    # the exact-duplicate tie orders by id on BOTH paths
+    row = i2[0].tolist()
+    assert row[0] == 77 and row[1] == 40000
+
+
+def test_probe_packed_agrees_on_tpu(rng):
+    """probe x packed kernel vs v2 full scan on the real chip."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.sparse import (
+        bm25_topk_pallas_probe_packed,
+        bm25_topk_pallas_v2,
+        build_term_tile_lists,
+        pack_slots,
+        probe_candidates,
+    )
+
+    n, width = 60000, 16
+    tid = np.where(
+        np.arange(width)[None, :] < rng.integers(4, width, size=(n, 1)),
+        rng.integers(0, 50000, size=(n, width)),
+        -1,
+    ).astype(np.int32)
+    tw = np.where(tid >= 0, rng.random(size=(n, width)), 0.0).astype(np.float32)
+    pids, pw, pack = pack_slots(tid, tw, width)
+    bn_rows = 256
+    indptr, tiles = build_term_tile_lists(tid, bn_rows * pack)
+    qid = np.full((3, 8), -2, np.int32)
+    qw = np.zeros((3, 8), np.float32)
+    for b in range(3):
+        qid[b, :4] = rng.integers(40000, 50000, size=4)
+        qw[b, :4] = rng.uniform(0.5, 1.5, size=4)
+    p_tiles = -(-n // (bn_rows * pack))
+    cand, count, _ = probe_candidates(qid, indptr, tiles, bq=8, cap=p_tiles)
+    s0, i0 = bm25_topk_pallas_v2(
+        jnp.asarray(qid), jnp.asarray(qw), jnp.asarray(tid), jnp.asarray(tw), 10
+    )
+    s1, i1 = bm25_topk_pallas_probe_packed(
+        jnp.asarray(qid), jnp.asarray(qw), jnp.asarray(pids), jnp.asarray(pw),
+        n, pack, jnp.asarray(cand), jnp.asarray(count), 10, block_n=bn_rows,
+    )
+    s0, i0, s1, i1 = map(np.asarray, (s0, i0, s1, i1))
+    for b in range(3):
+        pos = s0[b] > 0
+        np.testing.assert_array_equal(i1[b][: pos.sum()], i0[b][pos])
+        np.testing.assert_allclose(s1[b][: pos.sum()], s0[b][pos], rtol=1e-5)
