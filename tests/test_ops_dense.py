@@ -467,3 +467,44 @@ class TestVerified:
             build_verified_sidecar(np.zeros((0, 8), np.float32))
         with pytest.raises(ValueError):
             build_verified_sidecar(np.ones((2, 8), np.float32), rep="fp4")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_verified_randomized_property(seed):
+    """Randomized shapes/dtypes/dups: verified == full scan for both engines
+    and both prescreen reps, with whatever knobs the draw picks."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.dense import (
+        build_verified_sidecar,
+        dense_topk_verified,
+        dense_topk_xla_full,
+    )
+
+    rng = np.random.default_rng(900 + seed)
+    n = int(rng.integers(50, 2500))
+    d = int(rng.choice([8, 24, 48]))
+    k = int(rng.integers(1, 12))
+    c = rng.normal(size=(n, d)).astype(np.float32)
+    if rng.random() < 0.5:
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-9)
+    # duplicate blocks force exact ties across segments
+    for _ in range(int(rng.integers(0, 4))):
+        src, dst = rng.integers(0, n, size=2)
+        c[dst] = c[src]
+    q = rng.normal(size=(int(rng.integers(1, 9)), d)).astype(np.float32)
+    rs, ri = dense_topk_xla_full(jnp.asarray(q), jnp.asarray(c), k)
+    for rep in ("int8", "bf16"):
+        side = build_verified_sidecar(c, rep=rep)
+        for engine, interp in (("xla", False),) + (
+            (("pallas", True),) if rep == "bf16" else ()
+        ):
+            s, i = dense_topk_verified(
+                jnp.asarray(q), jnp.asarray(c), side, k,
+                m=int(rng.integers(4, 40)), j=int(rng.integers(1, 3)),
+                seg=int(rng.choice([8, 16, 32])),
+                second_chance=int(rng.integers(0, 4)),
+                engine=engine, interpret=interp,
+            )
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(ri), err_msg=f"{rep}/{engine}")
+            np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-6, atol=1e-7)
