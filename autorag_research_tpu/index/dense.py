@@ -31,8 +31,10 @@ from autorag_research_tpu.ops.dense import (
 from autorag_research_tpu.parallel.sharded import (
     shard_corpus,
     shard_corpus_int8,
+    shard_corpus_verified,
     sharded_dense_topk,
     sharded_dense_topk_int8,
+    sharded_dense_topk_verified,
 )
 
 
@@ -68,8 +70,8 @@ class DenseIndex:
         # the full exact scan whenever the per-query coverage proof fails, so
         # results always equal mode="exact" including tie order (2.4x measured
         # on v5e @ 500k x 768; ops/dense.dense_topk_verified). Safe for
-        # parity runs. Single-device only: a mesh routes to the sharded
-        # exact path.
+        # parity runs. On a mesh: per-shard verified search + the global
+        # deterministic merge (parallel/sharded.sharded_dense_topk_verified).
         # "approx": lax.approx_max_k k-selection fused into the score pass —
         # 3.1x the exact path at 99.6% top-10 agreement (ops/dense.
         # dense_topk_approx); tie order is NOT (-score, id) deterministic.
@@ -125,7 +127,18 @@ class DenseIndex:
             return self
         arr = jnp.asarray(self._host, dtype=jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32)
         if use_mesh:
-            self._device = shard_corpus(arr, mesh)
+            if self.mode == "verified":
+                side = build_verified_sidecar(self._host, rep="bf16")
+                corpus_sh, lo_sh = shard_corpus_verified(arr, side, mesh)
+                self._device = corpus_sh
+                self._sidecar = {
+                    "corpus_lo": lo_sh,
+                    "corpus_scale": None,
+                    "nd_max": side["nd_max"],
+                    "r_max": side["r_max"],
+                }
+            else:
+                self._device = shard_corpus(arr, mesh)
             self._mesh = mesh
         else:
             self._device = jax.device_put(arr)
@@ -180,9 +193,13 @@ class DenseIndex:
             return np.asarray(scores, dtype=np.float32), np.asarray(rows)
         qj = jnp.asarray(q, dtype=corpus.dtype)
         method = "approx" if self.mode == "approx" else "auto"
-        if self._mesh is not None:
-            # verified mode on a mesh routes to the sharded exact path (same
-            # results contract; the prescreen kernel is single-device)
+        if self._mesh is not None and self.mode == "verified":
+            scores, rows = sharded_dense_topk_verified(
+                qj, corpus, self._sidecar["corpus_lo"],
+                self._sidecar["nd_max"], self._sidecar["r_max"],
+                k, self._n, self._mesh,
+            )
+        elif self._mesh is not None:
             scores, rows = sharded_dense_topk(
                 qj, corpus, k, self._n, self._mesh, method=method
             )

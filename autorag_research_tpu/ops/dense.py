@@ -667,9 +667,10 @@ def _seg_stats_xla(q_rep, corpus_lo, corpus_scale, n, seg):
             preferred_element_type=jnp.float32,
         )
     q_cnt, n_lo = shat.shape
-    if n_lo > n:
-        col = jax.lax.broadcasted_iota(jnp.int32, shat.shape, 1)
-        shat = jnp.where(col < n, shat, NEG_INF)
+    # n may be a TRACED scalar (per-shard valid-row counts under shard_map);
+    # always mask — columns >= n never become stats
+    col = jax.lax.broadcasted_iota(jnp.int32, shat.shape, 1)
+    shat = jnp.where(col < n, shat, NEG_INF)
     s_cnt = -(-n_lo // seg)
     n_pad = s_cnt * seg
     shat_pad = (
@@ -686,9 +687,11 @@ def _seg_stats_xla(q_rep, corpus_lo, corpus_scale, n, seg):
     return max1, loc1, max2
 
 
-def _seg_stats_kernel(q_ref, c_ref, max1_ref, loc_ref, max2_ref, *, seg, seg_per_step, block_n, n):
+def _seg_stats_kernel(n_ref, q_ref, c_ref, max1_ref, loc_ref, max2_ref, *, seg, seg_per_step, block_n):
     """One fused pass: prescreen matmul tile + per-segment max/argmax/runner-up
-    on-chip — the [Q, N] score matrix never exists in HBM."""
+    on-chip — the [Q, N] score matrix never exists in HBM. The valid-row
+    count arrives as an SMEM scalar so per-shard counts can be dynamic."""
+    n = n_ref[0, 0]
     jstep = pl.program_id(1)
     scores = jax.lax.dot_general(
         q_ref[:],
@@ -718,12 +721,12 @@ def _seg_stats_kernel(q_ref, c_ref, max1_ref, loc_ref, max2_ref, *, seg, seg_per
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "seg", "block_q", "seg_per_step", "interpret")
+    jax.jit, static_argnames=("seg", "block_q", "seg_per_step", "interpret")
 )
 def _seg_stats_pallas(
     q_lo: jax.Array,
     corpus_lo: jax.Array,
-    n: int,
+    n: jax.Array,
     seg: int = 128,
     block_q: int = 256,
     seg_per_step: int = 16,
@@ -748,12 +751,14 @@ def _seg_stats_pallas(
     grid = (q_pad // bq, n_pad // block_n)
     s_cnt = n_pad // seg
     kernel = functools.partial(
-        _seg_stats_kernel, seg=seg, seg_per_step=seg_per_step, block_n=block_n, n=n
+        _seg_stats_kernel, seg=seg, seg_per_step=seg_per_step, block_n=block_n
     )
+    n_arr = jnp.full((1, 1), n, jnp.int32)
     max1, loc1, max2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
@@ -774,7 +779,7 @@ def _seg_stats_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_lo, corpus_lo)
+    )(n_arr, q_lo, corpus_lo)
     return max1.T[:q], loc1.T[:q], max2.T[:q]
 
 
@@ -796,9 +801,13 @@ def _dense_topk_verified(
     second_chance: int,
     engine: str = "xla",
     interpret: bool = False,
+    n_valid: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     q_cnt, d = queries.shape
     n = corpus.shape[0]
+    # rows >= n_valid (zero-padding for sharding/tiling) are masked out of
+    # stats, candidates, and the exact fallbacks — they can never surface
+    n_valid = jnp.int32(n if n_valid is None else n_valid)
     k_eff = min(k, n)
     f_cap = min(second_chance, q_cnt)
     qf = queries.astype(jnp.float32)
@@ -815,10 +824,12 @@ def _dense_topk_verified(
     eps = _prescreen_eps(qf, q_hat, nd_max, r_max)
     if engine == "pallas":
         max1, loc1, max2 = _seg_stats_pallas(
-            q_rep[0], corpus_lo, n, seg, interpret=interpret
+            q_rep[0], corpus_lo, n_valid, seg, interpret=interpret
         )
     else:
-        max1, loc1, max2 = _seg_stats_xla(q_rep, corpus_lo, corpus_scale, n, seg)
+        max1, loc1, max2 = _seg_stats_xla(
+            q_rep, corpus_lo, corpus_scale, n_valid, seg
+        )
     s_cnt = max1.shape[1]
 
     m_eff = min(m, s_cnt)
@@ -843,13 +854,13 @@ def _dense_topk_verified(
     # argmax would duplicate) and NEG_INF pad segments
     in_r = jnp.any(sel_seg[:, :, None] == r_seg[:, None, :], axis=2)
     arg_ids = sel_seg * seg + jnp.take_along_axis(loc1, sel_seg, axis=1)
-    arg_valid = (~in_r) & (sel_val > NEG_INF) & (arg_ids < n)
+    arg_valid = (~in_r) & (sel_val > NEG_INF) & (arg_ids < n_valid)
     # full-segment candidates: every doc of the top-j runner-up segments
     seg_iota = jnp.arange(seg, dtype=jnp.int32)
     full_ids = (r_seg[:, :, None] * seg + seg_iota[None, None, :]).reshape(
         q_cnt, j_eff * seg
     )
-    full_valid = full_ids < n
+    full_valid = full_ids < n_valid
 
     cand_i = jnp.concatenate([arg_ids, full_ids], axis=1)
     cand_valid = jnp.concatenate([arg_valid, full_valid], axis=1)
@@ -894,6 +905,8 @@ def _dense_topk_verified(
             preferred_element_type=jnp.float32,
             precision=_precision_for(jnp.float32),
         )
+        fcol = jax.lax.broadcasted_iota(jnp.int32, fscores.shape, 1)
+        fscores = jnp.where(fcol < n_valid, fscores, NEG_INF)
         fs, fi = jax.lax.top_k(fscores, k_eff)
         take = ~ok_q[order]
         out_s = out_s.at[order].set(jnp.where(take[:, None], fs, out_s[order]))
@@ -913,6 +926,8 @@ def _dense_topk_verified(
             preferred_element_type=jnp.float32,
             precision=_precision_for(jnp.float32),
         )
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < n_valid, scores, NEG_INF)
         fs, fi = jax.lax.top_k(scores, k_eff)
         return fs, fi
 

@@ -293,3 +293,91 @@ def sharded_maxsim_topk(
         check_vma=False,
     )(queries, query_lens, docs, doc_lens)
     return pad_to_k(scores, ids, k, k_eff)
+
+
+def shard_corpus_verified(
+    corpus: jax.Array, sidecar: dict, mesh: Mesh, block: int = 2048
+) -> tuple[jax.Array, jax.Array]:
+    """Shard the f32 corpus + its bf16 prescreen sidecar for
+    :func:`sharded_dense_topk_verified`: rows pad to ``n_shards * block`` so
+    every shard's slice is already a Pallas block multiple (no in-jit pad
+    copy). Returns (corpus_sh, corpus_lo_sh)."""
+    import numpy as np
+
+    n_shards = mesh.shape[CORPUS_AXIS]
+    lo = sidecar["corpus_lo"]
+    if sidecar.get("corpus_scale") is not None:
+        raise ValueError("sharded verified retrieval supports the bf16 sidecar only")
+    n = corpus.shape[0]
+    shard_rows = -(-max(n, 1) // (n_shards * block)) * block
+    n_pad = shard_rows * n_shards
+    corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+    lo_np = np.asarray(lo)[:n]
+    lo_np = np.concatenate(
+        [lo_np, np.zeros((n_pad - n, lo_np.shape[1]), lo_np.dtype)]
+    )
+    return (
+        jax.device_put(corpus, NamedSharding(mesh, P(CORPUS_AXIS, None))),
+        jax.device_put(jnp.asarray(lo_np), NamedSharding(mesh, P(CORPUS_AXIS, None))),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_total", "mesh", "m", "j", "seg", "engine", "interpret"),
+)
+def sharded_dense_topk_verified(
+    queries: jax.Array,
+    corpus: jax.Array,      # [N_pad, d] f32, sharded
+    corpus_lo: jax.Array,   # [N_pad, d] bf16 prescreen, sharded
+    nd_max,
+    r_max,
+    k: int,
+    n_total: int,
+    mesh: Mesh,
+    m: int = 64,
+    j: int = 2,
+    seg: int = 128,
+    engine: str = "auto",
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Sharded verified-exact dense top-k: each shard runs the verified fast
+    path over its slice (pads masked in-kernel via per-shard valid-row
+    counts), then the per-shard EXACT lists merge by the global
+    ``(-score, doc row)`` order — same exactness contract as
+    :func:`sharded_dense_topk` at the verified path's speed."""
+    from autorag_research_tpu.ops.dense import _dense_topk_verified, on_tpu
+
+    if engine == "auto":
+        engine = "pallas" if on_tpu() else "xla"
+    n_shards = mesh.shape[CORPUS_AXIS]
+    shard_rows = corpus.shape[0] // n_shards
+    k_eff = min(k, n_total)
+
+    def local_search(q, c_shard, lo_shard):
+        offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
+        n_local = jnp.clip(n_total - offset, 0, shard_rows)
+        scores, local_ids, _, _ = _dense_topk_verified(
+            q, c_shard, lo_shard, None,
+            jnp.float32(nd_max), jnp.float32(r_max),
+            k_eff, m, j, seg, 0, engine, interpret,
+            n_valid=n_local,
+        )
+        gids = local_ids + offset
+        valid = (local_ids < shard_rows) & (gids < n_total) & (local_ids >= 0)
+        # pad-k sentinel rows carry INT_MAX local ids; mask them too
+        valid &= local_ids != INT_MAX
+        scores = jnp.where(valid, scores, NEG_INF)
+        gids = jnp.where(valid, gids, INT_MAX)
+        all_s = jax.lax.all_gather(scores, CORPUS_AXIS)
+        all_i = jax.lax.all_gather(gids, CORPUS_AXIS)
+        return merge_topk(jnp.swapaxes(all_s, 0, 1), jnp.swapaxes(all_i, 0, 1), k_eff)
+
+    scores, ids = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(None, None), P(CORPUS_AXIS, None), P(CORPUS_AXIS, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(queries, corpus, corpus_lo)
+    return pad_to_k(scores, ids, k, k_eff)

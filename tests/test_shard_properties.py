@@ -150,3 +150,30 @@ def test_maxsim_random_sizes_and_ties(seed):
         got = idx.search(queries, k)
         got = [[(h.doc_id, round(h.score, 5)) for h in row] for row in got]
         assert got == want, (n, k, shards)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_verified_sharded_invariance(seed):
+    """Sharded verified-exact must reproduce the single-device exact ranking
+    for ANY shard count, including cross-shard exact ties and negative
+    scores (the verified coverage proof runs per shard over masked pads)."""
+    from autorag_research_tpu.index.dense import DenseIndex
+
+    rng = np.random.default_rng(700 + seed)
+    n = int(rng.integers(40, 400))
+    d = 24
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    for _ in range(4):
+        a, b = rng.integers(0, n, size=2)
+        emb[b] = emb[a]  # exact ties across shard boundaries
+    ids = [f"v{i:04d}" for i in range(n)]
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    k = int(rng.integers(2, 9))
+    want = DenseIndex(ids, emb, mode="exact").search(q, k)
+    want = [[(h.doc_id, round(h.score, 5)) for h in row] for row in want]
+    for shards in (2, 4, 8):
+        idx = DenseIndex(ids, emb, mode="verified")
+        idx.to_device(corpus_mesh(n_corpus=shards))
+        got = idx.search(q, k)
+        got = [[(h.doc_id, round(h.score, 5)) for h in row] for row in got]
+        assert got == want, (n, k, shards)
