@@ -108,10 +108,14 @@ def main() -> None:
     log(f"cpu exact-scan baseline: {baseline_qps:.1f} QPS")
 
     log("transferring to TPU + compiling ...")
+    # one shared f32 corpus + query transfer — 1.5GB over the ~17MB/s tunnel
+    # costs ~90s per device_put, so every stage must reuse these
+    corpus_dev = jax.device_put(jnp.asarray(corpus))
+    queries_dev = jax.device_put(jnp.asarray(queries))
 
     def sustained(qs_host, c_host, method="auto"):
-        cj = jax.device_put(jnp.asarray(c_host))
-        qj = jax.device_put(jnp.asarray(qs_host))
+        cj = corpus_dev if c_host is corpus else jax.device_put(jnp.asarray(c_host))
+        qj = queries_dev if qs_host is queries else jax.device_put(jnp.asarray(qs_host))
 
         @jax.jit
         def run(qs, c):
@@ -147,16 +151,21 @@ def main() -> None:
 
         side = build_verified_sidecar(corpus, rep="bf16", pad_rows_to=4096)
         lo = jax.device_put(jnp.asarray(side["corpus_lo"]))
-        cj = jax.device_put(jnp.asarray(corpus))
-        qj = jax.device_put(jnp.asarray(queries))
+        cj = corpus_dev
+        qj = queries_dev
 
         @jax.jit
         def run_v(qs, c, lo):
             def one(q):
+                # m=64 j=1: fastest measured config with 0 coverage fails on
+                # this corpus (54.9k vs 48.1k @ j=2, bench_verified_pallas.py);
+                # exactness never depends on the knobs — failures re-run
+                # exactly, and the ids-equality guard below reverts the
+                # flagship to the full-scan number on any real divergence.
                 s, i, n_fail, covered = _dense_topk_verified(
                     q, c, lo, None,
                     jnp.float32(side["nd_max"]), jnp.float32(side["r_max"]),
-                    K, 64, 2, 128, 0, "pallas",
+                    K, 64, 1, 128, 0, "pallas",
                 )
                 return s, i, n_fail, covered
 
@@ -220,7 +229,7 @@ def main() -> None:
         cq_h, cs_h = quantize_int8(corpus)
         cq = jax.device_put(jnp.asarray(cq_h))
         cs = jax.device_put(jnp.asarray(cs_h))
-        qj = jax.device_put(jnp.asarray(queries))
+        qj = queries_dev
 
         @jax.jit
         def run_i8(qs, a, b):

@@ -29,9 +29,9 @@ def main():
         help="vector_search_fast profile: approx_max_k + bf16 corpus",
     )
     ap.add_argument(
-        "--profile", choices=["exact", "fast", "int8"], default=None,
-        help="index profile (exact f32 | bf16 approx | int8 quantized corpus); "
-        "--fast is shorthand for --profile fast",
+        "--profile", choices=["exact", "fast", "int8", "verified"], default=None,
+        help="index profile (exact f32 | bf16 approx | int8 quantized corpus | "
+        "verified-exact fast path); --fast is shorthand for --profile fast",
     )
     args = ap.parse_args()
     if args.fast and args.profile and args.profile != "fast":
@@ -72,6 +72,9 @@ def main():
         "exact": None,
         "fast": {"mode": "approx", "dtype": "bfloat16"},
         "int8": {"mode": "int8"},
+        # verified: serves results IDENTICAL to exact (coverage-proof rescore,
+        # ops/dense.dense_topk_verified) at prescreen speed
+        "verified": {"mode": "verified"},
     }[profile]
     pipe = VectorSearchPipeline(
         cat, "dense_serve", embedding_model=emb, index_options=index_options
