@@ -60,11 +60,22 @@ class MultiVectorIndex:
         normalize: bool = True,
         max_tokens: int | None = None,
         search_method: str = "auto",
+        mode: str = "exact",
     ):
         if len(ids) != len(doc_matrices):
             raise ValueError("ids/doc_matrices length mismatch")
+        if mode not in ("exact", "verified"):
+            raise ValueError(f"unknown mode: {mode}")
         self.ids = list(ids)
         self.normalize = normalize
+        # "verified": GUARANTEED-EXACT fast path — bf16 prescreen of the
+        # whole corpus keeps top-k' candidates, only those rescore in f32
+        # HIGHEST, and a per-query Cauchy-Schwarz coverage proof (or an
+        # exact re-run on failure) makes results ALWAYS equal mode="exact"
+        # including tie order (ops/maxsim.maxsim_topk_verified). Safe for
+        # parity runs. On a mesh: per-shard verified + deterministic merge
+        # (parallel/sharded.sharded_maxsim_topk_verified).
+        self.mode = mode
         # default kernel for search(): "auto" picks the measured winner per
         # dtype/backend (ops/maxsim.maxsim_topk). Pin to "xla" for
         # cross-device bit-parity on tie-dense workloads — different scoring
@@ -78,6 +89,8 @@ class MultiVectorIndex:
         ]
         self._docs, self._lens = pad_ragged(mats, max_tokens)
         self._n = len(self.ids)
+        self._sidecar: dict | None = None
+        self._lo_device: jax.Array | None = None
         # single-vector proxy per doc (mean of token vectors, normalized) —
         # the PLAID-style candidate-generation stage (see ``search``'s
         # ``prefilter`` and ops/maxsim.maxsim_rerank)
@@ -107,6 +120,13 @@ class MultiVectorIndex:
     def to_device(self, mesh=None) -> "MultiVectorIndex":
         docs = jnp.asarray(self._docs)
         lens = jnp.asarray(self._lens)
+        lo = None
+        if self.mode == "verified" and self._n:
+            from autorag_research_tpu.ops.maxsim import build_maxsim_sidecar
+
+            if self._sidecar is None:
+                self._sidecar = build_maxsim_sidecar(self._docs, self._lens)
+            lo = jnp.asarray(self._sidecar["docs_lo"])
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -119,12 +139,19 @@ class MultiVectorIndex:
                 lens = jnp.pad(lens, (0, pad))
             docs = jax.device_put(docs, NamedSharding(mesh, P(CORPUS_AXIS, None, None)))
             lens = jax.device_put(lens, NamedSharding(mesh, P(CORPUS_AXIS)))
+            if lo is not None:
+                if pad:
+                    lo = jnp.pad(lo, ((0, pad), (0, 0), (0, 0)))
+                lo = jax.device_put(lo, NamedSharding(mesh, P(CORPUS_AXIS, None, None)))
             self._mesh = mesh
         else:
             docs = jax.device_put(docs)
             lens = jax.device_put(lens)
+            if lo is not None:
+                lo = jax.device_put(lo)
             self._mesh = None
         self._device = (docs, lens)
+        self._lo_device = lo
         return self
 
     def search(
@@ -157,7 +184,10 @@ class MultiVectorIndex:
         q, q_lens = pad_ragged(mats)
         docs, lens = self._device  # type: ignore[misc]
         if getattr(self, "_mesh", None) is not None:
-            from autorag_research_tpu.parallel.sharded import sharded_maxsim_topk
+            from autorag_research_tpu.parallel.sharded import (
+                sharded_maxsim_topk,
+                sharded_maxsim_topk_verified,
+            )
 
             if prefilter is not None:
                 import logging
@@ -168,10 +198,17 @@ class MultiVectorIndex:
                     "prefilter=%s is ignored on a mesh-sharded MultiVectorIndex "
                     "(exact full scan runs instead)", prefilter,
                 )
-            scores, rows = sharded_maxsim_topk(
-                jnp.asarray(q), jnp.asarray(q_lens), docs, lens, k, self._n,
-                self._mesh, method=method,
-            )
+            if self.mode == "verified":
+                scores, rows = sharded_maxsim_topk_verified(
+                    jnp.asarray(q), jnp.asarray(q_lens), docs, lens,
+                    self._lo_device, self._sidecar["nd_max"],
+                    self._sidecar["r_max"], k, self._n, self._mesh,
+                )
+            else:
+                scores, rows = sharded_maxsim_topk(
+                    jnp.asarray(q), jnp.asarray(q_lens), docs, lens, k, self._n,
+                    self._mesh, method=method,
+                )
         elif prefilter is not None:
             from autorag_research_tpu.ops.dense import dense_topk
             from autorag_research_tpu.ops.maxsim import maxsim_rerank
@@ -188,6 +225,13 @@ class MultiVectorIndex:
             # stage 2: exact MaxSim over the candidates only
             scores, rows = maxsim_rerank(
                 jnp.asarray(q), jnp.asarray(q_lens), docs, lens, cand, k
+            )
+        elif self.mode == "verified":
+            from autorag_research_tpu.ops.maxsim import maxsim_topk_verified
+
+            scores, rows = maxsim_topk_verified(
+                jnp.asarray(q), jnp.asarray(q_lens), docs, lens,
+                {**self._sidecar, "docs_lo": self._lo_device}, k,
             )
         else:
             scores, rows = maxsim_topk(
@@ -220,6 +264,7 @@ class MultiVectorIndex:
                     "kind": "multi_vector",
                     "normalize": self.normalize,
                     "search_method": self.search_method,
+                    "mode": self.mode,
                     "ids": self.ids,
                 },
                 default=str,
@@ -235,10 +280,14 @@ class MultiVectorIndex:
         idx.ids = meta["ids"]
         idx.normalize = meta["normalize"]
         idx.search_method = meta.get("search_method", "auto")
+        idx.mode = meta.get("mode", "exact")
         idx._docs = arrays["docs"]
         idx._lens = arrays["lens"]
         idx._n = len(idx.ids)
         idx._device = None
+        # sidecar is derived state — rebuilt on first to_device()
+        idx._sidecar = None
+        idx._lo_device = None
         # rebuild the prefilter proxies (derived state, cheap vs the npz read)
         idx._proxies = _mean_token_proxies(idx._docs, idx._lens)
         idx._proxies_device = None

@@ -642,3 +642,201 @@ def maxsim_topk(queries, query_lens, docs, doc_lens, k, method: str = "auto"):
     if method == "xla":
         return maxsim_topk_xla(queries, query_lens, docs, doc_lens, k)
     raise ValueError(f"unknown maxsim method: {method}")
+
+
+# ------------------------------------------------------- verified-exact path
+def build_maxsim_sidecar(docs, doc_lens) -> dict:
+    """Host-side prescreen sidecar for :func:`maxsim_topk_verified`.
+
+    Returns ``{"docs_lo", "nd_max", "r_max"}``:
+
+    - ``docs_lo``: bf16 copy of the padded ``[N, Td, d]`` token matrix —
+      the low-precision prescreen corpus (half the HBM traffic of f32).
+    - ``nd_max``: max_j ||d_j||_2 over all VALID doc token vectors.
+    - ``r_max``: max_j ||d_j - bf16(d_j)||_2 over all valid doc tokens —
+      the exact per-token quantization residual, maximized.
+
+    Maxima are computed in float64 and rounded UP (slack factor + nextafter)
+    so they are provable upper bounds for the f32 arithmetic on device.
+    Padding tokens are zeros (bf16-exact, residual 0) and are masked by
+    ``doc_lens`` in every kernel, so including them in neither maximum
+    changes validity.
+    """
+    import ml_dtypes
+    import numpy as np
+
+    d32 = np.asarray(docs, dtype=np.float32)
+    if d32.size == 0:
+        raise ValueError("cannot build a maxsim sidecar for an empty corpus")
+    docs_lo = d32.astype(ml_dtypes.bfloat16)
+    d64 = d32.astype(np.float64)
+    resid = d64 - docs_lo.astype(np.float64)
+
+    def _up(x: float) -> float:
+        x32 = np.float32(x * (1.0 + 1e-6))
+        return float(np.nextafter(x32, np.float32(np.inf)))
+
+    r_max = _up(float(np.sqrt((resid * resid).sum(axis=2)).max()))
+    nd_max = _up(float(np.sqrt((d64 * d64).sum(axis=2)).max()))
+    return {"docs_lo": docs_lo, "nd_max": nd_max, "r_max": r_max}
+
+
+def _maxsim_prescreen_eps(qf, q_hat, q_mask, nd_max, r_max):
+    """Provable per-query MaxSim error bound (raw un-normalized scores).
+
+    For one query token t and any doc token s:
+      |q_t·d_s − q̂_t·d̂_s| <= ||q_t − q̂_t||·nd_max + ||q̂_t||·r_max   (C-S)
+    max over s is 1-Lipschitz in the sup-norm, and MaxSim sums over the
+    valid query tokens, so eps = sum_t of the per-token bounds. The 1.001
+    factor + the (d + Tq)·2^-23 term cover every f32 evaluation rounding
+    (per-dot accumulation over d, the Tq-term score sum, norms, and the f32
+    accumulation of the bf16 MXU prescreen), scaled by the norm products
+    they bound — the same slack structure as ops/dense._prescreen_eps."""
+    d = qf.shape[2]
+    tq = qf.shape[1]
+    eq = qf - q_hat
+    eqn = jnp.sqrt(jnp.sum(eq * eq, axis=2))  # [B, Tq]
+    qn = jnp.sqrt(jnp.sum(q_hat * q_hat, axis=2))  # [B, Tq]
+    eqn = jnp.where(q_mask, eqn, 0.0)
+    qn = jnp.where(q_mask, qn, 0.0)
+    s_eqn = jnp.sum(eqn, axis=1)
+    s_qn = jnp.sum(qn, axis=1)
+    return (s_eqn * nd_max + s_qn * r_max) * 1.001 + (
+        (d + tq) * 2.0**-23
+    ) * s_qn * (nd_max + r_max) + 1e-30
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "kprime", "second_chance", "tile_n")
+)
+def _maxsim_topk_verified(
+    queries: jax.Array,  # [B, Tq, d] f32
+    query_lens: jax.Array,  # [B]
+    docs: jax.Array,  # [N, Td, d] f32 (exact)
+    doc_lens: jax.Array,  # [N]
+    docs_lo: jax.Array,  # [N, Td, d] bf16 (prescreen)
+    nd_max: jax.Array,
+    r_max: jax.Array,
+    k: int,
+    kprime: int,
+    second_chance: int,
+    tile_n: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    b, tq, d = queries.shape
+    n = docs.shape[0]
+    k_eff = min(k, n)
+    kp_eff = min(kprime, n)
+    f_cap = min(second_chance, b)
+    qf = queries.astype(jnp.float32)
+    q_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, tq), 1) < query_lens[:, None]
+    )
+
+    # ---- pass 1: bf16 prescreen full scan -> top-(k'+1) candidates ---------
+    q_lo = qf.astype(jnp.bfloat16)
+    q_hat = q_lo.astype(jnp.float32)
+    eps = _maxsim_prescreen_eps(qf, q_hat, q_mask, nd_max, r_max)
+    ps, pi = maxsim_topk_xla(
+        q_lo, query_lens, docs_lo, doc_lens, kp_eff + 1, tile_n=tile_n
+    )
+    # (k'+1)-th prescreen score: any non-candidate doc scores <= this
+    boundary = ps[:, kp_eff] if ps.shape[1] > kp_eff else jnp.full(
+        (b,), NEG_INF, jnp.float32
+    )
+    cand = pi[:, :kp_eff]  # [B, k'] rows; INT_MAX pads when n < k'+1
+
+    # ---- pass 2: exact f32 HIGHEST rescore of the candidates only ----------
+    out_s, out_i = maxsim_rerank(
+        qf, query_lens, docs, doc_lens, cand, k_eff
+    )
+
+    # ---- verification: no non-candidate doc can reach the top-k ------------
+    # A doc with true >= e_(k) must prescreen >= theta = e_(k) - eps; every
+    # non-candidate prescreens <= boundary, so boundary < theta proves the
+    # true top-k — including (-score, id) tie order — lies inside the
+    # exactly-ranked candidate set.
+    ekth = out_s[:, k_eff - 1]
+    theta = ekth - eps
+    ok_q = boundary < theta
+    n_fail = jnp.sum((~ok_q).astype(jnp.int32))
+
+    # ---- second chance: full exact scan for up to f_cap failed queries -----
+    if f_cap > 0:
+        prio = jnp.where(
+            ok_q,
+            b + jnp.arange(b, dtype=jnp.int32),
+            jnp.arange(b, dtype=jnp.int32),
+        )
+        order = jnp.argsort(prio)[:f_cap]
+        fs, fi = maxsim_topk_xla(
+            qf[order], query_lens[order], docs, doc_lens, k_eff, tile_n=tile_n
+        )
+        take = ~ok_q[order]
+        out_s = out_s.at[order].set(jnp.where(take[:, None], fs, out_s[order]))
+        out_i = out_i.at[order].set(jnp.where(take[:, None], fi, out_i[order]))
+
+    covered = n_fail <= f_cap
+
+    def _keep(args):
+        return args
+
+    def _full(args):
+        return maxsim_topk_xla(qf, query_lens, docs, doc_lens, k_eff, tile_n=tile_n)
+
+    out_s, out_i = jax.lax.cond(covered, _keep, _full, (out_s, out_i))
+    out_s, out_i = pad_to_k(out_s, out_i, k, k_eff)
+    return out_s, out_i, n_fail, covered
+
+
+def maxsim_topk_verified(
+    queries: jax.Array,  # [B, Tq, d]
+    query_lens: jax.Array,  # [B]
+    docs: jax.Array,  # [N, Td, d] f32 exact
+    doc_lens: jax.Array,  # [N]
+    sidecar: dict,
+    k: int,
+    kprime: int = 32,
+    second_chance: int = 0,
+    tile_n: int | None = None,
+    return_stats: bool = False,
+):
+    """GUARANTEED-EXACT MaxSim top-k at bf16-prescreen speed.
+
+    Two passes: (1) the bf16 XLA scan (the measured-fastest full-scan engine
+    for bf16 inputs) prescreens ALL docs and keeps the top-``kprime``
+    candidates plus the (k'+1)-th boundary score; (2) only the candidates
+    are rescored exactly (f32 ``Precision.HIGHEST``, :func:`maxsim_rerank`)
+    and selected by ``(-score, doc_id)``.
+
+    Exactness is verified per query, never assumed: a provable per-query
+    error bound eps (Cauchy-Schwarz over the sidecar's exact residual norms,
+    summed over the query's valid tokens — :func:`build_maxsim_sidecar`)
+    defines the prescreen score a contender must reach; ``boundary <
+    e_k - eps`` proves the true top-k lies inside the exactly-ranked
+    candidate set. Failures re-run as full exact scans (``second_chance``
+    per batch at fixed cost, else the whole batch falls back), so results
+    ALWAYS equal ``maxsim_topk(..., method='xla')`` on f32 inputs —
+    including tie order on exact ties — up to the same sub-ulp
+    reduction-split caveat the dense verified path documents.
+
+    Replaces the reference's per-query MaxSim Postgres scan (VectorChord
+    ``@#``, ``orm/repository/base.py:487-571``) without giving up its
+    exactness contract. Raw (un-normalized) scores, like every other
+    maxsim_* op; callers divide by the query token count.
+    """
+    out_s, out_i, n_fail, covered = _maxsim_topk_verified(
+        queries,
+        query_lens,
+        docs,
+        doc_lens,
+        jnp.asarray(sidecar["docs_lo"]),
+        jnp.float32(sidecar["nd_max"]),
+        jnp.float32(sidecar["r_max"]),
+        k,
+        kprime,
+        second_chance,
+        tile_n,
+    )
+    if return_stats:
+        return out_s, out_i, n_fail, covered
+    return out_s, out_i

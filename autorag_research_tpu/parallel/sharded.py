@@ -295,6 +295,60 @@ def sharded_maxsim_topk(
     return pad_to_k(scores, ids, k, k_eff)
 
 
+def sharded_maxsim_topk_verified(
+    queries: jax.Array,  # [B, Tq, d] replicated
+    query_lens: jax.Array,  # [B]
+    docs: jax.Array,  # [N_pad, Td, d] f32, sharded on corpus axis
+    doc_lens: jax.Array,  # [N_pad] sharded (pad rows carry 0)
+    docs_lo: jax.Array,  # [N_pad, Td, d] bf16 prescreen, sharded
+    nd_max,
+    r_max,
+    k: int,
+    n_total: int,
+    mesh: Mesh,
+    kprime: int = 32,
+) -> tuple[jax.Array, jax.Array]:
+    """Sharded verified-exact MaxSim top-k: each shard runs the verified
+    fast path (bf16 prescreen + bound-checked exact rescore,
+    ``ops/maxsim._maxsim_topk_verified``) over its slice — pad docs carry
+    ``doc_lens == 0`` and are masked by every engine — then the per-shard
+    EXACT lists merge by the global ``(-score, doc row)`` order. Same
+    exactness contract as :func:`sharded_maxsim_topk` at verified speed."""
+    from autorag_research_tpu.ops.maxsim import _maxsim_topk_verified
+
+    n_shards = mesh.shape[CORPUS_AXIS]
+    shard_rows = docs.shape[0] // n_shards
+    k_eff = min(k, n_total)
+
+    def local_search(q, qlens, d_shard, dlens_shard, lo_shard):
+        scores, local_ids, _, _ = _maxsim_topk_verified(
+            q, qlens, d_shard, dlens_shard, lo_shard,
+            jnp.float32(nd_max), jnp.float32(r_max),
+            k_eff, kprime, 0,
+        )
+        offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
+        valid = (local_ids >= 0) & (local_ids < shard_rows) & (local_ids != INT_MAX)
+        gids = jnp.where(valid, local_ids + offset, INT_MAX)
+        valid &= gids < n_total
+        scores = jnp.where(valid, scores, NEG_INF)
+        gids = jnp.where(valid, gids, INT_MAX)
+        all_s = jax.lax.all_gather(scores, CORPUS_AXIS)
+        all_i = jax.lax.all_gather(gids, CORPUS_AXIS)
+        return merge_topk(jnp.swapaxes(all_s, 0, 1), jnp.swapaxes(all_i, 0, 1), k_eff)
+
+    scores, ids = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None), P(None),
+            P(CORPUS_AXIS, None, None), P(CORPUS_AXIS), P(CORPUS_AXIS, None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(queries, query_lens, docs, doc_lens, docs_lo)
+    return pad_to_k(scores, ids, k, k_eff)
+
+
 def shard_corpus_verified(
     corpus: jax.Array, sidecar: dict, mesh: Mesh, block: int = 2048
 ) -> tuple[jax.Array, jax.Array]:
