@@ -669,16 +669,23 @@ def build_maxsim_sidecar(docs, doc_lens) -> dict:
     if d32.size == 0:
         raise ValueError("cannot build a maxsim sidecar for an empty corpus")
     docs_lo = d32.astype(ml_dtypes.bfloat16)
-    d64 = d32.astype(np.float64)
-    resid = d64 - docs_lo.astype(np.float64)
+    # row-chunked f64 maxima: the [N, Td, d] f64 intermediates would be 4x
+    # the corpus (13 GB at 50k x 128 x 128); max is associative, so chunking
+    # changes peak memory only
+    r_max = 0.0
+    nd_max = 0.0
+    chunk = max(1, (1 << 28) // max(d32.shape[1] * d32.shape[2] * 8, 1))
+    for lo in range(0, d32.shape[0], chunk):
+        d64 = d32[lo : lo + chunk].astype(np.float64)
+        resid = d64 - docs_lo[lo : lo + chunk].astype(np.float64)
+        r_max = max(r_max, float(np.sqrt((resid * resid).sum(axis=2)).max()))
+        nd_max = max(nd_max, float(np.sqrt((d64 * d64).sum(axis=2)).max()))
 
     def _up(x: float) -> float:
         x32 = np.float32(x * (1.0 + 1e-6))
         return float(np.nextafter(x32, np.float32(np.inf)))
 
-    r_max = _up(float(np.sqrt((resid * resid).sum(axis=2)).max()))
-    nd_max = _up(float(np.sqrt((d64 * d64).sum(axis=2)).max()))
-    return {"docs_lo": docs_lo, "nd_max": nd_max, "r_max": r_max}
+    return {"docs_lo": docs_lo, "nd_max": _up(nd_max), "r_max": _up(r_max)}
 
 
 def _maxsim_prescreen_eps(qf, q_hat, q_mask, nd_max, r_max):

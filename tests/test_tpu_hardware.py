@@ -138,6 +138,43 @@ def test_verified_exact_agrees_on_tpu(rng):
     assert row[0] == 77 and row[1] == 40000
 
 
+def test_maxsim_verified_agrees_on_tpu(rng):
+    """Verified-exact MaxSim vs the f32 exact scan on the real chip,
+    including duplicate-doc tie order."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.maxsim import (
+        build_maxsim_sidecar,
+        maxsim_topk_verified,
+        maxsim_topk_xla,
+    )
+
+    docs = rng.normal(size=(8192, 64, 128)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=2, keepdims=True)
+    dl = rng.integers(16, 65, size=8192).astype(np.int32)
+    tok = np.arange(64)[None, :] < dl[:, None]
+    docs *= tok[:, :, None]
+    docs[50] = docs[7000]  # exact duplicate tie
+    dl[50] = dl[7000]
+    q = rng.normal(size=(8, 32, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=2, keepdims=True)
+    ql = np.full(8, 32, np.int32)
+    take = min(int(dl[50]), 32)
+    q[0, :take] = docs[50, :take]
+    ql[0] = take
+    side = build_maxsim_sidecar(docs, dl)
+    s1, i1 = maxsim_topk_xla(jnp.asarray(q), jnp.asarray(ql), jnp.asarray(docs), jnp.asarray(dl), 10)
+    s2, i2, nf, cov = maxsim_topk_verified(
+        jnp.asarray(q), jnp.asarray(ql), jnp.asarray(docs), jnp.asarray(dl),
+        side, 10, kprime=32, return_stats=True,
+    )
+    s1, i1, s2, i2 = map(np.asarray, (s1, i1, s2, i2))
+    mism = i1 != i2
+    assert (np.abs(s2[mism] - s1[mism]) <= 4e-7 * (1 + np.abs(s1[mism]))).all()
+    row = i2[0].tolist()
+    assert row[0] == 50 and row[1] == 7000
+
+
 def test_probe_packed_agrees_on_tpu(rng):
     """probe x packed kernel vs v2 full scan on the real chip."""
     import jax.numpy as jnp
