@@ -802,7 +802,7 @@ def maxsim_topk_verified(
     doc_lens: jax.Array,  # [N]
     sidecar: dict,
     k: int,
-    kprime: int = 32,
+    kprime: int = 64,
     second_chance: int = 0,
     tile_n: int | None = None,
     return_stats: bool = False,
@@ -830,6 +830,15 @@ def maxsim_topk_verified(
     ``@#``, ``orm/repository/base.py:487-571``) without giving up its
     exactness contract. Raw (un-normalized) scores, like every other
     maxsim_* op; callers divide by the query token count.
+
+    ``kprime`` sizing (v5e, 50k x 128tok x 128d random corpus,
+    scripts/bench_maxsim_verified.py): eps sums over the query's tokens
+    (~0.077 raw at 32 unit-norm tokens with the bf16 r_max 0.0024), so the
+    (k'+1)-th boundary must sit that far below e_k — kp<=32 failed ~41% of
+    random queries (every failure pays a full exact scan: 163 QPS, SLOWER
+    than exact alone) while kp=64 passed with 602.8 QPS = 2.9x the exact
+    f32 scan. Real clustered corpora have wider gaps; random data is the
+    worst case. Failures only ever cost speed, never exactness.
     """
     out_s, out_i, n_fail, covered = _maxsim_topk_verified(
         queries,

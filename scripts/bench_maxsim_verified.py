@@ -83,7 +83,7 @@ def main():
             q.astype(jnp.bfloat16), ql, d_.astype(jnp.bfloat16), dl, K
         ),
     )
-    for kp in (16, 32, 64):
+    for kp in (16, 32, 64, 128):
         results[f"verified_kp{kp}"] = measure(
             f"VERIFIED kprime={kp}",
             lambda q, ql, d_, dl, lo, kp=kp: _maxsim_topk_verified(
@@ -95,24 +95,25 @@ def main():
         )
 
     # correctness + fail-rate spot check over all REPS batches
-    s0, i0 = maxsim_topk_xla(q_d[0], ql_d[0], docs_d, dlens_d, K)
-    fails = 0
-    mism = 0
-    for r in range(REPS):
-        es, ei = maxsim_topk_xla(q_d[r], ql_d[r], docs_d, dlens_d, K)
-        vs, vi, nf, cov = _maxsim_topk_verified(
-            q_d[r], ql_d[r], docs_d, dlens_d, lo_d,
-            jnp.float32(side["nd_max"]), jnp.float32(side["r_max"]),
-            K, 32, 0,
+    for kp in (32, 64, 128):
+        fails = 0
+        mism = 0
+        for r in range(REPS):
+            es, ei = maxsim_topk_xla(q_d[r], ql_d[r], docs_d, dlens_d, K)
+            vs, vi, nf, cov = _maxsim_topk_verified(
+                q_d[r], ql_d[r], docs_d, dlens_d, lo_d,
+                jnp.float32(side["nd_max"]), jnp.float32(side["r_max"]),
+                K, kp, 0,
+            )
+            fails += int(nf)
+            mism += int((np.asarray(vi) != np.asarray(ei)).sum())
+        print(
+            f"verified kp={kp}: fails={fails}/{REPS * B} "
+            f"id mismatches={mism}/{REPS * B * K}",
+            file=sys.stderr,
         )
-        fails += int(nf)
-        mism += int((np.asarray(vi) != np.asarray(ei)).sum())
-    print(
-        f"verified kp=32: fails={fails}/{REPS * B} id mismatches={mism}/{REPS * B * K}",
-        file=sys.stderr,
-    )
-    results["fails"] = fails
-    results["id_mismatches"] = mism
+        results[f"fails_kp{kp}"] = fails
+        results[f"id_mismatches_kp{kp}"] = mism
     print({"metric": "maxsim_verified", "n": args.n, "td": args.td, **results})
 
 
