@@ -336,6 +336,45 @@ def test_fast_profile_serving(tmp_path):
         registry.invalidate()
 
 
+def test_verified_profile_serves_identical_to_exact(tmp_path):
+    """The verified profile must return the exact profile's results —
+    same ids AND same scores (it is the guaranteed-exact fast path)."""
+    import numpy as np
+
+    from autorag_research_tpu.embeddings.base import MockEmbedding
+    from autorag_research_tpu.pipelines.retrieval.vector_search import (
+        VectorSearchPipeline,
+    )
+    from autorag_research_tpu.store.ingestion import IngestionService
+
+    registry.invalidate()
+    cat = Catalog(tmp_path / "ver.db")
+    cat.add_chunks([{"id": i, "contents": f"document {i}"} for i in range(60)])
+    emb = MockEmbedding(dim=32)
+    IngestionService(cat).embed_all(emb, batch_size=16)
+    exact = VectorSearchPipeline(cat, "dense_exact", embedding_model=emb)
+    verified = VectorSearchPipeline(
+        cat, "dense_verified", embedding_model=emb,
+        index_options={"mode": "verified"},
+    )
+    h = ServingHandle(
+        cat, {"exact": exact, "verified": verified}, batch_window_ms=5
+    ).start(port=0)
+    try:
+        for q in ("document 7", "document 41", "unrelated words"):
+            _, de = post(h, "/search", {"query": q, "top_k": 5, "pipeline": "exact"})
+            _, dv = post(h, "/search", {"query": q, "top_k": 5, "pipeline": "verified"})
+            assert [r["doc_id"] for r in de["results"][0]] == [
+                r["doc_id"] for r in dv["results"][0]
+            ]
+            se = [r["score"] for r in de["results"][0]]
+            sv = [r["score"] for r in dv["results"][0]]
+            np.testing.assert_allclose(se, sv, rtol=1e-6, atol=1e-7)
+    finally:
+        h.stop()
+        registry.invalidate()
+
+
 def test_generate_mixed_top_k_not_coalesced(tmp_path):
     """Jobs with different top_k in one /generate window must NOT share a
     max(top_k) retrieval: the answer is conditioned on however many chunks
