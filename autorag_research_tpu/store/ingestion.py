@@ -84,6 +84,10 @@ class IngestionService:
         if stats.total == 0:
             return stats
         logger.info("embedding %d %s rows (multi=%s)", stats.total, table, multi)
+        if not multi and not image and hasattr(embedding_model, "embed_texts_device"):
+            return self._embed_table_pipelined(
+                embedding_model, table, batch_size, stats, max_batches
+            )
         batches_done = 0
         while True:
             rows = self.catalog.fetch_unembedded(
@@ -148,6 +152,86 @@ class IngestionService:
                     except Exception as item_exc:  # noqa: BLE001
                         logger.warning("quarantining %s row %s: %s", table, rid, item_exc)
                         stats.failed_ids.append(rid)
+        if stats.failed_ids:
+            logger.warning(
+                "%d %s rows failed embedding: %s",
+                len(stats.failed_ids), table, stats.failed_ids[:10],
+            )
+        return stats
+
+    def _embed_rows_per_item(
+        self, embedding_model, table: str, ids, texts, stats: EmbedStats
+    ) -> None:
+        """Per-item quarantine fallback (shared by the sync and pipelined
+        paths): embed each row alone; rows that still fail are quarantined
+        for this run (reference ``base_ingestion.py:386-401``)."""
+        for rid, text in zip(ids, texts):
+            try:
+                v = embedding_model.embed_texts([text])[0]
+                if v is None:
+                    raise ValueError("embedder returned None")
+                self.catalog.set_embeddings(table, [(rid, v)])
+                stats.embedded += 1
+            except Exception as item_exc:  # noqa: BLE001
+                logger.warning("quarantining %s row %s: %s", table, rid, item_exc)
+                stats.failed_ids.append(rid)
+
+    def _embed_table_pipelined(
+        self, embedding_model, table: str, batch_size: int,
+        stats: EmbedStats, max_batches: int | None,
+    ) -> EmbedStats:
+        """Double-buffered device embedding for single-vector text tables.
+
+        Dispatch batch i+1 BEFORE reading back batch i: JAX dispatch is
+        async, so the device computes the next batch while the host pays
+        the device->host readback + catalog write of the previous one.
+        Measured root cause (scripts/profile_query_floor.py + the 1M ingest
+        e2e run): the synchronous loop is readback-bound through the axon
+        tunnel (~90 ms/batch readback + ~30 ms dispatch RTT vs ~170 ms
+        compute), so overlapping them approaches the raw encoder rate.
+        Resume/quarantine semantics identical to the synchronous path."""
+        batches_done = 0
+        pending: tuple | None = None  # (ids, texts, device array)
+        inflight: list = []
+        while True:
+            rows = []
+            if max_batches is None or batches_done < max_batches:
+                rows = self.catalog.fetch_unembedded(
+                    table, batch_size,
+                    exclude_ids=list(stats.failed_ids) + inflight,
+                )
+            ids: list = []
+            texts: list = []
+            dev = None
+            if rows:
+                batches_done += 1
+                ids = [r["id"] for r in rows]
+                texts = [r["contents"] for r in rows]
+                try:
+                    dev = embedding_model.embed_texts_device(texts)
+                except Exception as exc:  # noqa: BLE001 - batch-level quarantine
+                    logger.warning(
+                        "device embed dispatch failed (%s); retrying per item", exc
+                    )
+                    self._embed_rows_per_item(embedding_model, table, ids, texts, stats)
+                    ids, texts = [], []
+            if pending is not None:
+                pids, ptexts, parr = pending
+                try:
+                    vecs = np.asarray(parr)  # blocks; overlaps the new dispatch
+                    self.catalog.set_embeddings(table, list(zip(pids, vecs)))
+                    stats.embedded += len(pids)
+                except Exception as exc:  # noqa: BLE001
+                    logger.warning(
+                        "pipelined embed readback failed (%s); retrying per item", exc
+                    )
+                    self._embed_rows_per_item(
+                        embedding_model, table, pids, ptexts, stats
+                    )
+            pending = (ids, texts, dev) if dev is not None else None
+            inflight = ids if dev is not None else []
+            if not rows and pending is None:
+                break
         if stats.failed_ids:
             logger.warning(
                 "%d %s rows failed embedding: %s",

@@ -124,6 +124,76 @@ class TestEmbedQuarantine:
         assert cat.count_unembedded("chunk") == 1
 
 
+class TestPipelinedEmbedLoop:
+    """Double-buffered device-embedder path (_embed_table_pipelined):
+    overlaps readback+write of batch i with the dispatch of batch i+1."""
+
+    class DeviceEmbedding(MockEmbedding):
+        """Mock with the device hot path: embed_texts_device returns the
+        same vectors as embed_texts (as a jnp array), like JaxEncoder."""
+
+        def __init__(self, dim=8):
+            super().__init__(dim=dim)
+            self.device_calls = 0
+
+        def embed_texts_device(self, texts):
+            import jax.numpy as jnp
+
+            self.device_calls += 1
+            return jnp.asarray(np.asarray(self.embed_texts(texts)))
+
+    def test_pipelined_equals_sync(self, tmp_path):
+        rows = [{"id": i, "contents": f"text number {i}"} for i in range(23)]
+        cat_p = Catalog(tmp_path / "p.db")
+        cat_p.add_chunks(rows)
+        emb = self.DeviceEmbedding(dim=8)
+        stats = IngestionService(cat_p).embed_table(emb, "chunk", batch_size=5)
+        assert stats.embedded == 23 and not stats.failed_ids
+        assert emb.device_calls == 5  # the pipelined path actually ran
+        assert cat_p.count_unembedded("chunk") == 0
+
+        cat_s = Catalog(tmp_path / "s.db")
+        cat_s.add_chunks(rows)
+        sync_emb = MockEmbedding(dim=8)
+        IngestionService(cat_s).embed_table(sync_emb, "chunk", batch_size=5)
+        ids_p, mat_p = cat_p.get_embeddings_matrix("chunk")
+        ids_s, mat_s = cat_s.get_embeddings_matrix("chunk")
+        assert ids_p == ids_s
+        np.testing.assert_allclose(mat_p, mat_s, rtol=1e-6)
+
+    def test_pipelined_dispatch_failure_quarantines_per_item(self, tmp_path):
+        class Flaky(self.DeviceEmbedding):
+            def embed_texts_device(self, texts):
+                if any("poison" in t for t in texts):
+                    raise RuntimeError("bad batch")
+                return super().embed_texts_device(texts)
+
+            def embed_texts(self, texts):
+                if any("poison" in t for t in texts):
+                    raise RuntimeError("bad item")
+                return super().embed_texts(texts)
+
+        cat = Catalog(tmp_path / "f.db")
+        cat.add_chunks(
+            [{"id": 1, "contents": "fine"}, {"id": 2, "contents": "poison pill"},
+             {"id": 3, "contents": "also fine"}]
+        )
+        stats = IngestionService(cat).embed_table(Flaky(dim=8), "chunk", batch_size=10)
+        assert stats.embedded == 2
+        assert stats.failed_ids == [2]
+        assert cat.count_unembedded("chunk") == 1
+
+    def test_pipelined_resume_skips_existing(self, tmp_path):
+        cat = Catalog(tmp_path / "r.db")
+        cat.add_chunks([{"id": i, "contents": f"t{i}"} for i in range(9)])
+        emb = self.DeviceEmbedding(dim=8)
+        IngestionService(cat).embed_table(emb, "chunk", batch_size=4, max_batches=1)
+        assert cat.count_unembedded("chunk") == 5
+        stats = IngestionService(cat).embed_table(emb, "chunk", batch_size=4)
+        assert stats.embedded == 5  # only the remaining rows
+        assert cat.count_unembedded("chunk") == 0
+
+
 class TestLocalIngestor:
     def test_local_jsonl(self, tmp_path):
         d = tmp_path / "local"
