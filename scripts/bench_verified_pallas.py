@@ -19,7 +19,8 @@ from autorag_research_tpu.ops.dense import (  # noqa: E402
     dense_topk_xla_full,
 )
 
-D, K, REPS = 768, 10, 20
+D, K = 768, 10
+REPS = 20
 
 
 def timed(run, *args):
@@ -32,22 +33,32 @@ def timed(run, *args):
 
 
 def main():
+    global REPS
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=500_000)
     ap.add_argument("--q", type=int, default=256)
+    ap.add_argument("--reps", type=int, default=20,
+                    help="lax.map scan length; remote compile grows with it "
+                    "— use <=8 at q=1024")
+    ap.add_argument("--fast", action="store_true",
+                    help="exact baseline + m=64 j=1 only (skip the sweeps)")
     args = ap.parse_args()
     n, q_sz = args.n, args.q
-    print(f"devices: {jax.devices()}", file=sys.stderr)
+    REPS = args.reps
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
     corpus = rng.standard_normal((n, D), dtype=np.float32)
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
     queries = rng.standard_normal((REPS, q_sz, D), dtype=np.float32)
     queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+    print("building sidecar ...", file=sys.stderr, flush=True)
     side = build_verified_sidecar(corpus, rep="bf16", pad_rows_to=4096)
+    print("transferring ...", file=sys.stderr, flush=True)
     c_d = jax.device_put(jnp.asarray(corpus))
     lo_d = jax.device_put(jnp.asarray(side["corpus_lo"]))
     q_d = jnp.asarray(queries)
     q_lo = jnp.asarray(queries[0], dtype=jnp.bfloat16)
+    print("compiling exact baseline ...", file=sys.stderr, flush=True)
 
     # exact baseline
     @jax.jit
@@ -57,11 +68,11 @@ def main():
 
     dt, (ids_exact,) = timed(run_exact, q_d, c_d)
     ids_exact = np.asarray(ids_exact)
-    print(f"exact xla_full        {dt*1e3:7.2f} ms  {q_sz/dt:9.1f} QPS", file=sys.stderr)
+    print(f"exact xla_full        {dt*1e3:7.2f} ms  {q_sz/dt:9.1f} QPS", file=sys.stderr, flush=True)
     base_qps = q_sz / dt
 
     # kernel-only sweep
-    for sps, bq in [(8, 256), (16, 256), (32, 256), (16, 128), (64, 256)]:
+    for sps, bq in [] if args.fast else [(8, 256), (16, 256), (32, 256), (16, 128), (64, 256)]:
         @jax.jit
         def run_k(q, c, sps=sps, bq=bq):
             m1, l1, m2 = _seg_stats_pallas(q, c, n, 128, bq, sps)
@@ -76,7 +87,7 @@ def main():
         print(f"kernel sps={sps:3d} bq={bq}: {dt*REPS*1e3:7.2f} ms/call", file=sys.stderr)
 
     results = {}
-    for m, j in [(64, 1), (64, 2), (128, 2), (128, 1)]:
+    for m, j in [(64, 1)] if args.fast else [(64, 1), (64, 2), (128, 2), (128, 1)]:
         @jax.jit
         def run_v(qs, corpus, lo, m=m, j=j):
             def one(q):
