@@ -107,6 +107,13 @@ DEFAULT_CONFIGS: dict[str, str] = {
         "type: vector_search\nsearch_mode: multi\ntop_k: 10\n"
         "index_options:\n  mode: verified\n"
     ),
+    # APPROXIMATE int8 late-interaction serving: per-token quantized corpus,
+    # s8 MXU contraction, 4x HBM capacity (ops/maxsim.maxsim_topk_int8) —
+    # never for parity runs
+    "pipelines/retrieval/vector_search_multi_int8.yaml": (
+        "type: vector_search\nsearch_mode: multi\ntop_k: 10\n"
+        "index_options:\n  mode: int8\n"
+    ),
     # --- remaining generation pipelines ----------------------------------
     "pipelines/generation/search_r1.yaml": (
         "type: search_r1\nretrieval_pipeline_name: bm25\nllm: mock\nmax_actions: 4\ntop_k: 5\n"

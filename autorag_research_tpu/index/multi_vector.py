@@ -64,7 +64,7 @@ class MultiVectorIndex:
     ):
         if len(ids) != len(doc_matrices):
             raise ValueError("ids/doc_matrices length mismatch")
-        if mode not in ("exact", "verified"):
+        if mode not in ("exact", "verified", "int8"):
             raise ValueError(f"unknown mode: {mode}")
         self.ids = list(ids)
         self.normalize = normalize
@@ -75,6 +75,10 @@ class MultiVectorIndex:
         # including tie order (ops/maxsim.maxsim_topk_verified). Safe for
         # parity runs. On a mesh: per-shard verified + deterministic merge
         # (parallel/sharded.sharded_maxsim_topk_verified).
+        # "int8": APPROXIMATE serving mode — per-token symmetric int8
+        # corpus, s8 MXU contraction, 4x HBM capacity (the f32 token matrix
+        # never ships to device). Never for parity/oracle runs
+        # (ops/maxsim.maxsim_topk_int8).
         self.mode = mode
         # default kernel for search(): "auto" picks the measured winner per
         # dtype/backend (ops/maxsim.maxsim_topk). Pin to "xla" for
@@ -91,6 +95,8 @@ class MultiVectorIndex:
         self._n = len(self.ids)
         self._sidecar: dict | None = None
         self._lo_device: jax.Array | None = None
+        self._int8: tuple | None = None  # (docs_q, scales) host cache
+        self._scales_device: jax.Array | None = None
         # single-vector proxy per doc (mean of token vectors, normalized) —
         # the PLAID-style candidate-generation stage (see ``search``'s
         # ``prefilter`` and ops/maxsim.maxsim_rerank)
@@ -118,7 +124,18 @@ class MultiVectorIndex:
         return self._docs.shape[1]
 
     def to_device(self, mesh=None) -> "MultiVectorIndex":
-        docs = jnp.asarray(self._docs)
+        scales = None
+        if self.mode == "int8" and self._n:
+            # the 4x-capacity point: quantize on host once, ship int8 — the
+            # f32 token matrix never occupies HBM
+            from autorag_research_tpu.ops.maxsim import quantize_int8_tokens
+
+            if self._int8 is None:
+                self._int8 = quantize_int8_tokens(self._docs)
+            docs = jnp.asarray(self._int8[0])
+            scales = jnp.asarray(self._int8[1])
+        else:
+            docs = jnp.asarray(self._docs)
         lens = jnp.asarray(self._lens)
         lo = None
         if self.mode == "verified" and self._n:
@@ -137,8 +154,12 @@ class MultiVectorIndex:
             if pad:
                 docs = jnp.pad(docs, ((0, pad), (0, 0), (0, 0)))
                 lens = jnp.pad(lens, (0, pad))
+                if scales is not None:
+                    scales = jnp.pad(scales, ((0, pad), (0, 0)))
             docs = jax.device_put(docs, NamedSharding(mesh, P(CORPUS_AXIS, None, None)))
             lens = jax.device_put(lens, NamedSharding(mesh, P(CORPUS_AXIS)))
+            if scales is not None:
+                scales = jax.device_put(scales, NamedSharding(mesh, P(CORPUS_AXIS, None)))
             if lo is not None:
                 if pad:
                     lo = jnp.pad(lo, ((0, pad), (0, 0), (0, 0)))
@@ -147,10 +168,13 @@ class MultiVectorIndex:
         else:
             docs = jax.device_put(docs)
             lens = jax.device_put(lens)
+            if scales is not None:
+                scales = jax.device_put(scales)
             if lo is not None:
                 lo = jax.device_put(lo)
             self._mesh = None
         self._device = (docs, lens)
+        self._scales_device = scales
         self._lo_device = lo
         return self
 
@@ -204,12 +228,28 @@ class MultiVectorIndex:
                     self._lo_device, self._sidecar["nd_max"],
                     self._sidecar["r_max"], k, self._n, self._mesh,
                 )
+            elif self.mode == "int8":
+                from autorag_research_tpu.parallel.sharded import (
+                    sharded_maxsim_topk_int8,
+                )
+
+                scores, rows = sharded_maxsim_topk_int8(
+                    jnp.asarray(q), jnp.asarray(q_lens), docs,
+                    self._scales_device, lens, k, self._n, self._mesh,
+                )
             else:
                 scores, rows = sharded_maxsim_topk(
                     jnp.asarray(q), jnp.asarray(q_lens), docs, lens, k, self._n,
                     self._mesh, method=method,
                 )
         elif prefilter is not None:
+            if self.mode == "int8":
+                # the rerank stage needs the f32 token matrix on device,
+                # which int8 mode exists to avoid — refuse loudly
+                raise ValueError(
+                    "prefilter is not supported with mode='int8' "
+                    "(the exact-rerank stage needs the f32 token matrix)"
+                )
             from autorag_research_tpu.ops.dense import dense_topk
             from autorag_research_tpu.ops.maxsim import maxsim_rerank
 
@@ -232,6 +272,13 @@ class MultiVectorIndex:
             scores, rows = maxsim_topk_verified(
                 jnp.asarray(q), jnp.asarray(q_lens), docs, lens,
                 {**self._sidecar, "docs_lo": self._lo_device}, k,
+            )
+        elif self.mode == "int8":
+            from autorag_research_tpu.ops.maxsim import maxsim_topk_int8
+
+            scores, rows = maxsim_topk_int8(
+                jnp.asarray(q), jnp.asarray(q_lens), docs,
+                self._scales_device, lens, k,
             )
         else:
             scores, rows = maxsim_topk(
@@ -285,9 +332,11 @@ class MultiVectorIndex:
         idx._lens = arrays["lens"]
         idx._n = len(idx.ids)
         idx._device = None
-        # sidecar is derived state — rebuilt on first to_device()
+        # sidecar / int8 arrays are derived state — rebuilt on first to_device()
         idx._sidecar = None
         idx._lo_device = None
+        idx._int8 = None
+        idx._scales_device = None
         # rebuild the prefilter proxies (derived state, cheap vs the npz read)
         idx._proxies = _mean_token_proxies(idx._docs, idx._lens)
         idx._proxies_device = None

@@ -295,6 +295,55 @@ def sharded_maxsim_topk(
     return pad_to_k(scores, ids, k, k_eff)
 
 
+def sharded_maxsim_topk_int8(
+    queries: jax.Array,  # [B, Tq, d] f32 replicated
+    query_lens: jax.Array,  # [B]
+    docs_q: jax.Array,  # [N_pad, Td, d] int8, sharded on corpus axis
+    doc_scales: jax.Array,  # [N_pad, Td] f32 per-token scales, sharded
+    doc_lens: jax.Array,  # [N_pad] sharded (pad rows carry 0)
+    k: int,
+    n_total: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """Global int8 MaxSim top-k over a corpus-sharded quantized index.
+
+    Queries quantize identically on every shard (replicated input, same
+    per-token scales), so a doc's dequantized score is shard-placement
+    independent and the ``(-score, id)`` merge stays shard-count invariant
+    — the same determinism argument as :func:`sharded_dense_topk_int8`.
+    APPROXIMATE like the local kernel (ops/maxsim.maxsim_topk_int8)."""
+    from autorag_research_tpu.ops.maxsim import maxsim_topk_int8
+
+    n_shards = mesh.shape[CORPUS_AXIS]
+    shard_rows = docs_q.shape[0] // n_shards
+    k_eff = min(k, n_total)
+
+    def local_search(q, qlens, d_shard, s_shard, dlens_shard):
+        scores, local_ids = maxsim_topk_int8(
+            q, qlens, d_shard, s_shard, dlens_shard, k_eff
+        )
+        offset = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * shard_rows
+        gids = local_ids + offset
+        valid = (gids < n_total) & (local_ids < shard_rows)
+        scores = jnp.where(valid, scores, NEG_INF)
+        gids = jnp.where(valid, gids, INT_MAX)
+        all_s = jax.lax.all_gather(scores, CORPUS_AXIS)
+        all_i = jax.lax.all_gather(gids, CORPUS_AXIS)
+        return merge_topk(jnp.swapaxes(all_s, 0, 1), jnp.swapaxes(all_i, 0, 1), k_eff)
+
+    scores, ids = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None), P(None),
+            P(CORPUS_AXIS, None, None), P(CORPUS_AXIS, None), P(CORPUS_AXIS),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(queries, query_lens, docs_q, doc_scales, doc_lens)
+    return pad_to_k(scores, ids, k, k_eff)
+
+
 def sharded_maxsim_topk_verified(
     queries: jax.Array,  # [B, Tq, d] replicated
     query_lens: jax.Array,  # [B]
