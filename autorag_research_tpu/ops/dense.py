@@ -402,11 +402,11 @@ def dense_topk_int8(
     Dispatches by shape like :func:`dense_topk`: one fused matmul +
     k-selection while the [Q, N] score matrix fits ``FULL_MATERIALIZE_BUDGET``;
     beyond that, a corpus-tiled scan with a running deterministic merge
-    (bounded memory — this is what makes a 4x-denser int8 corpus, e.g.
-    8M x 768 in 5.9 GB resident, servable on one chip where the flat score
-    matrix would not fit HBM; measured at 2M x 768, see
-    scripts/bench_dense_int8.py — the 8M shape is a capacity projection
-    until scripts/bench_dense_int8_8m.py records a run).
+    (bounded memory — this is what makes a 4x-denser int8 corpus servable
+    on one chip where the flat score matrix would not fit HBM; MEASURED at
+    8M x 768: 5.86 GB resident, 19.1k QPS @ Q=256 / 23.5k @ Q=1024 through
+    the scan path, 0.975 top-10 agreement vs an f32 host oracle —
+    scripts/bench_dense_int8_8m.py, 2026-08-19).
 
     ``tile_n`` only applies on the tiled-scan path — the flat path ignores
     it (and its peak HBM is the score matrix plus its f32 convert, so
