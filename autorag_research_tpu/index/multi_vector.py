@@ -184,6 +184,7 @@ class MultiVectorIndex:
         k: int,
         method: str | None = None,
         prefilter: int | None = None,
+        kprime: int | None = None,
     ) -> list[list[SearchHit]]:
         """query_matrices: list of [Tq_i, d]. Scores = MaxSim / Tq_i.
 
@@ -192,9 +193,29 @@ class MultiVectorIndex:
         then exact MaxSim reranks only those — trading a little recall for a
         large speedup on big corpora (measure with
         scripts/bench_maxsim_prefilter.py). None = exact full scan.
+        ``prefilter`` is an APPROXIMATE mode and refuses to combine with
+        mode='verified' (would silently void the always-equal-exact
+        contract) or mode='int8' (the exact-rerank stage needs the f32
+        token matrix that int8 mode exists to avoid).
+
+        ``kprime`` (mode='verified' only): prescreen candidate-list size,
+        clamped to ``max(kprime, k)``; default 64 — the measured operating
+        point (docs/VERIFIED.md).
         """
         if self._n == 0:
             raise IndexNotBuiltError("index has no documents")
+        if prefilter is not None and self.mode == "verified":
+            raise ValueError(
+                "prefilter is not supported with mode='verified': the "
+                "PLAID-style prefilter is approximate and would void the "
+                "mode's always-equal-exact contract; use mode='exact' with "
+                "prefilter, or drop prefilter"
+            )
+        if prefilter is not None and self.mode == "int8":
+            raise ValueError(
+                "prefilter is not supported with mode='int8' "
+                "(the exact-rerank stage needs the f32 token matrix)"
+            )
         if method is None:
             method = self.search_method
         if self._device is None:
@@ -218,15 +239,17 @@ class MultiVectorIndex:
 
                 # the two-stage prefilter has no sharded implementation yet;
                 # say so instead of silently running the opposite perf profile
+                # (verified/int8 + prefilter already raised above)
                 logging.getLogger(__name__).warning(
                     "prefilter=%s is ignored on a mesh-sharded MultiVectorIndex "
-                    "(exact full scan runs instead)", prefilter,
+                    "(the exact full scan runs instead)", prefilter,
                 )
             if self.mode == "verified":
                 scores, rows = sharded_maxsim_topk_verified(
                     jnp.asarray(q), jnp.asarray(q_lens), docs, lens,
                     self._lo_device, self._sidecar["nd_max"],
                     self._sidecar["r_max"], k, self._n, self._mesh,
+                    kprime=kprime if kprime is not None else 64,
                 )
             elif self.mode == "int8":
                 from autorag_research_tpu.parallel.sharded import (
@@ -243,13 +266,6 @@ class MultiVectorIndex:
                     self._mesh, method=method,
                 )
         elif prefilter is not None:
-            if self.mode == "int8":
-                # the rerank stage needs the f32 token matrix on device,
-                # which int8 mode exists to avoid — refuse loudly
-                raise ValueError(
-                    "prefilter is not supported with mode='int8' "
-                    "(the exact-rerank stage needs the f32 token matrix)"
-                )
             from autorag_research_tpu.ops.dense import dense_topk
             from autorag_research_tpu.ops.maxsim import maxsim_rerank
 
@@ -272,6 +288,7 @@ class MultiVectorIndex:
             scores, rows = maxsim_topk_verified(
                 jnp.asarray(q), jnp.asarray(q_lens), docs, lens,
                 {**self._sidecar, "docs_lo": self._lo_device}, k,
+                kprime=kprime if kprime is not None else 64,
             )
         elif self.mode == "int8":
             from autorag_research_tpu.ops.maxsim import maxsim_topk_int8

@@ -964,7 +964,14 @@ def maxsim_topk_verified(
     than exact alone) while kp=64 passed with 602.8 QPS = 2.9x the exact
     f32 scan. Real clustered corpora have wider gaps; random data is the
     worst case. Failures only ever cost speed, never exactness.
+
+    ``kprime`` is clamped to ``max(kprime, k)``: with k' < k the candidate
+    list cannot even hold the top-k, e_k pads to the NEG_INF sentinel, the
+    coverage proof can never pass, and every batch would silently pay
+    prescreen + rescore + a full exact fallback — strictly slower than
+    plain exact mode.
     """
+    kprime = max(kprime, k)
     out_s, out_i, n_fail, covered = _maxsim_topk_verified(
         queries,
         query_lens,

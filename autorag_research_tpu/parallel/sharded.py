@@ -355,16 +355,21 @@ def sharded_maxsim_topk_verified(
     k: int,
     n_total: int,
     mesh: Mesh,
-    kprime: int = 32,
+    kprime: int = 64,
 ) -> tuple[jax.Array, jax.Array]:
     """Sharded verified-exact MaxSim top-k: each shard runs the verified
     fast path (bf16 prescreen + bound-checked exact rescore,
     ``ops/maxsim._maxsim_topk_verified``) over its slice — pad docs carry
     ``doc_lens == 0`` and are masked by every engine — then the per-shard
     EXACT lists merge by the global ``(-score, doc row)`` order. Same
-    exactness contract as :func:`sharded_maxsim_topk` at verified speed."""
+    exactness contract as :func:`sharded_maxsim_topk` at verified speed.
+
+    ``kprime`` defaults to the measured single-device operating point (64;
+    kp<=32 fails ~41% on random corpora — docs/VERIFIED.md) and is clamped
+    to ``max(kprime, k)`` so the per-shard coverage proof can pass."""
     from autorag_research_tpu.ops.maxsim import _maxsim_topk_verified
 
+    kprime = max(kprime, k)
     n_shards = mesh.shape[CORPUS_AXIS]
     shard_rows = docs.shape[0] // n_shards
     k_eff = min(k, n_total)

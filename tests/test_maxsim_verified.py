@@ -107,6 +107,32 @@ def test_tiny_corpus_smaller_than_kprime(corpus):
     np.testing.assert_array_equal(np.asarray(vi), np.asarray(ei))
 
 
+def test_kprime_below_k_is_clamped():
+    # ADVICE r4 (medium): k > kprime used to pad e_k with NEG_INF, fail the
+    # coverage proof on every query, and silently pay prescreen + rescore +
+    # a full exact fallback. The wrapper now clamps kprime to max(kprime, k)
+    # so the proof CAN pass — witnessed on a corpus with a wide gap at rank
+    # k (48 strong docs, the rest scaled to ~5% norm).
+    rng = np.random.default_rng(21)
+    n, td, d, k = 600, 8, 32, 48
+    docs = rng.standard_normal((n, td, d)).astype(np.float32)
+    docs /= np.maximum(np.linalg.norm(docs, axis=2, keepdims=True), 1e-9)
+    docs[k:] *= 0.05
+    lens = np.full(n, td, np.int32)
+    q = rng.standard_normal((6, 4, d)).astype(np.float32)
+    q /= np.maximum(np.linalg.norm(q, axis=2, keepdims=True), 1e-9)
+    q_lens = np.full(6, 4, np.int32)
+    es, ei = _exact(q, q_lens, docs, lens, k)
+    side = build_maxsim_sidecar(docs, lens)
+    vs, vi, n_fail, covered = maxsim_topk_verified(
+        jnp.asarray(q), jnp.asarray(q_lens), jnp.asarray(docs), jnp.asarray(lens),
+        side, k, kprime=8, return_stats=True,
+    )
+    # pre-fix this was n_fail == len(q) unconditionally (proof cannot pass)
+    assert int(n_fail) == 0 and bool(covered)
+    np.testing.assert_array_equal(np.asarray(vi), np.asarray(ei))
+
+
 def test_empty_docs_never_surface(corpus):
     q, q_lens, docs, lens = corpus
     lens = lens.copy()
@@ -177,3 +203,33 @@ class TestMultiVectorIndexVerified:
     def test_unknown_mode_rejected(self):
         with pytest.raises(ValueError, match="unknown mode"):
             MultiVectorIndex(["a"], [np.zeros((2, 4), np.float32)], mode="turbo")
+
+    def test_prefilter_refused_with_verified(self):
+        # ADVICE r4: prefilter used to short-circuit the mode dispatch and
+        # silently run the approximate PLAID branch under mode='verified'
+        queries, docs = self._ragged()
+        ids = [f"d{i}" for i in range(len(docs))]
+        idx = MultiVectorIndex(ids, docs, mode="verified")
+        with pytest.raises(ValueError, match="prefilter.*verified"):
+            idx.search(queries[:1], 5, prefilter=4)
+
+    def test_prefilter_refused_with_int8_on_mesh(self):
+        # ADVICE r4: the mesh path used to only warn for int8+prefilter
+        # while the local path raised — same contract now
+        from autorag_research_tpu.parallel.mesh import corpus_mesh
+
+        queries, docs = self._ragged()
+        ids = [f"d{i}" for i in range(len(docs))]
+        idx = MultiVectorIndex(ids, docs, mode="int8").to_device(corpus_mesh(n_corpus=8))
+        with pytest.raises(ValueError, match="prefilter.*int8"):
+            idx.search(queries[:1], 5, prefilter=4)
+
+    def test_kprime_plumbs_through_search(self):
+        queries, docs = self._ragged()
+        ids = [f"d{i}" for i in range(len(docs))]
+        exact = MultiVectorIndex(ids, docs).search(queries, 7, method="xla")
+        got = MultiVectorIndex(ids, docs, mode="verified").search(
+            queries, 7, kprime=16
+        )
+        for a, b in zip(exact, got):
+            assert [h.doc_id for h in a] == [h.doc_id for h in b]
