@@ -119,7 +119,12 @@ class VisRAGIngestor(MultiModalDataIngestor):
     hf_repo="sds_kopub_vdr-dumps",
 )
 class SDSKoPubVDRIngestor(_SplitVidore):
+    """Korean public-document VDR: page images + OCR text chunks, graded
+    qrels with image/text/mixed modes (reference ``sds_kopub_vdr.py:99-365``;
+    no multi-hop — GT is always OR alternatives, ``:349``)."""
+
     dataset_name = "SamsungSDS-Research/KoPub-VDR-benchmark"
+    text_field = "text"
 
 
 @register_ingestor(
@@ -128,4 +133,10 @@ class SDSKoPubVDRIngestor(_SplitVidore):
     hf_repo="kovidorev2-dumps",
 )
 class KoViDoReV2Ingestor(_SplitVidore):
+    """KoViDoRe v2: page images + markdown text chunks, graded qrels with
+    image/text/mixed modes, multi-hop AND queries (reference
+    ``kovidorev2.py:56-433``)."""
+
     dataset_name = "yjoonjang/kovidore-v2-public"
+    text_field = "markdown"
+    supports_multi_hop = True

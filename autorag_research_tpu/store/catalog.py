@@ -39,11 +39,11 @@ from autorag_research_tpu.store.gt import RetrievalGT, gt_to_relation_rows
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS meta (key TEXT PRIMARY KEY, value TEXT);
 CREATE TABLE IF NOT EXISTS file (
-    id INTEGER PRIMARY KEY AUTOINCREMENT, path TEXT UNIQUE, metadata TEXT);
+    id NOT NULL PRIMARY KEY, path TEXT, metadata TEXT);
 CREATE TABLE IF NOT EXISTS document (
-    id INTEGER PRIMARY KEY AUTOINCREMENT, file_id INTEGER, title TEXT, metadata TEXT);
+    id NOT NULL PRIMARY KEY, file_id, title TEXT, metadata TEXT);
 CREATE TABLE IF NOT EXISTS page (
-    id INTEGER PRIMARY KEY AUTOINCREMENT, document_id INTEGER, page_number INTEGER,
+    id NOT NULL PRIMARY KEY, document_id, page_number INTEGER,
     metadata TEXT);
 CREATE TABLE IF NOT EXISTS chunk (
     id NOT NULL PRIMARY KEY, document_id, contents TEXT, metadata TEXT,

@@ -110,7 +110,9 @@ def or_all_mixed(items: list[GTItem]) -> GTAtom:
     return items[0] if len(items) == 1 else reduce(or_, items)
 
 
-def and_all_mixed(items: list[GTItem]) -> GTAtom:
+def and_all_mixed(items: "list[GTItem | _OrGroup]") -> GTAtom:
+    """AND chain over items or OR groups — the reference's multi-hop shape
+    ``and_all_mixed([or_all_mixed([...]), ...])`` (``vidorev3.py:462-468``)."""
     if not items:
         raise EmptyIterableError("and_all_mixed received an empty list")
     return items[0] if len(items) == 1 else reduce(and_, items)

@@ -153,6 +153,172 @@ def test_vidore_v2_split_shape(service):
     assert cat.get_relations_by_query("v1")[0]["image_chunk_id"] == "p2"
 
 
+def _vidorev3_data():
+    # two docs: doc A pages 1-2 (both with markdown), doc B page 1 (image-only)
+    return {
+        "corpus": [
+            {"corpus_id": "c1", "image": _png("red"), "doc_id": "dA",
+             "page_number_in_doc": 1, "markdown": "# alpha table"},
+            {"corpus_id": "c2", "image": _png("blue"), "doc_id": "dA",
+             "page_number_in_doc": 2, "markdown": "beta figures"},
+            {"corpus_id": "c3", "image": _png("green"), "doc_id": "dB",
+             "page_number_in_doc": 1, "markdown": ""},
+        ],
+        "queries": [
+            {"query_id": "q1", "query": "where is alpha", "answer": "page one",
+             "query_types": ["extractive"]},
+            {"query_id": "q2", "query": "compare alpha and beta",
+             "query_types": ["multi-hop"]},
+        ],
+        "qrels": [
+            {"query_id": "q1", "corpus_id": "c1", "score": 2},
+            {"query_id": "q1", "corpus_id": "c3", "score": 1},
+            {"query_id": "q1", "corpus_id": "c2", "score": 0},  # dropped
+            {"query_id": "q2", "corpus_id": "c1", "score": 1},
+            {"query_id": "q2", "corpus_id": "c2", "score": 1},
+        ],
+        "documents_metadata": [
+            {"doc_id": "dA", "url": "http://x/a.pdf", "file_name": "a.pdf",
+             "doc_type": "report", "doc_language": "en", "doc_year": 2024},
+            {"doc_id": "dB", "url": "http://x/b.pdf", "file_name": "b.pdf"},
+        ],
+    }
+
+
+class TestViDoReV3Modes:
+    def _ingest(self, svc, qrels_mode):
+        from autorag_research_tpu.data.vidore import ViDoReV3Ingestor
+
+        ing = ViDoReV3Ingestor(data=_vidorev3_data(), qrels_mode=qrels_mode)
+        ing.set_service(svc)
+        ing.ingest()
+        return ing
+
+    def test_image_mode_graded_scores(self, service):
+        cat, svc = service
+        self._ingest(svc, "image")
+        rels = cat.get_relations_by_query("q1")
+        # score=0 row dropped; grades carried, not flattened to binary
+        by_id = {r["image_chunk_id"]: r["score"] for r in rels}
+        assert by_id == {"c1": 2, "c3": 1}
+        # all OR-alternatives in one group (not multi-hop)
+        assert {r["group_index"] for r in rels} == {0}
+        # markdown pages became text chunks alongside image chunks
+        assert cat.count("image_chunk") == 3
+        assert cat.count("chunk") == 2
+        # q1 carries generation GT from the answer column
+        import json
+
+        assert json.loads(cat.get_query("q1")["generation_gt"]) == ["page one"]
+
+    def test_multi_hop_uses_and_groups(self, service):
+        cat, svc = service
+        self._ingest(svc, "image")
+        rels = cat.get_relations_by_query("q2")
+        # multi-hop: each page its own AND group
+        assert {r["group_index"] for r in rels} == {0, 1}
+
+    def test_text_mode_only_pages_with_markdown(self, service):
+        cat, svc = service
+        self._ingest(svc, "text")
+        rels = cat.get_relations_by_query("q1")
+        # c3 has no markdown -> no text chunk -> excluded
+        assert [(r["chunk_id"], r["score"]) for r in rels] == [("c1", 2)]
+        assert all(r["image_chunk_id"] is None for r in rels)
+
+    def test_mixed_mode_pairs_text_and_image(self, service):
+        cat, svc = service
+        self._ingest(svc, "mixed")
+        rels = cat.get_relations_by_query("q1")
+        # c1: image+text alternatives; c3: image only — one flat OR group
+        got = {(r["chunk_id"], r["image_chunk_id"], r["score"]) for r in rels}
+        assert got == {(None, "c1", 2), ("c1", None, 2), (None, "c3", 1)}
+        assert {r["group_index"] for r in rels} == {0}
+        # multi-hop mixed: (text|image) AND (text|image)
+        rels2 = cat.get_relations_by_query("q2")
+        groups = {}
+        for r in rels2:
+            groups.setdefault(r["group_index"], set()).add(
+                (r["chunk_id"], r["image_chunk_id"])
+            )
+        assert len(groups) == 2
+        assert all(len(g) == 2 for g in groups.values())
+
+    def test_document_hierarchy(self, service):
+        cat, svc = service
+        self._ingest(svc, "image")
+        assert cat.count("file") == 2
+        assert cat.count("document") == 2
+        assert cat.count("page") == 3
+        # image chunks link to their page rows
+        chunks = cat.get_image_chunks(["c1", "c2", "c3"])
+        assert chunks["c1"]["page_id"] == "dA_p1"
+        assert chunks["c2"]["page_id"] == "dA_p2"
+        assert chunks["c3"]["page_id"] == "dB_p1"
+
+    def test_image_only_collection_rejects_text_mode(self):
+        from autorag_research_tpu.data.vidore import ViDoReV2Ingestor
+
+        with pytest.raises(ValueError, match="image-only"):
+            ViDoReV2Ingestor(data={}, qrels_mode="mixed")
+        with pytest.raises(ValueError, match="qrels_mode"):
+            ViDoReV2Ingestor(data={}, qrels_mode="both")
+
+    def test_graded_scores_flow_to_evaluation_gt(self, service):
+        cat, svc = service
+        self._ingest(svc, "image")
+        from autorag_research_tpu.store.gt import build_retrieval_gt_from_relations
+
+        gt, scores = build_retrieval_gt_from_relations(
+            [dict(r) for r in cat.get_relations_by_query("q1")]
+        )
+        assert gt == [["image_chunk_c1", "image_chunk_c3"]]
+        assert scores == {"image_chunk_c1": 2, "image_chunk_c3": 1}
+
+
+def test_kovidore_and_sds_kopub_text_modes(service):
+    # same compression audit: the Korean collections expose text/mixed too
+    from autorag_research_tpu.data.visrag import KoViDoReV2Ingestor, SDSKoPubVDRIngestor
+
+    cat, svc = service
+    data = {
+        "corpus": [
+            {"corpus_id": "k1", "image": _png("red"), "markdown": "alpha"},
+            {"corpus_id": "k2", "image": _png("blue"), "markdown": ""},
+        ],
+        "queries": [{"query_id": "kq", "query": "alpha?", "query_types": ["multi-hop"]}],
+        "qrels": [
+            {"query_id": "kq", "corpus_id": "k1", "score": 2},
+            {"query_id": "kq", "corpus_id": "k2", "score": 1},
+        ],
+    }
+    ing = KoViDoReV2Ingestor(data=data, qrels_mode="mixed")
+    ing.set_service(svc)
+    ing.ingest()
+    rels = cat.get_relations_by_query("kq")
+    # multi-hop honored: two AND groups; k1 has text+image, k2 image-only
+    groups = {}
+    for r in rels:
+        groups.setdefault(r["group_index"], []).append(r)
+    assert len(groups) == 2
+    sizes = sorted(len(g) for g in groups.values())
+    assert sizes == [1, 2]
+
+    # SDS KoPub reads the "text" column and never ANDs (no multi-hop support)
+    sds = SDSKoPubVDRIngestor(
+        data={
+            "corpus": [{"corpus_id": "s1", "image": _png("green"), "text": "beta"}],
+            "queries": [{"query_id": "sq", "query": "beta?", "query_types": ["multi-hop"]}],
+            "qrels": [{"query_id": "sq", "corpus_id": "s1", "score": 1}],
+        },
+        qrels_mode="text",
+    )
+    sds.set_service(svc)
+    sds.ingest()
+    rels = cat.get_relations_by_query("sq")
+    assert [(r["chunk_id"], r["score"]) for r in rels] == [("s1", 1)]
+
+
 def test_visrag_with_generation_gt(service):
     from autorag_research_tpu.data.visrag import VisRAGIngestor
 
