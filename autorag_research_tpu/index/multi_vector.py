@@ -5,6 +5,17 @@ Replaces the reference's ``embeddings VECTOR(dim)[]`` columns + VectorChord
 ``orm/repository/base.py:487-571``). Ragged [T_i, d] per-doc matrices are
 padded to ``[N, Tmax, d]`` with a token-count vector for masking.
 
+``bucketize > 1`` opts into the bucketed ragged layout: the reference
+stores exactly-ragged ``VECTOR(dim)[]`` arrays with no padding at all
+(``orm/types.py:13-277``); a single ``[N, Tmax, d]`` device tensor instead
+pays HBM and matmul FLOPs proportional to ``Tmax / mean(T_i)`` on skewed
+corpora (ColBERT docs commonly span ~30-300 tokens). Bucketing partitions
+docs by token count (same DP area-minimizing planner as the BM25 slot
+buckets, ``index/sparse._plan_buckets``), pads each bucket only to its own
+max, runs one kernel launch per bucket, and host-merges by global
+``(-score, row)`` — so results equal the flat layout's exactly, and every
+mode (exact / verified / int8) composes per bucket.
+
 Score convention parity: ``search`` returns MaxSim / n_query_vectors
 (the reference's ``-distance / n_query_vectors``,
 ``orm/service/retrieval_pipeline.py:501-514``).
@@ -61,11 +72,14 @@ class MultiVectorIndex:
         max_tokens: int | None = None,
         search_method: str = "auto",
         mode: str = "exact",
+        bucketize: int = 1,
     ):
         if len(ids) != len(doc_matrices):
             raise ValueError("ids/doc_matrices length mismatch")
         if mode not in ("exact", "verified", "int8"):
             raise ValueError(f"unknown mode: {mode}")
+        if bucketize < 1:
+            raise ValueError("bucketize must be >= 1")
         self.ids = list(ids)
         self.normalize = normalize
         # "verified": GUARANTEED-EXACT fast path — bf16 prescreen of the
@@ -87,6 +101,9 @@ class MultiVectorIndex:
         # can split differently between e.g. the TPU Pallas kernel and the
         # CPU scan even though each is individually deterministic.
         self.search_method = search_method
+        # >1: bucketed ragged layout (single-device; a mesh keeps the flat
+        # layout — shards already bound per-device memory, as SparseIndex does)
+        self.bucketize = bucketize
         mats = [
             l2_normalize(np.asarray(m, np.float32)) if normalize else np.asarray(m, np.float32)
             for m in doc_matrices
@@ -103,6 +120,7 @@ class MultiVectorIndex:
         self._proxies = _mean_token_proxies(self._docs, self._lens)
         self._device: tuple[jax.Array, jax.Array] | None = None
         self._proxies_device: jax.Array | None = None
+        self._device_buckets: list[dict] | None = None
 
     @classmethod
     def from_catalog(cls, catalog, table: str = "chunk", **kwargs) -> "MultiVectorIndex":
@@ -123,7 +141,72 @@ class MultiVectorIndex:
     def max_doc_tokens(self) -> int:
         return self._docs.shape[1]
 
+    def device_bytes(self) -> int:
+        """Token-matrix bytes on device under the current layout (the HBM
+        cost the bucketed layout exists to shrink)."""
+        itemsize = 1 if self.mode == "int8" else 4
+        if self._device_buckets is not None:
+            total = 0
+            for b in self._device_buckets:
+                total += int(b["docs"].size) * itemsize
+                if "scales" in b:
+                    total += int(b["scales"].size) * 4
+                if "lo" in b:
+                    total += int(b["lo"].size) * itemsize
+            return total
+        if self._device is not None:
+            total = int(self._device[0].size) * itemsize
+            if self._scales_device is not None:
+                total += int(self._scales_device.size) * 4
+            if self._lo_device is not None:
+                total += int(self._lo_device.size) * 4
+            return total
+        return 0
+
+    def _build_device_buckets(self) -> list[dict]:
+        """Partition rows by token count; each bucket keeps ascending global
+        row ids so per-bucket ``(-score, local_row)`` order equals global
+        ``(-score, row)`` order and the merge reproduces the flat layout
+        exactly."""
+        from autorag_research_tpu.index.sparse import _plan_buckets
+
+        bounds = _plan_buckets(self._lens, self.bucketize)
+        buckets: list[dict] = []
+        lo_bound = 0
+        for hi in bounds:
+            rows = np.where((self._lens > lo_bound) & (self._lens <= hi))[0]
+            lo_bound = hi
+            if rows.size == 0:
+                continue
+            docs = np.ascontiguousarray(self._docs[rows, :hi])
+            lens = self._lens[rows]
+            entry: dict = {"rows": rows.astype(np.int64), "lens": jnp.asarray(lens)}
+            if self.mode == "int8":
+                from autorag_research_tpu.ops.maxsim import quantize_int8_tokens
+
+                docs_q, scales = quantize_int8_tokens(docs)
+                entry["docs"] = jax.device_put(jnp.asarray(docs_q))
+                entry["scales"] = jax.device_put(jnp.asarray(scales))
+            else:
+                entry["docs"] = jax.device_put(jnp.asarray(docs))
+            if self.mode == "verified":
+                from autorag_research_tpu.ops.maxsim import build_maxsim_sidecar
+
+                sidecar = build_maxsim_sidecar(docs, lens)
+                entry["sidecar"] = {
+                    k: v for k, v in sidecar.items() if k != "docs_lo"
+                }
+                entry["lo"] = jax.device_put(jnp.asarray(sidecar["docs_lo"]))
+            buckets.append(entry)
+        return buckets
+
     def to_device(self, mesh=None) -> "MultiVectorIndex":
+        if self.bucketize > 1 and mesh is None and self._n:
+            self._device_buckets = self._build_device_buckets()
+            self._mesh = None
+            self._device = None
+            return self
+        self._device_buckets = None
         scales = None
         if self.mode == "int8" and self._n:
             # the 4x-capacity point: quantize on host once, ship int8 — the
@@ -178,6 +261,53 @@ class MultiVectorIndex:
         self._lo_device = lo
         return self
 
+    def _search_bucketed(
+        self, q: np.ndarray, q_lens: np.ndarray, k: int,
+        method: str, kprime: int | None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One kernel launch per token-count bucket; host merge by global
+        ``(-score, row)`` — identical results to the flat layout."""
+        from autorag_research_tpu.ops.dense import INT_MAX
+
+        nq = q.shape[0]
+        all_scores, all_rows = [], []
+        for bucket in self._device_buckets:  # type: ignore[union-attr]
+            nb = int(bucket["rows"].size)
+            kb = min(k, nb)
+            if self.mode == "verified":
+                from autorag_research_tpu.ops.maxsim import maxsim_topk_verified
+
+                s, r = maxsim_topk_verified(
+                    jnp.asarray(q), jnp.asarray(q_lens), bucket["docs"],
+                    bucket["lens"],
+                    {**bucket["sidecar"], "docs_lo": bucket["lo"]}, kb,
+                    kprime=kprime if kprime is not None else 64,
+                )
+            elif self.mode == "int8":
+                from autorag_research_tpu.ops.maxsim import maxsim_topk_int8
+
+                s, r = maxsim_topk_int8(
+                    jnp.asarray(q), jnp.asarray(q_lens), bucket["docs"],
+                    bucket["scales"], bucket["lens"], kb,
+                )
+            else:
+                s, r = maxsim_topk(
+                    jnp.asarray(q), jnp.asarray(q_lens), bucket["docs"],
+                    bucket["lens"], kb, method=method,
+                )
+            s = np.asarray(s)
+            r = np.asarray(r)
+            valid = (r >= 0) & (r < nb) & (s > -1e37)
+            g = np.where(valid, bucket["rows"][np.where(valid, r, 0)], INT_MAX)
+            s = np.where(valid, s, -np.inf)
+            all_scores.append(s)
+            all_rows.append(g)
+        scores = np.concatenate(all_scores, axis=1)
+        rows = np.concatenate(all_rows, axis=1)
+        order = np.lexsort((rows, -scores), axis=1)[:, :k]
+        b_idx = np.arange(nq)[:, None]
+        return scores[b_idx, order], rows[b_idx, order]
+
     def search(
         self,
         query_matrices: Sequence[np.ndarray],
@@ -216,9 +346,16 @@ class MultiVectorIndex:
                 "prefilter is not supported with mode='int8' "
                 "(the exact-rerank stage needs the f32 token matrix)"
             )
+        if prefilter is not None and self.bucketize > 1:
+            raise ValueError(
+                "prefilter is not supported with bucketize>1: the rerank "
+                "stage gathers candidates from one flat device tensor, which "
+                "the bucketed layout exists to avoid; use bucketize=1 with "
+                "prefilter, or drop prefilter"
+            )
         if method is None:
             method = self.search_method
-        if self._device is None:
+        if self._device is None and self._device_buckets is None:
             self.to_device()
         mats = [
             l2_normalize(np.atleast_2d(np.asarray(m, np.float32)))
@@ -227,6 +364,22 @@ class MultiVectorIndex:
             for m in query_matrices
         ]
         q, q_lens = pad_ragged(mats)
+        if self._device_buckets is not None:
+            scores, rows = self._search_bucketed(q, q_lens, k, method, kprime)
+            scores = np.asarray(scores)
+            rows = np.asarray(rows)
+            k_eff = min(k, self._n)
+            out = []
+            for qi, (qs, qr) in enumerate(zip(scores, rows)):
+                nq_tok = max(int(q_lens[qi]), 1)
+                out.append(
+                    [
+                        SearchHit(self.ids[int(r)], float(s) / nq_tok)
+                        for s, r in zip(qs[:k_eff], qr[:k_eff])
+                        if r < self._n and s > -1e37
+                    ]
+                )
+            return out
         docs, lens = self._device  # type: ignore[misc]
         if getattr(self, "_mesh", None) is not None:
             from autorag_research_tpu.parallel.sharded import (
@@ -329,6 +482,7 @@ class MultiVectorIndex:
                     "normalize": self.normalize,
                     "search_method": self.search_method,
                     "mode": self.mode,
+                    "bucketize": self.bucketize,
                     "ids": self.ids,
                 },
                 default=str,
@@ -345,10 +499,12 @@ class MultiVectorIndex:
         idx.normalize = meta["normalize"]
         idx.search_method = meta.get("search_method", "auto")
         idx.mode = meta.get("mode", "exact")
+        idx.bucketize = meta.get("bucketize", 1)
         idx._docs = arrays["docs"]
         idx._lens = arrays["lens"]
         idx._n = len(idx.ids)
         idx._device = None
+        idx._device_buckets = None
         # sidecar / int8 arrays are derived state — rebuilt on first to_device()
         idx._sidecar = None
         idx._lo_device = None

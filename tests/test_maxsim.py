@@ -259,3 +259,86 @@ class TestPrefilter:
         hits = idx.search(q, 5, prefilter=100)
         assert len(hits[0]) == 5
         assert hits[0][0].doc_id == "d0"
+
+
+class TestBucketized:
+    """Bucketed ragged layout (bucketize>1): per-token-count buckets must
+    reproduce the flat layout's results exactly in every mode, with less
+    device memory on skewed corpora."""
+
+    def make_mats(self, n=120, d=16, seed=3):
+        # skewed token counts: most docs short, a few long (the regime the
+        # bucketed layout exists for)
+        rng = np.random.default_rng(seed)
+        lens = np.clip(rng.lognormal(1.5, 0.9, size=n).astype(int), 2, 64)
+        return [rng.normal(size=(t, d)).astype(np.float32) for t in lens]
+
+    @pytest.mark.parametrize("mode", ["exact", "verified", "int8"])
+    def test_bucketed_matches_flat(self, mode):
+        mats = self.make_mats()
+        ids = [f"d{i}" for i in range(len(mats))]
+        queries = self.make_mats(n=4, seed=7)
+        flat = MultiVectorIndex(ids, mats, mode=mode)
+        bucketed = MultiVectorIndex(ids, mats, mode=mode, bucketize=3)
+        h0 = flat.search(queries, 10)
+        h1 = bucketed.search(queries, 10)
+        assert bucketed._device_buckets is not None
+        assert len(bucketed._device_buckets) > 1
+        for a, b in zip(h0, h1):
+            assert [x.doc_id for x in a] == [x.doc_id for x in b]
+            np.testing.assert_allclose(
+                [x.score for x in a], [x.score for x in b], rtol=1e-5, atol=1e-6
+            )
+
+    def test_device_bytes_shrink(self):
+        mats = self.make_mats(n=300)
+        ids = list(range(len(mats)))
+        flat = MultiVectorIndex(ids, mats).to_device()
+        bucketed = MultiVectorIndex(ids, mats, bucketize=4).to_device()
+        assert bucketed.device_bytes() < 0.6 * flat.device_bytes()
+
+    def test_k_exceeds_small_bucket(self):
+        # k larger than some bucket's size: per-bucket k clamps, merge fills
+        mats = self.make_mats(n=30)
+        ids = list(range(len(mats)))
+        flat = MultiVectorIndex(ids, mats)
+        bucketed = MultiVectorIndex(ids, mats, bucketize=3)
+        q = self.make_mats(n=2, seed=11)
+        h0, h1 = flat.search(q, 25), bucketed.search(q, 25)
+        for a, b in zip(h0, h1):
+            assert [x.doc_id for x in a] == [x.doc_id for x in b]
+
+    def test_prefilter_refused(self):
+        mats = self.make_mats(n=20)
+        idx = MultiVectorIndex(list(range(len(mats))), mats, bucketize=2)
+        with pytest.raises(ValueError, match="bucketize"):
+            idx.search([mats[0]], 5, prefilter=4)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        mats = self.make_mats(n=40)
+        ids = [f"d{i}" for i in range(len(mats))]
+        idx = MultiVectorIndex(ids, mats, bucketize=3)
+        q = self.make_mats(n=2, seed=9)
+        before = idx.search(q, 8)
+        idx.save(tmp_path / "mv")
+        loaded = MultiVectorIndex.load(tmp_path / "mv")
+        assert loaded.bucketize == 3
+        after = loaded.search(q, 8)
+        for a, b in zip(before, after):
+            assert [x.doc_id for x in a] == [x.doc_id for x in b]
+
+    def test_mesh_keeps_flat_layout(self):
+        import jax
+        from autorag_research_tpu.parallel.mesh import corpus_mesh
+
+        mats = self.make_mats(n=32)
+        ids = list(range(len(mats)))
+        idx = MultiVectorIndex(ids, mats, bucketize=3)
+        mesh = corpus_mesh(len(jax.devices()))
+        idx.to_device(mesh=mesh)
+        assert idx._device_buckets is None  # mesh shards bound memory already
+        flat = MultiVectorIndex(ids, mats)
+        q = self.make_mats(n=2, seed=13)
+        h0, h1 = flat.search(q, 10), idx.search(q, 10)
+        for a, b in zip(h0, h1):
+            assert [x.doc_id for x in a] == [x.doc_id for x in b]
