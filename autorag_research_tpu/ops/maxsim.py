@@ -270,18 +270,62 @@ def maxsim_topk_pallas(
     return pad_to_k(out_s, out_i, k, k_eff)
 
 
+def _v2_tile_scores(
+    q_ref, d_ref, dlen_ref, *, block_n, bq, tq, td, mm_docs,
+    transpose_out=False,
+):
+    """Shared v2 tile body: chunked S matmul -> per-doc token maxima ->
+    query-token sum via the 0/1 grouping matmul. Returns [BQ, BN] f32
+    (``transpose_out`` computes [BN, BQ] directly on the MXU — no VPU
+    transpose)."""
+    rows = bq * tq
+    tok = jax.lax.broadcasted_iota(jnp.int32, (td, rows), 0)
+    per_doc = []
+    for c0 in range(0, block_n, mm_docs):  # static unroll over matmul chunks
+        s_c = jax.lax.dot_general(
+            d_ref[c0 * td : (c0 + mm_docs) * td, :],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision_for(q_ref.dtype),
+        )  # [(mm_docs*Td), R]
+        for b in range(c0, c0 + mm_docs):  # BN slices of Td sublanes
+            s_b = s_c[(b - c0) * td : (b - c0 + 1) * td, :]  # [Td, R]
+            masked = jnp.where(tok < dlen_ref[b, 0], s_b, NEG_INF)
+            per_doc.append(jnp.max(masked, axis=0))  # [R]
+    per_token = jnp.stack(per_doc, axis=0)  # [BN, R]
+
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (bq, rows), 1)
+    owner = jax.lax.broadcasted_iota(jnp.int32, (bq, rows), 0)
+    group = (row_of // tq == owner).astype(jnp.float32)
+    lhs, rhs = (per_token, group) if transpose_out else (group, per_token)
+    return jax.lax.dot_general(
+        lhs,
+        rhs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [BQ, BN] (or [BN, BQ] transposed)
+
+
 def _maxsim_kernel_v2(
     q_ref,     # [R=BQ*Tq, d] — pad query-token rows zeroed
     d_ref,     # [BN*Td, d]
     dlen_ref,  # SMEM [BN, 1] int32 doc token counts
     out_s_ref, out_i_ref, acc_s, acc_i,
-    *, k, n, block_n, bq, tq, td,
+    *, k, n, block_n, bq, tq, td, mm_docs,
 ):
     """Transposed orientation: S = D @ Q^T puts doc tokens on SUBLANES, so the
     per-doc max is a static sublane-slice reduction (no lane-splitting reshape
     — the relayout cliff of v1). Doc-token masking uses SMEM scalar lengths
     against a static per-doc row slice; the query-token sum is the 0/1
-    grouping matmul."""
+    grouping matmul.
+
+    ``mm_docs`` chunks the S matmul: at page scale (Td ~ 1024) the full
+    ``[BN*Td, R]`` f32 S block is VMEM-prohibitive at useful BN, so S is
+    produced ``mm_docs`` docs at a time and reduced to per-doc maxima before
+    the next chunk — only ``[mm_docs*Td, R]`` is ever live. Each chunk's
+    matmul is still MXU-sized (Td*mm_docs x d @ d x R)."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -290,32 +334,9 @@ def _maxsim_kernel_v2(
         acc_s[:] = jnp.full_like(acc_s, NEG_INF)
         acc_i[:] = jnp.full_like(acc_i, INT_MAX)
 
-    rows = bq * tq
-    s = jax.lax.dot_general(
-        d_ref[:],
-        q_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_precision_for(q_ref.dtype),
-    )  # [(BN*Td), R]
-
-    tok = jax.lax.broadcasted_iota(jnp.int32, (td, rows), 0)
-    per_doc = []
-    for b in range(block_n):  # static unroll: BN slices of Td sublanes
-        s_b = s[b * td : (b + 1) * td, :]  # [Td, R], static slice
-        masked = jnp.where(tok < dlen_ref[b, 0], s_b, NEG_INF)
-        per_doc.append(jnp.max(masked, axis=0))  # [R]
-    per_token = jnp.stack(per_doc, axis=0)  # [BN, R]
-
-    row_of = jax.lax.broadcasted_iota(jnp.int32, (bq, rows), 1)
-    owner = jax.lax.broadcasted_iota(jnp.int32, (bq, rows), 0)
-    group = (row_of // tq == owner).astype(jnp.float32)
-    scores = jax.lax.dot_general(
-        group,
-        per_token,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    scores = _v2_tile_scores(
+        q_ref, d_ref, dlen_ref, block_n=block_n, bq=bq, tq=tq, td=td,
+        mm_docs=mm_docs,
     )  # [BQ, BN]
 
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * block_n
@@ -337,7 +358,7 @@ def _maxsim_kernel_v2(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret")
+    jax.jit, static_argnames=("k", "block_q", "block_n", "mm_docs", "interpret")
 )
 def maxsim_topk_pallas_v2(
     queries: jax.Array,
@@ -347,6 +368,7 @@ def maxsim_topk_pallas_v2(
     k: int,
     block_q: int = 8,
     block_n: int = 16,
+    mm_docs: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     b, tq, d = queries.shape
@@ -374,9 +396,22 @@ def maxsim_topk_pallas_v2(
     ).reshape(n_pad * td_pad, d_pad)
     dlens = jnp.pad(doc_lens, (0, n_pad - n)).reshape(n_pad, 1).astype(jnp.int32)
 
+    if mm_docs is None:
+        # keep the live S chunk small (scoped VMEM is 16MB and the docs
+        # block needs most of it at page scale). f32 inputs get a tighter
+        # budget: the HIGHEST-precision matmul decomposes each f32 operand
+        # into bf16 hi/lo passes, so its scratch competes for the same VMEM
+        # (measured: f32 td=512 compiles at a 1MB S chunk, not at 4MB).
+        s_budget = (1 << 20) if docs.dtype == jnp.float32 else (4 << 20)
+        s_budget_rows = max(td_pad, s_budget // (4 * bq * tq_pad))
+        mm_docs = max(1, min(block_n, s_budget_rows // td_pad))
+        while block_n % mm_docs:
+            mm_docs -= 1
+
     grid = (b_pad // bq, n_pad // block_n)
     kernel = functools.partial(
-        _maxsim_kernel_v2, k=k_eff, n=n, block_n=block_n, bq=bq, tq=tq_pad, td=td_pad
+        _maxsim_kernel_v2, k=k_eff, n=n, block_n=block_n, bq=bq, tq=tq_pad,
+        td=td_pad, mm_docs=mm_docs,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -402,6 +437,130 @@ def maxsim_topk_pallas_v2(
     )(queries, docs, dlens)
     out_s, out_i = out_s[:b], out_i[:b]
     return pad_to_k(out_s, out_i, k, k_eff)
+
+
+def _maxsim_kernel_v2_scores(
+    q_ref, d_ref, dlen_ref, out_ref, *, n, block_n, bq, tq, td, mm_docs,
+):
+    """v2 tile body writing RAW SCORES instead of a fused running top-k.
+
+    The fused kernel must hold >= k candidates per tile (block_n >= k), so
+    large-k requests (the verified prescreen's top-(k'+1), rerank fetches)
+    would force VMEM-prohibitive doc blocks at page scale. This variant
+    keeps the small doc block and defers selection to a host-side
+    ``sort_topk`` over the flat [B, N] scores — cheap wherever page-scale
+    corpora live (8q x 80k pages = 2.5MB f32).
+
+    Output is TRANSPOSED [BN, BQ]: Mosaic requires an output block's lane
+    dim be 128-divisible or the full array width, so the query axis (always
+    fully resident per call) rides the lanes and the doc tile the sublanes
+    — the same layout rule as the dense seg-stats kernel."""
+    j = pl.program_id(0)
+    scores_t = _v2_tile_scores(
+        q_ref, d_ref, dlen_ref, block_n=block_n, bq=bq, tq=tq, td=td,
+        mm_docs=mm_docs, transpose_out=True,
+    )  # [BN, BQ]
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_n, bq), 0) + j * block_n
+    out_ref[:] = jnp.where(row < n, scores_t, NEG_INF)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_n", "mm_docs", "interpret", "n", "td_pad", "tq_pad", "d_pad"
+    ),
+)
+def _scores_chunk_pallas(
+    queries, docs, dlens, *, block_n, mm_docs, interpret, n, td_pad, tq_pad, d_pad
+):
+    bq = queries.shape[0] // tq_pad
+    n_pad = docs.shape[0] // td_pad
+    kernel = functools.partial(
+        _maxsim_kernel_v2_scores, n=n, block_n=block_n, bq=bq, tq=tq_pad,
+        td=td_pad, mm_docs=mm_docs,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // block_n,),
+        in_specs=[
+            pl.BlockSpec((bq * tq_pad, d_pad), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n * td_pad, d_pad), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda j: (j, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, bq), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, bq), jnp.float32),
+        interpret=interpret,
+    )(queries, docs, dlens)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_n", "mm_docs", "interpret")
+)
+def maxsim_scores_pallas_v2(
+    queries: jax.Array,
+    query_lens: jax.Array,
+    docs: jax.Array,
+    doc_lens: jax.Array,
+    block_q: int = 8,
+    block_n: int = 16,
+    mm_docs: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full [B, N] raw MaxSim scores via the chunked v2 tile body."""
+    b, tq, d = queries.shape
+    n, td, _ = docs.shape
+
+    d_pad = _round_up(d, 128)
+    td_pad = _round_up(td, 8)
+    tq_pad = _round_up(tq, 8)
+    bq = min(block_q, _round_up(b, 8))
+    b_pad = _round_up(b, bq)
+    n_pad = _round_up(n, block_n)
+
+    queries = jnp.pad(queries, ((0, b_pad - b), (0, tq_pad - tq), (0, d_pad - d)))
+    q_tok = jax.lax.broadcasted_iota(jnp.int32, (b_pad, tq_pad), 1)
+    qmask = (q_tok < jnp.pad(query_lens, (0, b_pad - b))[:, None]).astype(queries.dtype)
+    queries = (queries * qmask[:, :, None]).reshape(b_pad, tq_pad, d_pad)
+    docs = jnp.pad(
+        docs, ((0, n_pad - n), (0, td_pad - td), (0, d_pad - d))
+    ).reshape(n_pad * td_pad, d_pad)
+    dlens = jnp.pad(doc_lens, (0, n_pad - n)).reshape(n_pad, 1).astype(jnp.int32)
+
+    if mm_docs is None:
+        s_budget = (1 << 20) if docs.dtype == jnp.float32 else (4 << 20)
+        s_budget_rows = max(td_pad, s_budget // (4 * bq * tq_pad))
+        mm_docs = max(1, min(block_n, s_budget_rows // td_pad))
+        while block_n % mm_docs:
+            mm_docs -= 1
+
+    chunks = []
+    for c in range(b_pad // bq):  # static unroll over query chunks
+        q_c = queries[c * bq : (c + 1) * bq].reshape(bq * tq_pad, d_pad)
+        chunks.append(
+            _scores_chunk_pallas(
+                q_c, docs, dlens, block_n=block_n, mm_docs=mm_docs,
+                interpret=interpret, n=n, td_pad=td_pad, tq_pad=tq_pad,
+                d_pad=d_pad,
+            )
+        )  # [n_pad, bq]
+    out = jnp.concatenate(chunks, axis=1)  # [n_pad, b_pad]
+    return out.T[:b, :n]
+
+
+def maxsim_topk_via_scores(
+    queries, query_lens, docs, doc_lens, k, block_n: int = 16,
+    interpret: bool = False,
+):
+    """Exact ``(-score, id)`` top-k from the flat Pallas score matrix —
+    supports any k (unlike the fused kernel, whose doc block must hold k
+    candidates)."""
+    n = docs.shape[0]
+    s = maxsim_scores_pallas_v2(
+        queries, query_lens, docs, doc_lens, block_n=block_n,
+        interpret=interpret,
+    )
+    ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), s.shape)
+    return sort_topk(s, ids, k)
 
 
 # bias value for matmul-fused doc-token masking (v3): must stay finite in
@@ -608,27 +767,65 @@ def maxsim_rerank(
     return pad_to_k(s, i, k, k_eff)
 
 
-def maxsim_topk(queries, query_lens, docs, doc_lens, k, method: str = "auto"):
-    # Measured v5e sweep (scripts/bench_maxsim_pallas.py, 50k docs x 128 tok
-    # x 128d, 8q x 32tok sustained): f32-HIGHEST — pallas v2 bn=16 253.0 QPS
-    # > v1 244.3 > XLA scan 204.2 (the round-1 "relayout cliff" did not
-    # reproduce; the old bn=8 default was grid-step-floor-bound). bf16 — the
-    # XLA scan wins 595.9 vs 511.0 (cheap matmuls leave pallas VPU-bound;
-    # bn >= 64 exceeds scoped VMEM). Dispatch: pallas v2 for f32 inputs at
-    # text-scale token counts (block VMEM fits through td<=256), XLA scan
-    # for bf16 / long-doc (ViDoRe) / CPU.
+def maxsim_topk(
+    queries, query_lens, docs, doc_lens, k, method: str = "auto",
+    tile_n: int | None = None,
+):
+    # Measured v5e sweeps:
+    # - text scale (scripts/bench_maxsim_pallas.py, 50k x 128tok x 128d,
+    #   8q x 32tok sustained): f32-HIGHEST — pallas v2 bn=16 253.0 QPS >
+    #   v1 244.3 > XLA scan 204.2. bf16 — the XLA scan wins 595.9 vs 511.0
+    #   (cheap matmuls leave pallas VPU-bound at short docs).
+    # - page scale (scripts/bench_maxsim_page.py, 10k pages, 2026-08-19,
+    #   mm_docs-chunked kernel): bf16 v2 beats the scan from td=512 up
+    #   (1046 vs 834 @ 512; bn=16 814.7 vs scan 487.0 @ 1024 — 1.67x, with
+    #   bn=8 at 770.7); f32 v2 wins through td=512 (697 vs 602 @ 256; 475
+    #   vs 354 @ 512) and cannot compile at td=1024 (HIGHEST decomposition
+    #   scratch: docs block 4MB x 2 buffers x 2 hi/lo passes alone fills
+    #   VMEM). ids == xla everywhere it runs.
+    # Dispatch: per-dtype VMEM feasibility of the docs block picks block_n
+    # in {16, 8}; f32 routes to pallas wherever feasible, bf16 only at
+    # td_pad >= 512; XLA scan otherwise and on CPU.
     if method == "auto":
         from autorag_research_tpu.ops.dense import on_tpu
 
-        td_pad = _round_up(docs.shape[1], 8)
-        if (
-            on_tpu()
-            and jnp.dtype(queries.dtype) == jnp.float32
-            and td_pad <= 256
-        ):
-            method = "pallas_v2"
-        else:
-            method = "xla"
+        method = "xla"
+        if on_tpu():
+            n, b = docs.shape[0], queries.shape[0]
+            td_pad = _round_up(docs.shape[1], 8)
+            d_pad = _round_up(docs.shape[2], 128)
+            is_f32 = jnp.dtype(queries.dtype) == jnp.float32
+            itemsize = 4 if is_f32 else 2
+            # docs-block VMEM cost: x2 pipeline buffering, and x2 again for
+            # the f32 HIGHEST hi/lo decomposition scratch
+            factor = 4 if is_f32 else 2
+            s_bytes = (1 << 20) if is_f32 else (4 << 20)
+            # 12MB admits exactly the measured-good frontier: bf16 td=1024
+            # fits bn=16 (12,582,912 bytes == budget; 814.7 QPS on chip)
+            # while f32 td=1024 bn=8 (16.8MB) is excluded — that config
+            # fails remote compile (HIGHEST hi/lo decomposition scratch)
+            budget = 12 << 20
+            bn_fit = next(
+                (
+                    bn
+                    for bn in (16, 8)
+                    if bn * td_pad * d_pad * itemsize * factor + s_bytes
+                    <= budget
+                ),
+                None,
+            )
+            if bn_fit is not None and (is_f32 or td_pad >= 512):
+                if _round_up(min(k, n), 8) <= bn_fit:
+                    # fused running-top-k kernel: each tile holds >= k
+                    return maxsim_topk_pallas_v2(
+                        queries, query_lens, docs, doc_lens, k, block_n=bn_fit
+                    )
+                if b * n * 4 <= (256 << 20):
+                    # large k (verified prescreen top-(k'+1), rerank
+                    # fetches): flat scores + host-side exact sort
+                    return maxsim_topk_via_scores(
+                        queries, query_lens, docs, doc_lens, k, block_n=bn_fit
+                    )
     if method in ("pallas", "pallas_v2", "pallas_v3"):
         from autorag_research_tpu.ops.dense import on_tpu
 
@@ -640,7 +837,7 @@ def maxsim_topk(queries, query_lens, docs, doc_lens, k, method: str = "auto"):
         # off-TPU an explicit pallas request runs the interpreter (tests)
         return kernel(queries, query_lens, docs, doc_lens, k, interpret=not on_tpu())
     if method == "xla":
-        return maxsim_topk_xla(queries, query_lens, docs, doc_lens, k)
+        return maxsim_topk_xla(queries, query_lens, docs, doc_lens, k, tile_n=tile_n)
     raise ValueError(f"unknown maxsim method: {method}")
 
 
@@ -868,7 +1065,11 @@ def _maxsim_topk_verified(
     q_lo = qf.astype(jnp.bfloat16)
     q_hat = q_lo.astype(jnp.float32)
     eps = _maxsim_prescreen_eps(qf, q_hat, q_mask, nd_max, r_max)
-    ps, pi = maxsim_topk_xla(
+    # auto dispatch: at page scale (td >= 512) the bf16 prescreen rides the
+    # chunked Pallas kernel (1.66x the XLA scan at Td=1024); the eps slack
+    # already covers the bf16-MXU/f32-accumulation arithmetic of either
+    # engine, so the proof is engine-independent
+    ps, pi = maxsim_topk(
         q_lo, query_lens, docs_lo, doc_lens, kp_eff + 1, tile_n=tile_n
     )
     # (k'+1)-th prescreen score: any non-candidate doc scores <= this

@@ -69,6 +69,57 @@ def test_kernel_matches_oracle(ragged_data, method):
     )
 
 
+@pytest.mark.parametrize("mm_docs", [1, 2, 4])
+def test_v2_chunked_matmul_matches_oracle(ragged_data, mm_docs):
+    """mm_docs chunks the S matmul at page scale; any chunking must be
+    score- and id-identical to the unchunked kernel."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.maxsim import maxsim_topk_pallas_v2
+
+    queries, docs = ragged_data
+    q, ql, d, dl = _padded(queries, docs)
+    oracle = numpy_maxsim(q, ql, d, dl)
+    order = np.lexsort((np.arange(len(docs))[None].repeat(len(queries), 0), -oracle), axis=1)[:, :5]
+    s, ids = maxsim_topk_pallas_v2(
+        jnp.asarray(q), jnp.asarray(ql), jnp.asarray(d), jnp.asarray(dl), 5,
+        block_q=8, block_n=8, mm_docs=mm_docs, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ids), order)
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(oracle, order, axis=1), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("k", [5, 25])
+def test_scores_kernel_and_topk_via_scores(ragged_data, k):
+    """The scores variant returns the full [B, N] matrix; via_scores top-k
+    supports k > block_n (the fused kernel's limit) with exact tie order."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.maxsim import (
+        maxsim_scores_pallas_v2,
+        maxsim_topk_via_scores,
+    )
+
+    queries, docs = ragged_data
+    q, ql, d, dl = _padded(queries, docs)
+    oracle = numpy_maxsim(q, ql, d, dl)
+    s_full = maxsim_scores_pallas_v2(
+        jnp.asarray(q), jnp.asarray(ql), jnp.asarray(d), jnp.asarray(dl),
+        block_q=8, block_n=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s_full), oracle, rtol=1e-4, atol=1e-5)
+    order = np.lexsort(
+        (np.arange(len(docs))[None].repeat(len(queries), 0), -oracle), axis=1
+    )[:, :k]
+    s, ids = maxsim_topk_via_scores(
+        jnp.asarray(q), jnp.asarray(ql), jnp.asarray(d), jnp.asarray(dl), k,
+        block_n=8, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ids), order)
+
+
 @pytest.mark.parametrize("b", [1, 3])
 @pytest.mark.parametrize("method", ["pallas", "pallas_v2", "pallas_v3"])
 def test_kernel_small_query_batches(ragged_data, method, b):
