@@ -437,7 +437,7 @@ class SparseIndex:
         if self._device is None and self._device_buckets is None:
             self.to_device()
         q_ids, q_w = self.encode_queries(queries)
-        if method in ("pallas_v2_skip", "pallas_probe") and (
+        if method in ("pallas_v2_skip", "pallas_probe", "pallas_wand") and (
             self._device_buckets is not None
             or getattr(self, "_mesh", None) is not None
             or getattr(self, "_device_pack", 1) > 1
@@ -488,7 +488,9 @@ class SparseIndex:
         else:
             from autorag_research_tpu.ops.dense import on_tpu
 
-            explicit_pruned = method in ("pallas_v2_skip", "pallas_probe")
+            explicit_pruned = method in (
+                "pallas_v2_skip", "pallas_probe", "pallas_wand"
+            )
             # pruned kernels bump their internal block_n to hold k, which
             # would disagree with the host-side tile aux built at 2048 —
             # beyond that, route to the plain kernels (correctness)
@@ -533,7 +535,10 @@ class SparseIndex:
         )
 
         pack = self._device_pack
-        bn_rows = max(1, self.probe_block_n // pack)
+        # Mosaic needs block rows divisible by 8; packs that don't divide
+        # probe_block_n (e.g. width-10 docs -> pack 12 -> 170 rows) must
+        # round DOWN first or the kernel block spec is rejected on TPU
+        bn_rows = max(8, (self.probe_block_n // pack) // 8 * 8)
         docs_per_tile = bn_rows * pack
         # the kernel extracts k per sub-row of bn_rows packed rows
         if self.tile_skip and on_tpu() and min(k, self.n_docs) <= bn_rows:
@@ -550,6 +555,17 @@ class SparseIndex:
                     jnp.asarray(count), k, block_n=bn_rows,
                     interpret=not on_tpu(),
                 )
+            # common-term queries: WAND x packed — upper-bound-pruned
+            # two-pass probe over the lane-packed layout; internal fallback
+            # is the full packed scan
+            from autorag_research_tpu.ops.sparse import bm25_topk_wand
+
+            return bm25_topk_wand(
+                jnp.asarray(q_ids), jnp.asarray(q_w), None, None,
+                self._ensure_term_tiles_maxw(docs_per_tile), k,
+                block_n=bn_rows, interpret=not on_tpu(),
+                packed=(packed_ids, packed_w, self.n_docs, pack),
+            )
         return bm25_topk_pallas_packed(
             jnp.asarray(q_ids), jnp.asarray(q_w), packed_ids, packed_w,
             self.n_docs, k, pack, interpret=not on_tpu(),
@@ -576,17 +592,43 @@ class SparseIndex:
         # every tile must hold >= k; beyond that the probe leg cannot serve
         # the request — fall to the Bloom skip leg (whose 2048 granularity is
         # what the caller's pruned_ok gate checked)
-        if min(k, self.n_docs) <= pbn and method in ("auto", "pallas_probe"):
+        if min(k, self.n_docs) <= pbn and method in (
+            "auto", "pallas_probe", "pallas_wand"
+        ):
             p_tiles = max(1, -(-self.n_docs // pbn))
             indptr, tiles = self._ensure_term_tiles(pbn)
             cand, count, maxc = probe_candidates(q_np, indptr, tiles, bq=8, cap=p_tiles)
-            if method == "pallas_probe" or maxc <= p_tiles // 2:
+            if method == "pallas_probe" or (
+                method == "auto" and maxc <= p_tiles // 2
+            ):
                 # power-of-two cap buckets bound the number of compiled grids
                 cap = min(p_tiles, max(16, 1 << max(0, maxc - 1).bit_length()))
                 return bm25_topk_pallas_probe(
                     jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
                     jnp.asarray(cand[:, :cap]), jnp.asarray(count), k,
                     block_n=pbn, interpret=not on_tpu(),
+                )
+            if method == "pallas_wand" or method == "auto":
+                # common-term query (candidate union > half the tiles): the
+                # probe can't pay, but the WAND bound still can — exact
+                # two-pass upper-bound-pruned probe. When the bound prunes
+                # too little it falls back to the Bloom skip kernel (the
+                # previous auto route for this query class).
+                from autorag_research_tpu.ops.sparse import (
+                    bm25_topk_pallas_v2_skip as _skip,
+                    bm25_topk_wand,
+                )
+
+                return bm25_topk_wand(
+                    jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
+                    self._ensure_term_tiles_maxw(pbn), k,
+                    block_n=pbn, interpret=not on_tpu(),
+                    fallback=lambda: _skip(
+                        jnp.asarray(q_ids), jnp.asarray(q_w), doc_ids, doc_w,
+                        self._ensure_bitmaps(2048), min(k, self.n_docs),
+                        positive_only=True, block_n=2048,
+                        interpret=not on_tpu(),
+                    ),
                 )
         block_n = 2048  # Bloom bitmaps + skip kernel granularity
         return bm25_topk_pallas_v2_skip(
@@ -606,6 +648,20 @@ class SparseIndex:
             assert self._slot_ids is not None
             self._term_tiles[block_n] = build_term_tile_lists(self._slot_ids, block_n)
         return self._term_tiles[block_n]
+
+    def _ensure_term_tiles_maxw(self, block_n: int = 2048):
+        """Host CSR term->(tile, max weight) for the WAND bound, built once
+        per (layout, tile size)."""
+        if not isinstance(getattr(self, "_term_tiles_maxw", None), dict):
+            self._term_tiles_maxw = {}
+        if block_n not in self._term_tiles_maxw:
+            from autorag_research_tpu.ops.sparse import build_term_tile_maxw
+
+            assert self._slot_ids is not None
+            self._term_tiles_maxw[block_n] = build_term_tile_maxw(
+                self._slot_ids, self._slot_weights, block_n
+            )
+        return self._term_tiles_maxw[block_n]
 
     def _ensure_bitmaps(self, block_n: int = 2048):
         """Tile term-presence bitmaps for the skip kernel, built once per

@@ -1201,6 +1201,10 @@ def bm25_topk_pallas_probe_packed(
             f"k={k_eff} needs block_n >= {k_eff} packed rows; rebuild the "
             "term->tile lists at a larger block or use a full-scan method"
         )
+    if block_n % 8 and block_n != rows:
+        # Mosaic block rows must be divisible by 8 (or span the array);
+        # callers derive block_n from probe_block_n // pack — round there
+        raise ValueError(f"block_n={block_n} must be a multiple of 8")
     rows_pad = _round_up(rows, block_n)
     q_tiles, cap = cand.shape
     if q_tiles != bsz_pad // bq:
@@ -1281,6 +1285,245 @@ def bm25_topk_pallas_probe_packed(
     out_i = out_i.reshape(bsz_pad, p_pad * k_eff)[:bsz]
     out_s, out_i = sort_topk(out_s, out_i, k_eff)
     return pad_to_k(out_s, out_i, k, k_eff)
+
+
+# ---------------------------------------------------------------- tile-WAND
+#
+# Upper-bound pruning for the one query class the probe path can't serve:
+# COMMON-term queries, whose candidate-tile union is ~all tiles (probe only
+# routes when the union <= half). The classic WAND bound — score(q, d) <=
+# sum_t qw_t * max-weight-of-t-in-d's-tile — lets tiles that provably cannot
+# reach the running k-th score be skipped entirely. TPU-shaped as a host-
+# scheduled TWO-PASS probe (reference behavior: block-WAND inside
+# vchord_bm25, orm/repository/chunk.py:185-247):
+#
+#   pass 1  score the top-B tiles by per-group upper bound exactly (one
+#           probe launch); theta_q = the q-th query's k-th positive score
+#   pass 2  score every REMAINING tile whose bound can still beat theta
+#           (one more probe launch); merge the two exact top-k lists
+#
+# Exact by construction: a doc outside both passes sits in a tile with
+# UB < theta, so its score < theta <= the final k-th score — it can never
+# enter the top-k, and ties AT theta are covered because pass 2 keeps tiles
+# with UB >= theta. The grid only visits tiles that survive the bound, so
+# (unlike the Bloom skip kernel, which predicates compute but still pays
+# ~50us per skipped grid step) pruning here removes the step itself.
+
+
+def build_term_tile_maxw(
+    doc_ids: "np.ndarray", doc_weights: "np.ndarray", block_n: int
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Exact host-side (term -> tile -> max BM25 weight) CSR.
+
+    Same key set and ordering as :func:`build_term_tile_lists` (one unique
+    (term, tile) entry per live pair), with a parallel ``maxw`` array:
+    ``maxw[i]`` = the maximum per-(doc, slot) weight of ``terms[i]`` inside
+    doc tile ``tiles[i]``. This is the WAND bound source: for query weights
+    ``qw``, ``sum_t qw_t * maxw(t, tile)`` >= every doc score in the tile.
+    """
+    import numpy as np
+
+    n = doc_ids.shape[0]
+    n_tiles = max(1, -(-n // block_n))
+    rows, cols = np.nonzero(doc_ids >= 0)
+    terms_all = doc_ids[rows, cols].astype(np.int64)
+    tiles_all = (rows // block_n).astype(np.int64)
+    w_all = np.asarray(doc_weights, np.float32)[rows, cols]
+    keys, inv = np.unique(terms_all * n_tiles + tiles_all, return_inverse=True)
+    maxw = np.zeros(len(keys), np.float32)
+    np.maximum.at(maxw, inv, w_all)
+    terms = keys // n_tiles
+    tiles = (keys % n_tiles).astype(np.int32)
+    vocab = int(terms[-1]) + 1 if len(terms) else 1
+    indptr = np.zeros(vocab + 1, np.int64)
+    np.add.at(indptr, terms + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, tiles, maxw
+
+
+def wand_upper_bounds(
+    q_ids: "np.ndarray",
+    q_weights: "np.ndarray",
+    indptr: "np.ndarray",
+    tiles: "np.ndarray",
+    maxw: "np.ndarray",
+    n_tiles: int,
+) -> "np.ndarray":
+    """Per-query per-tile WAND upper bounds [bsz, n_tiles] (host, numpy).
+
+    ub[q, t] >= score(q, d) for every doc d in tile t; tiles sharing no
+    query term get exactly 0 (BM25 weights are positive)."""
+    import numpy as np
+
+    bsz, n_terms = q_ids.shape
+    vocab = len(indptr) - 1
+    ub = np.zeros((bsz, n_tiles), np.float32)
+    for b in range(bsz):
+        for t in range(n_terms):
+            tid = int(q_ids[b, t])
+            w = float(q_weights[b, t])
+            if 0 <= tid < vocab and w > 0.0:
+                lo, hi = indptr[tid], indptr[tid + 1]
+                ub[b, tiles[lo:hi]] += w * maxw[lo:hi]
+    return ub
+
+
+def _merge_topk_host(s1, i1, s2, i2, k):
+    """Exact (-score, id) merge of two disjoint per-query top-k lists."""
+    import numpy as np
+
+    scores = np.concatenate([np.asarray(s1), np.asarray(s2)], axis=1)
+    ids = np.concatenate([np.asarray(i1), np.asarray(i2)], axis=1)
+    order = np.lexsort((ids, -scores), axis=1)[:, :k]
+    b_idx = np.arange(scores.shape[0])[:, None]
+    return scores[b_idx, order], ids[b_idx, order]
+
+
+def bm25_topk_wand(
+    q_ids,
+    q_weights,
+    doc_ids,
+    doc_weights,
+    term_tiles_maxw,
+    k: int,
+    block_q: int = 8,
+    block_n: int = 2048,
+    pass1_tiles: int = 8,
+    scan_fraction: float = 0.75,
+    interpret: bool = False,
+    packed: tuple | None = None,
+    return_stats: bool = False,
+    fallback=None,
+):
+    """Exact tile-WAND BM25 top-k (two-pass upper-bound-pruned probe).
+
+    ``term_tiles_maxw`` is :func:`build_term_tile_maxw` output built at tile
+    granularity ``block_n`` docs (or ``block_n * pack`` when ``packed``).
+    ``packed=(packed_ids, packed_weights, n_docs, pack)`` runs both passes
+    over the lane-packed layout (probe x packed compose). Results match the
+    full scan's positive hits including (-score, id) tie order.
+
+    Returns (scores, ids); with ``return_stats`` also a dict holding the
+    scanned-tile accounting and whether the bound-based full-scan fallback
+    fired (``scan_fraction``: when pass 1 + pass 2 would touch more than
+    this fraction of all tiles, pruning can't pay — the caller's full-scan
+    kernel is cheaper, run that instead).
+    """
+    import numpy as np
+
+    q_np = np.asarray(q_ids)
+    w_np = np.asarray(q_weights)
+    bsz = q_np.shape[0]
+    indptr, tiles, maxw = term_tiles_maxw
+    if packed is not None:
+        packed_ids, packed_weights, n_docs, pack = packed
+        docs_per_tile = block_n * pack
+    else:
+        n_docs = doc_ids.shape[0]
+        pack = 1
+        docs_per_tile = block_n
+    n_tiles = max(1, -(-n_docs // docs_per_tile))
+    k_eff = min(k, n_docs)
+
+    bq = min(block_q, _round_up(bsz, 8))
+    q_tiles = -(-_round_up(bsz, bq) // bq)
+    ub = wand_upper_bounds(q_np, w_np, indptr, tiles, maxw, n_tiles)
+    # a candidate list is shared by the bq queries of a group: the group
+    # bound is the elementwise max (valid for every member), the group
+    # threshold the min over members (conservative)
+    group_ub = np.stack(
+        [ub[g * bq : min((g + 1) * bq, bsz)].max(axis=0) for g in range(q_tiles)]
+    )  # [q_tiles, n_tiles]
+
+    def _probe(cand, count, cap):
+        cand = jnp.asarray(cand[:, :cap])
+        count = jnp.asarray(count)
+        if packed is not None:
+            return bm25_topk_pallas_probe_packed(
+                jnp.asarray(q_ids), jnp.asarray(q_weights),
+                packed_ids, packed_weights, n_docs, pack,
+                cand, count, k_eff, block_q=block_q, block_n=block_n,
+                interpret=interpret,
+            )
+        return bm25_topk_pallas_probe(
+            jnp.asarray(q_ids), jnp.asarray(q_weights), doc_ids, doc_weights,
+            cand, count, k_eff, block_q=block_q, block_n=block_n,
+            interpret=interpret,
+        )
+
+    # ---- pass 1: exact scores over the top-B tiles by group bound
+    b1 = max(1, min(pass1_tiles, n_tiles))
+    cand1 = np.zeros((q_tiles, b1), np.int32)
+    count1 = np.zeros(q_tiles, np.int32)
+    for g in range(q_tiles):
+        # stable sort => equal bounds keep ascending tile order
+        order = np.argsort(-group_ub[g], kind="stable")[:b1]
+        live = order[group_ub[g][order] > 0.0]
+        cand1[g, : len(live)] = np.sort(live).astype(np.int32)
+        count1[g] = len(live)
+    s1, i1 = _probe(cand1, count1, b1)
+    s1_np = np.asarray(s1)
+
+    # per-query threshold: the k-th positive pass-1 score (0 when fewer
+    # than k positive hits exist — then every UB>0 tile must be scanned,
+    # since only positive scores are hits)
+    theta = s1_np[:, k_eff - 1].copy()
+    theta[~(theta > 0.0)] = 0.0
+    group_theta = np.array(
+        [theta[g * bq : min((g + 1) * bq, bsz)].min() for g in range(q_tiles)],
+        np.float32,
+    )
+
+    # ---- pass 2: remaining tiles whose bound can still reach theta
+    in_pass1 = np.zeros((q_tiles, n_tiles), bool)
+    for g in range(q_tiles):
+        in_pass1[g, cand1[g, : count1[g]]] = True
+    need = (group_ub > 0.0) & (group_ub >= group_theta[:, None]) & ~in_pass1
+    count2 = need.sum(axis=1).astype(np.int32)
+    max2 = int(count2.max()) if len(count2) else 0
+    stats = {
+        "n_tiles": n_tiles,
+        "pass1_tiles": int(count1.max()) if len(count1) else 0,
+        "pass2_tiles_max": max2,
+        "fallback_full": False,
+    }
+    if max2 + b1 > scan_fraction * n_tiles:
+        # the bound prunes too little — a straight full scan (or the
+        # caller's ``fallback``, e.g. the Bloom skip kernel) is cheaper
+        # than a probe visiting nearly every tile plus this pass-1 work
+        stats["fallback_full"] = True
+        if fallback is not None:
+            out = fallback()
+        elif packed is not None:
+            out = bm25_topk_pallas_packed(
+                jnp.asarray(q_ids), jnp.asarray(q_weights),
+                packed_ids, packed_weights, n_docs, k_eff, pack,
+                interpret=interpret,
+            )
+        else:
+            out = bm25_topk(
+                jnp.asarray(q_ids), jnp.asarray(q_weights), doc_ids,
+                doc_weights, k_eff,
+                method="xla" if interpret else "auto",
+            )
+        s, i = pad_to_k(out[0], out[1], k, k_eff)
+        return (s, i, stats) if return_stats else (s, i)
+
+    if max2 == 0:
+        s, i = pad_to_k(s1, i1, k, k_eff)
+        return (s, i, stats) if return_stats else (s, i)
+
+    # power-of-two cap buckets bound the number of compiled grids
+    cap2 = min(n_tiles, max(16, 1 << max(0, max2 - 1).bit_length()))
+    cand2 = np.zeros((q_tiles, cap2), np.int32)
+    for g in range(q_tiles):
+        live = np.flatnonzero(need[g])[:cap2]
+        cand2[g, : len(live)] = live.astype(np.int32)
+    s2, i2 = _probe(cand2, count2, cap2)
+
+    sm, im = _merge_topk_host(s1, i1, s2, i2, k_eff)
+    s, i = pad_to_k(jnp.asarray(sm), jnp.asarray(im), k, k_eff)
+    return (s, i, stats) if return_stats else (s, i)
 
 
 def bm25_topk(q_ids, q_weights, doc_ids, doc_weights, k, method: str = "auto"):
