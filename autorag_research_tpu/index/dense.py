@@ -38,6 +38,21 @@ from autorag_research_tpu.parallel.sharded import (
 )
 
 
+def _device_hbm_bytes() -> int:
+    """Per-device HBM for capacity checks. Only meaningful on TPU — CPU
+    (tests, dryruns) returns a no-limit sentinel. Falls back to the v5e
+    16 GB when the runtime exposes no memory stats (the axon tunnel)."""
+    if jax.default_backend() != "tpu":
+        return 1 << 62
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16 << 30
+
+
 def l2_normalize(x: np.ndarray) -> np.ndarray:
     """Row-normalize; zero rows stay zero (cosine undefined -> score 0)."""
     x = np.asarray(x, dtype=np.float32)
@@ -109,10 +124,33 @@ class DenseIndex:
     def dim(self) -> int:
         return self._host.shape[1]
 
+    def verified_device_bytes(self) -> int:
+        """Per-device resident bytes the verified mode needs: the exact f32
+        corpus (rescore source) PLUS the bf16 prescreen sidecar — 6 bytes
+        per (doc, dim). One v5e chip (16 GB) therefore caps verified at
+        ~2.9M docs @ 768d; larger corpora must shard over a mesh
+        (sharded_dense_topk_verified splits both tensors) or drop to
+        mode="int8" (2 bytes/dim resident, approximate)."""
+        n, d = self._host.shape
+        n_pad = -(-n // 2048) * 2048  # sidecar pre-pads rows to the block
+        return n * d * 4 + n_pad * d * 2
+
     def to_device(self, mesh=None) -> "DenseIndex":
         """Materialize the corpus in device HBM — replicated on one device, or
         row-sharded over ``mesh``'s corpus axis."""
         use_mesh = mesh is not None and np.prod(list(mesh.shape.values())) > 1
+        if self.mode == "verified":
+            shards = int(np.prod(list(mesh.shape.values()))) if use_mesh else 1
+            need = self.verified_device_bytes() // shards
+            limit = _device_hbm_bytes()
+            if need > 0.85 * limit:
+                raise IndexNotBuiltError(
+                    f"verified mode needs ~{need / 2**30:.1f} GB/device "
+                    f"(f32 corpus + bf16 sidecar over {shards} shard(s)) but "
+                    f"the device reports {limit / 2**30:.1f} GB HBM. Shard "
+                    "over a larger mesh, or use mode='int8' (2 bytes/dim, "
+                    "approximate) / mode='exact' with host streaming."
+                )
         if self.mode == "int8":
             cq, cs = quantize_int8(self._host)
             if use_mesh:

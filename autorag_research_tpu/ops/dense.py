@@ -783,6 +783,64 @@ def _seg_stats_pallas(
     return max1.T[:q], loc1.T[:q], max2.T[:q]
 
 
+def _exact_scan_masked(
+    qf: jax.Array, corpus: jax.Array, n_valid: jax.Array, k_eff: int
+) -> tuple[jax.Array, jax.Array]:
+    """Exact f32 HIGHEST top-k as a corpus-tiled scan with an n_valid row
+    mask — the capacity-scale replacement for the flat [Q, N] fallback
+    matmul inside the verified path (at 2M x 768 and Q=1024 the flat score
+    matrix alone is 8 GB; XLA reserves a cond branch's temps whether or not
+    the branch runs). Same (-score, id) merge order as the flat path."""
+    q_cnt, d = qf.shape
+    n = corpus.shape[0]
+    # bound the per-step score tile to ~512 MB so the untaken-branch
+    # reservation stays small at any Q
+    tile_n = max(8192, min(131072, ((512 << 20) // max(1, q_cnt * 4)) // 128 * 128))
+    t_full = n // tile_n
+    rem = n - t_full * tile_n
+    tile_k = min(k_eff, tile_n)
+
+    def _tile_scores(tile, base):
+        scores = jax.lax.dot_general(
+            qf, tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision_for(jnp.float32),
+        )
+        col = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        return jnp.where(col < n_valid, scores, NEG_INF)
+
+    def body(carry, tile_idx):
+        carry_s, carry_i = carry
+        base = tile_idx * tile_n
+        tile = jax.lax.dynamic_slice(corpus, (base, 0), (tile_n, d))
+        tile_s, tile_local = jax.lax.top_k(_tile_scores(tile, base), tile_k)
+        merged = sort_topk(
+            jnp.concatenate([carry_s, tile_s], axis=1),
+            jnp.concatenate([carry_i, tile_local + base], axis=1),
+            k_eff,
+        )
+        return merged, None
+
+    scores = jnp.full((q_cnt, k_eff), NEG_INF, jnp.float32)
+    ids = jnp.full((q_cnt, k_eff), INT_MAX, jnp.int32)
+    if t_full:
+        (scores, ids), _ = jax.lax.scan(
+            body, (scores, ids), jnp.arange(t_full, dtype=jnp.int32)
+        )
+    if rem:
+        tail_s, tail_local = jax.lax.top_k(
+            _tile_scores(corpus[t_full * tile_n :], jnp.int32(t_full * tile_n)),
+            min(k_eff, rem),
+        )
+        scores, ids = sort_topk(
+            jnp.concatenate([scores, tail_s], axis=1),
+            jnp.concatenate([ids, tail_local + t_full * tile_n], axis=1),
+            k_eff,
+        )
+    return scores, ids
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "m", "j", "seg", "second_chance", "engine", "interpret"),
@@ -898,16 +956,19 @@ def _dense_topk_verified(
         )
         order = jnp.argsort(prio)[:f_cap]
         fq = qf[order]
-        fscores = jax.lax.dot_general(
-            fq,
-            corpus,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_precision_for(jnp.float32),
-        )
-        fcol = jax.lax.broadcasted_iota(jnp.int32, fscores.shape, 1)
-        fscores = jnp.where(fcol < n_valid, fscores, NEG_INF)
-        fs, fi = jax.lax.top_k(fscores, k_eff)
+        if f_cap * n * 4 > FULL_MATERIALIZE_BUDGET:
+            fs, fi = _exact_scan_masked(fq, corpus, n_valid, k_eff)
+        else:
+            fscores = jax.lax.dot_general(
+                fq,
+                corpus,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_precision_for(jnp.float32),
+            )
+            fcol = jax.lax.broadcasted_iota(jnp.int32, fscores.shape, 1)
+            fscores = jnp.where(fcol < n_valid, fscores, NEG_INF)
+            fs, fi = jax.lax.top_k(fscores, k_eff)
         take = ~ok_q[order]
         out_s = out_s.at[order].set(jnp.where(take[:, None], fs, out_s[order]))
         out_i = out_i.at[order].set(jnp.where(take[:, None], fi, out_i[order]))
@@ -919,6 +980,8 @@ def _dense_topk_verified(
         return args
 
     def _full(args):
+        if q_cnt * n * 4 > FULL_MATERIALIZE_BUDGET:
+            return _exact_scan_masked(qf, corpus, n_valid, k_eff)
         scores = jax.lax.dot_general(
             qf,
             corpus,

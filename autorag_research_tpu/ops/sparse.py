@@ -1317,9 +1317,13 @@ def build_term_tile_maxw(
 
     Same key set and ordering as :func:`build_term_tile_lists` (one unique
     (term, tile) entry per live pair), with a parallel ``maxw`` array:
-    ``maxw[i]`` = the maximum per-(doc, slot) weight of ``terms[i]`` inside
-    doc tile ``tiles[i]``. This is the WAND bound source: for query weights
-    ``qw``, ``sum_t qw_t * maxw(t, tile)`` >= every doc score in the tile.
+    ``maxw[i]`` = the maximum per-DOC total weight of ``terms[i]`` inside
+    doc tile ``tiles[i]``. Per-doc TOTAL, not per-slot max: the scorer sums
+    every slot matching a query term, so a doc holding the same term in
+    several slots scores their sum — a per-slot max would NOT dominate it
+    (and a violated bound silently drops true top-k docs). This is the WAND
+    bound source: for query weights ``qw``, ``sum_t qw_t * maxw(t, tile)``
+    >= every doc score in the tile.
     """
     import numpy as np
 
@@ -1327,11 +1331,20 @@ def build_term_tile_maxw(
     n_tiles = max(1, -(-n // block_n))
     rows, cols = np.nonzero(doc_ids >= 0)
     terms_all = doc_ids[rows, cols].astype(np.int64)
-    tiles_all = (rows // block_n).astype(np.int64)
-    w_all = np.asarray(doc_weights, np.float32)[rows, cols]
-    keys, inv = np.unique(terms_all * n_tiles + tiles_all, return_inverse=True)
-    maxw = np.zeros(len(keys), np.float32)
-    np.maximum.at(maxw, inv, w_all)
+    w_all = np.asarray(doc_weights, np.float64)[rows, cols]
+    # per-(term, doc) slot-weight totals first ...
+    keys_td, inv_td = np.unique(terms_all * n + rows, return_inverse=True)
+    sums = np.zeros(len(keys_td), np.float64)
+    np.add.at(sums, inv_td, w_all)
+    terms_u = keys_td // n
+    tiles_u = (keys_td % n) // block_n
+    # ... then the per-(term, tile) max over docs; the (1 + 1e-6) inflation
+    # keeps the float32 bound above the kernel's own float32 sum regardless
+    # of accumulation-order rounding (loosening is safe, tightening is not)
+    keys, inv = np.unique(terms_u * n_tiles + tiles_u, return_inverse=True)
+    maxw64 = np.zeros(len(keys), np.float64)
+    np.maximum.at(maxw64, inv, sums)
+    maxw = (maxw64 * (1.0 + 1e-6)).astype(np.float32)
     terms = keys // n_tiles
     tiles = (keys % n_tiles).astype(np.int32)
     vocab = int(terms[-1]) + 1 if len(terms) else 1
@@ -1388,7 +1401,7 @@ def bm25_topk_wand(
     k: int,
     block_q: int = 8,
     block_n: int = 2048,
-    pass1_tiles: int = 8,
+    pass1_tiles: int | None = None,
     scan_fraction: float = 0.75,
     interpret: bool = False,
     packed: tuple | None = None,
@@ -1428,12 +1441,6 @@ def bm25_topk_wand(
     bq = min(block_q, _round_up(bsz, 8))
     q_tiles = -(-_round_up(bsz, bq) // bq)
     ub = wand_upper_bounds(q_np, w_np, indptr, tiles, maxw, n_tiles)
-    # a candidate list is shared by the bq queries of a group: the group
-    # bound is the elementwise max (valid for every member), the group
-    # threshold the min over members (conservative)
-    group_ub = np.stack(
-        [ub[g * bq : min((g + 1) * bq, bsz)].max(axis=0) for g in range(q_tiles)]
-    )  # [q_tiles, n_tiles]
 
     def _probe(cand, count, cap):
         cand = jnp.asarray(cand[:, :cap])
@@ -1451,17 +1458,34 @@ def bm25_topk_wand(
             interpret=interpret,
         )
 
-    # ---- pass 1: exact scores over the top-B tiles by group bound
-    b1 = max(1, min(pass1_tiles, n_tiles))
-    cand1 = np.zeros((q_tiles, b1), np.int32)
+    # ---- pass 1: exact scores over each query's OWN top-B tiles by bound,
+    # unioned per bq group (the kernel scores every member against every
+    # tile in the group list). Selecting by a group-max bound instead
+    # starves members whose terms miss those tiles — their theta collapses
+    # to 0 and pass 2 degenerates to a full scan. B >= k matters: for a
+    # single-term query the top-k docs' tiles all rank in the top-k tiles
+    # by bound, so theta from pass 1 IS the true k-th score and pass 2
+    # prunes to ~the tiles holding true top-k contenders (classic WAND).
+    # default: at least k tiles per query (theta then equals the true k-th
+    # score for single-term queries); an explicit pass1_tiles is respected
+    # as-is (correctness never depends on pass-1 coverage)
+    b1 = max(1, min(max(8, k_eff) if pass1_tiles is None else pass1_tiles, n_tiles))
+    sel: list[np.ndarray] = []
+    for q in range(bsz):
+        order = np.argsort(-ub[q], kind="stable")[:b1]
+        sel.append(order[ub[q][order] > 0.0])
+    groups = [
+        np.unique(np.concatenate(sel[g * bq : min((g + 1) * bq, bsz)] or [np.empty(0, np.int64)]))
+        for g in range(q_tiles)
+    ]
+    max1 = max((len(u) for u in groups), default=0)
+    cap1 = min(n_tiles, max(16, 1 << max(0, max1 - 1).bit_length()))
+    cand1 = np.zeros((q_tiles, cap1), np.int32)
     count1 = np.zeros(q_tiles, np.int32)
-    for g in range(q_tiles):
-        # stable sort => equal bounds keep ascending tile order
-        order = np.argsort(-group_ub[g], kind="stable")[:b1]
-        live = order[group_ub[g][order] > 0.0]
-        cand1[g, : len(live)] = np.sort(live).astype(np.int32)
-        count1[g] = len(live)
-    s1, i1 = _probe(cand1, count1, b1)
+    for g, u in enumerate(groups):
+        cand1[g, : len(u)] = u.astype(np.int32)
+        count1[g] = len(u)
+    s1, i1 = _probe(cand1, count1, cap1)
     s1_np = np.asarray(s1)
 
     # per-query threshold: the k-th positive pass-1 score (0 when fewer
@@ -1469,16 +1493,23 @@ def bm25_topk_wand(
     # since only positive scores are hits)
     theta = s1_np[:, k_eff - 1].copy()
     theta[~(theta > 0.0)] = 0.0
-    group_theta = np.array(
-        [theta[g * bq : min((g + 1) * bq, bsz)].min() for g in range(q_tiles)],
-        np.float32,
-    )
-
-    # ---- pass 2: remaining tiles whose bound can still reach theta
+    # ---- pass 2: remaining tiles whose bound can still reach theta.
+    # Per-QUERY test, then union over the group — strictly tighter than
+    # comparing the group's max bound against its min theta (which a
+    # heterogeneous group can satisfy with no individual member doing so).
     in_pass1 = np.zeros((q_tiles, n_tiles), bool)
     for g in range(q_tiles):
         in_pass1[g, cand1[g, : count1[g]]] = True
-    need = (group_ub > 0.0) & (group_ub >= group_theta[:, None]) & ~in_pass1
+    need_q = (ub > 0.0) & (ub >= theta[:, None])  # [bsz, n_tiles]
+    need = (
+        np.stack(
+            [
+                need_q[g * bq : min((g + 1) * bq, bsz)].any(axis=0)
+                for g in range(q_tiles)
+            ]
+        )
+        & ~in_pass1
+    )
     count2 = need.sum(axis=1).astype(np.int32)
     max2 = int(count2.max()) if len(count2) else 0
     stats = {
@@ -1487,7 +1518,8 @@ def bm25_topk_wand(
         "pass2_tiles_max": max2,
         "fallback_full": False,
     }
-    if max2 + b1 > scan_fraction * n_tiles:
+    p1_max = int(count1.max()) if len(count1) else 0
+    if max2 + p1_max > scan_fraction * n_tiles:
         # the bound prunes too little — a straight full scan (or the
         # caller's ``fallback``, e.g. the Bloom skip kernel) is cheaper
         # than a probe visiting nearly every tile plus this pass-1 work

@@ -71,7 +71,36 @@ class TestMaxwBuilder:
             tile = int(tiles[idx])
             sl = doc_ids[tile * 128 : (tile + 1) * 128]
             wl = doc_w[tile * 128 : (tile + 1) * 128]
-            assert maxw[idx] == wl[sl == t].max()
+            # _synthetic draws terms without replacement within a doc, so
+            # the per-doc total equals the per-slot max (up to the builder's
+            # 1e-6 safety inflation)
+            np.testing.assert_allclose(maxw[idx], wl[sl == t].max(), rtol=2e-6)
+
+    def test_duplicate_slots_still_dominated(self):
+        """A doc holding the same term in SEVERAL slots scores their SUM —
+        the bound must dominate per-doc totals, not per-slot maxima (a
+        per-slot-max bound silently drops true top-k docs)."""
+        doc_ids = np.full((256, 4), -1, np.int32)
+        doc_w = np.zeros((256, 4), np.float32)
+        doc_ids[:, 0] = np.arange(256) % 97
+        doc_w[:, 0] = 1.0
+        # doc 7: term 3 in all four slots -> true score 4x the slot weight
+        doc_ids[7] = 3
+        doc_w[7] = 1.0
+        indptr, tiles, maxw = build_term_tile_maxw(doc_ids, doc_w, block_n=128)
+        q_ids = np.array([[3, -2, -2, -2]], np.int32)
+        q_w = np.array([[1.0, 0.0, 0.0, 0.0]], np.float32)
+        ub = wand_upper_bounds(q_ids, q_w, indptr, tiles, maxw, 2)
+        s, i = _oracle(q_ids, q_w, doc_ids, doc_w, k=3)
+        assert s[0, 0] == 4.0 and i[0, 0] == 7
+        assert ub[0, 0] >= 4.0
+        # end-to-end: wand must still return doc 7 first
+        s_w, i_w = bm25_topk_wand(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(doc_ids),
+            jnp.asarray(doc_w), (indptr, tiles, maxw), 3,
+            block_n=128, pass1_tiles=1, interpret=True,
+        )
+        _assert_positive_hits_equal(s_w, i_w, s, i)
 
     def test_upper_bounds_dominate_scores(self):
         doc_ids, doc_w = _synthetic(seed=3)

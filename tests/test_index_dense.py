@@ -239,3 +239,23 @@ def test_verified_mode_matches_exact_mode():
     want = [[(h.doc_id, round(h.score, 5)) for h in row] for row in exact]
     got = [[(h.doc_id, round(h.score, 5)) for h in row] for row in verified]
     assert got == want
+
+
+def test_verified_mode_capacity_refusal(monkeypatch):
+    """At capacity scale the verified mode must refuse CLEARLY when the f32
+    corpus + bf16 sidecar (6 bytes per doc-dim) cannot fit device HBM,
+    pointing at mesh sharding / int8 — never OOM mid-transfer."""
+    import autorag_research_tpu.index.dense as mod
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((4096, 64)).astype(np.float32)
+    idx = DenseIndex(ids=list(range(4096)), embeddings=emb, mode="verified")
+    # 4096 * 64 * 6 bytes = 1.5 MB "needs"; pretend a 1 MB device
+    monkeypatch.setattr(mod, "_device_hbm_bytes", lambda: 1 << 20)
+    monkeypatch.setattr(mod.jax, "default_backend", lambda: "tpu")
+    from autorag_research_tpu.exceptions import IndexNotBuiltError
+
+    with pytest.raises(IndexNotBuiltError, match="Shard over a larger mesh"):
+        idx.to_device()
+    # the same corpus fits when sharded 8-way under the same budget
+    assert idx.verified_device_bytes() // 8 < 0.85 * (1 << 20)

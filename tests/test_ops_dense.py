@@ -508,3 +508,65 @@ def test_verified_randomized_property(seed):
             )
             np.testing.assert_array_equal(np.asarray(i), np.asarray(ri), err_msg=f"{rep}/{engine}")
             np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=1e-6, atol=1e-7)
+
+
+def test_exact_scan_masked_matches_flat():
+    """The capacity-scale streaming fallback must equal the flat masked
+    matmul + top_k exactly, including (-score, id) ties and the n_valid
+    row mask."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.dense import NEG_INF, _exact_scan_masked
+
+    rng = np.random.default_rng(3)
+    n, d, q, k, n_valid = 1000, 32, 7, 12, 900
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus[950:] = corpus[10]  # padded rows that MUST stay masked out
+    corpus[100] = corpus[200]  # an exact tie inside the valid range
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    s, i = _exact_scan_masked(
+        jnp.asarray(queries), jnp.asarray(corpus), jnp.int32(n_valid), k
+    )
+    flat = queries.astype(np.float64) @ corpus.T
+    flat[:, n_valid:] = -np.inf
+    for b in range(q):
+        order = np.lexsort((np.arange(n), -flat[b]))[:k]
+        np.testing.assert_array_equal(np.asarray(i)[b], order)
+    assert (np.asarray(i) < n_valid).all()
+
+
+def test_verified_batch_fallback_streams_at_capacity(monkeypatch):
+    """Force the coverage proof to fail AND the flat fallback over budget:
+    the streaming scan fallback must still return the exact top-k."""
+    import jax.numpy as jnp
+
+    import autorag_research_tpu.ops.dense as mod
+
+    rng = np.random.default_rng(5)
+    n, d, q, k = 4096, 32, 3, 10
+    # near-identical rows: every segment max ties at the top, so the
+    # (m+1)-th segment boundary can never clear theta -> n_fail = q
+    base = rng.standard_normal(d).astype(np.float32)
+    corpus = np.tile(base, (n, 1)) + 1e-4 * rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    side = mod.build_verified_sidecar(corpus, rep="bf16")
+    monkeypatch.setattr(mod, "FULL_MATERIALIZE_BUDGET", 1024)
+    s, i, n_fail, covered = mod.dense_topk_verified(
+        jnp.asarray(queries), jnp.asarray(corpus), side, k,
+        m=4, j=1, seg=128, second_chance=1, engine="xla",
+        return_stats=True,
+    )
+    assert int(n_fail) == q and not bool(covered)
+    exact = queries.astype(np.float64) @ corpus.T
+    for b in range(q):
+        order = np.lexsort((np.arange(n), -exact[b]))[:k]
+        got = np.asarray(i)[b]
+        # float32 sub-ulp near-ties aside: scores must match the f32 oracle
+        np.testing.assert_allclose(
+            np.asarray(s)[b], np.sort(exact[b])[::-1][:k], rtol=1e-5
+        )
+        assert set(got) == set(order) or np.allclose(
+            exact[b][got], exact[b][order], rtol=1e-6
+        )
