@@ -1361,16 +1361,23 @@ def wand_upper_bounds(
     tiles: "np.ndarray",
     maxw: "np.ndarray",
     n_tiles: int,
-) -> "np.ndarray":
+    return_single_best: bool = False,
+):
     """Per-query per-tile WAND upper bounds [bsz, n_tiles] (host, numpy).
 
     ub[q, t] >= score(q, d) for every doc d in tile t; tiles sharing no
-    query term get exactly 0 (BM25 weights are positive)."""
+    query term get exactly 0 (BM25 weights are positive).
+
+    With ``return_single_best`` also returns sb [bsz, n_tiles]: the best
+    SINGLE-term contribution ``max_t qw_t * maxw(t, tile)`` — a LOWER bound
+    on the best attainable doc score in the tile (the doc attaining maxw
+    scores at least that), used for the pre-dispatch theta lower bound."""
     import numpy as np
 
     bsz, n_terms = q_ids.shape
     vocab = len(indptr) - 1
     ub = np.zeros((bsz, n_tiles), np.float32)
+    sb = np.zeros((bsz, n_tiles), np.float32) if return_single_best else None
     for b in range(bsz):
         for t in range(n_terms):
             tid = int(q_ids[b, t])
@@ -1378,7 +1385,9 @@ def wand_upper_bounds(
             if 0 <= tid < vocab and w > 0.0:
                 lo, hi = indptr[tid], indptr[tid + 1]
                 ub[b, tiles[lo:hi]] += w * maxw[lo:hi]
-    return ub
+                if sb is not None:
+                    np.maximum.at(sb, (b, tiles[lo:hi]), w * maxw[lo:hi])
+    return (ub, sb) if return_single_best else ub
 
 
 def _merge_topk_host(s1, i1, s2, i2, k):
@@ -1416,11 +1425,25 @@ def bm25_topk_wand(
     over the lane-packed layout (probe x packed compose). Results match the
     full scan's positive hits including (-score, id) tie order.
 
+    Dispatch flow (cheapest exit first):
+
+    1. ``fallback_early`` — a pre-dispatch theta LOWER bound (the k-th
+       largest per-tile best-single-term attained score) already proves
+       pruning can't reach ``scan_fraction``: run the fallback with ZERO
+       probe launches. This is the long multi-term common-query case,
+       where the additive sum-of-maxima bound structurally exceeds any
+       real k-th score.
+    2. ``single_pass`` — the est set (tiles whose bound reaches theta_lb)
+       is barely larger than the pass-1 union: probe it directly, exact in
+       ONE launch (single-term and dominant-term queries land here).
+    3. two-pass — pass 1 probes each query's own top-B tiles by bound
+       (unioned per bq group), theta = max(k-th pass-1 positive score,
+       theta_lb); pass 2 probes remaining tiles with ub >= theta; exact
+       host merge. ``fallback_full`` fires instead when the two passes
+       would touch more than ``scan_fraction`` of all tiles.
+
     Returns (scores, ids); with ``return_stats`` also a dict holding the
-    scanned-tile accounting and whether the bound-based full-scan fallback
-    fired (``scan_fraction``: when pass 1 + pass 2 would touch more than
-    this fraction of all tiles, pruning can't pay — the caller's full-scan
-    kernel is cheaper, run that instead).
+    scanned-tile accounting and which exit fired.
     """
     import numpy as np
 
@@ -1440,7 +1463,60 @@ def bm25_topk_wand(
 
     bq = min(block_q, _round_up(bsz, 8))
     q_tiles = -(-_round_up(bsz, bq) // bq)
-    ub = wand_upper_bounds(q_np, w_np, indptr, tiles, maxw, n_tiles)
+    ub, sb = wand_upper_bounds(
+        q_np, w_np, indptr, tiles, maxw, n_tiles, return_single_best=True
+    )
+
+    def _fallback_out(stats):
+        stats["fallback_full"] = True
+        if fallback is not None:
+            out = fallback()
+        elif packed is not None:
+            out = bm25_topk_pallas_packed(
+                jnp.asarray(q_ids), jnp.asarray(q_weights),
+                packed_ids, packed_weights, n_docs, k_eff, pack,
+                interpret=interpret,
+            )
+        else:
+            out = bm25_topk(
+                jnp.asarray(q_ids), jnp.asarray(q_weights), doc_ids,
+                doc_weights, k_eff,
+                method="xla" if interpret else "auto",
+            )
+        s, i = pad_to_k(out[0], out[1], k, k_eff)
+        return (s, i, stats) if return_stats else (s, i)
+
+    # ---- pre-dispatch predictor: a PROVABLE lower bound on each query's
+    # final theta is the k-th largest per-tile best-single-term attained
+    # score (distinct tiles -> k distinct docs, each scoring at least its
+    # tile's sb). If even that bound cannot prune below scan_fraction,
+    # pass 1 is wasted work — fall back before paying any dispatch. The
+    # (1 - 1e-5) deflation covers the builder's bound inflation + f32
+    # rounding so the lower bound stays on the safe side.
+    if n_tiles > k_eff:
+        theta_lb = -np.partition(-sb, k_eff - 1, axis=1)[:, k_eff - 1]
+        theta_lb = np.maximum(theta_lb * (1.0 - 1e-5), 0.0).astype(np.float32)
+    else:
+        theta_lb = np.zeros(bsz, np.float32)
+    est_q = (ub > 0.0) & (ub >= theta_lb[:, None])
+    est = np.stack(
+        [
+            est_q[g * bq : min((g + 1) * bq, bsz)].any(axis=0)
+            for g in range(q_tiles)
+        ]
+    )
+    est_max = int(est.sum(axis=1).max()) if len(est) else 0
+    if est_max > scan_fraction * n_tiles:
+        return _fallback_out(
+            {
+                "n_tiles": n_tiles,
+                "pass1_tiles": 0,
+                "pass2_tiles_max": est_max,
+                "fallback_full": False,
+                "fallback_early": True,
+                "single_pass": False,
+            }
+        )
 
     def _probe(cand, count, cap):
         cand = jnp.asarray(cand[:, :cap])
@@ -1479,6 +1555,32 @@ def bm25_topk_wand(
         for g in range(q_tiles)
     ]
     max1 = max((len(u) for u in groups), default=0)
+
+    # ---- single-pass shortcut: when the pre-dispatch est set is barely
+    # larger than the pass-1 union, probing est DIRECTLY is exact (docs in
+    # other tiles score < theta_lb <= true k-th) and saves the second
+    # dispatch — the dominant cost at small tile counts is per-launch
+    # overhead, not tiles (a tunnel RTT alone is worth ~3500 tile steps).
+    if pass1_tiles is None and est_max <= 2 * max1 + 64:
+        cap_e = min(n_tiles, max(16, 1 << max(0, est_max - 1).bit_length()))
+        cand_e = np.zeros((q_tiles, cap_e), np.int32)
+        count_e = np.zeros(q_tiles, np.int32)
+        for g in range(q_tiles):
+            live = np.flatnonzero(est[g])[:cap_e]
+            cand_e[g, : len(live)] = live.astype(np.int32)
+            count_e[g] = len(live)
+        s1, i1 = _probe(cand_e, count_e, cap_e)
+        stats = {
+            "n_tiles": n_tiles,
+            "pass1_tiles": est_max,
+            "pass2_tiles_max": 0,
+            "fallback_full": False,
+            "fallback_early": False,
+            "single_pass": True,
+        }
+        s, i = pad_to_k(s1, i1, k, k_eff)
+        return (s, i, stats) if return_stats else (s, i)
+
     cap1 = min(n_tiles, max(16, 1 << max(0, max1 - 1).bit_length()))
     cand1 = np.zeros((q_tiles, cap1), np.int32)
     count1 = np.zeros(q_tiles, np.int32)
@@ -1493,6 +1595,9 @@ def bm25_topk_wand(
     # since only positive scores are hits)
     theta = s1_np[:, k_eff - 1].copy()
     theta[~(theta > 0.0)] = 0.0
+    # the pre-dispatch lower bound can only raise theta (both are valid
+    # lower bounds on the true k-th score; the max is the tighter one)
+    theta = np.maximum(theta, theta_lb)
     # ---- pass 2: remaining tiles whose bound can still reach theta.
     # Per-QUERY test, then union over the group — strictly tighter than
     # comparing the group's max bound against its min theta (which a
@@ -1517,29 +1622,15 @@ def bm25_topk_wand(
         "pass1_tiles": int(count1.max()) if len(count1) else 0,
         "pass2_tiles_max": max2,
         "fallback_full": False,
+        "fallback_early": False,
+        "single_pass": False,
     }
     p1_max = int(count1.max()) if len(count1) else 0
     if max2 + p1_max > scan_fraction * n_tiles:
         # the bound prunes too little — a straight full scan (or the
         # caller's ``fallback``, e.g. the Bloom skip kernel) is cheaper
         # than a probe visiting nearly every tile plus this pass-1 work
-        stats["fallback_full"] = True
-        if fallback is not None:
-            out = fallback()
-        elif packed is not None:
-            out = bm25_topk_pallas_packed(
-                jnp.asarray(q_ids), jnp.asarray(q_weights),
-                packed_ids, packed_weights, n_docs, k_eff, pack,
-                interpret=interpret,
-            )
-        else:
-            out = bm25_topk(
-                jnp.asarray(q_ids), jnp.asarray(q_weights), doc_ids,
-                doc_weights, k_eff,
-                method="xla" if interpret else "auto",
-            )
-        s, i = pad_to_k(out[0], out[1], k, k_eff)
-        return (s, i, stats) if return_stats else (s, i)
+        return _fallback_out(stats)
 
     if max2 == 0:
         s, i = pad_to_k(s1, i1, k, k_eff)

@@ -222,6 +222,7 @@ class ServingHandle:
         default_pipeline: str | None = None,
         batch_window_ms: float = 5.0,
         include_contents: bool = True,
+        max_inflight: int = 2,
     ):
         if not retrieval_pipelines:
             raise ValueError("need at least one retrieval pipeline to serve")
@@ -237,6 +238,7 @@ class ServingHandle:
             name: _Batcher(
                 self._make_batch_fn(pipe),
                 batch_window_ms,
+                max_inflight=max_inflight,
                 metrics=self.metrics,
                 metrics_labels={"pipeline": name, "kind": "search"},
             )

@@ -107,25 +107,25 @@ def main():
 
     rng = np.random.default_rng(7)
     results = {"pack": pack, "bsz": bsz, "n": n}
-    for kind in ("mixed", "common", "rare"):
-        if kind == "mixed":
-            # the production query class the probe REFUSES (common terms
-            # push the candidate union past half the tiles) and the skip
-            # kernel can't prune (Bloom presence hits everywhere): 6 common
-            # + 2 rare terms. WAND's theta comes from rare-term matches,
-            # whose idf dwarfs the common-only tile bounds.
-            q_ids = np.concatenate(
-                [
-                    rng.integers(0, 1000, size=(reps, bsz, T - 2)),
-                    rng.integers(VOCAB // 2, VOCAB, size=(reps, bsz, 2)),
-                ],
-                axis=2,
-            ).astype(np.int32)
-        elif kind == "common":
-            q_ids = rng.integers(0, 1000, size=(reps, bsz, T)).astype(np.int32)
-        else:
-            q_ids = rng.integers(VOCAB // 2, VOCAB, size=(reps, bsz, T)).astype(np.int32)
-        q_w = rng.uniform(0.5, 1.5, size=(reps, bsz, T)).astype(np.float32)
+    # The bound's looseness grows with query term count (ub sums every
+    # term's tile max, but a typical doc matches only 1-2), so sweep it:
+    # short common-term queries are the realistic full-scan-paying class
+    # (probe refuses them — their tile union is everything), long all-common
+    # queries are the worst case where the internal fallback must fire.
+    classes = (
+        ("common1", 1, 0), ("common2", 2, 0), ("common4", 4, 0),
+        ("common8", 8, 0), ("mixed", 6, 2),
+    )
+    for kind, n_common, n_rare in classes:
+        nt = n_common + n_rare
+        q_ids = np.full((reps, bsz, T), QUERY_PAD, np.int32)
+        q_ids[:, :, :n_common] = rng.integers(0, 1000, size=(reps, bsz, n_common))
+        if n_rare:
+            q_ids[:, :, n_common:nt] = rng.integers(
+                VOCAB // 2, VOCAB, size=(reps, bsz, n_rare)
+            )
+        q_w = np.zeros((reps, bsz, T), np.float32)
+        q_w[:, :, :nt] = rng.uniform(0.5, 1.5, size=(reps, bsz, nt))
 
         # ---- WAND (host-orchestrated; warm every rep's grid shapes first)
         def wand_call(r, return_stats=False):
@@ -147,13 +147,18 @@ def main():
         dt_wand = (time.perf_counter() - t0) / (reps * bsz)
         p2 = [st["pass2_tiles_max"] for st in stats_all]
         fb = sum(st["fallback_full"] for st in stats_all)
+        early = sum(st.get("fallback_early", False) for st in stats_all)
+        single = sum(st.get("single_pass", False) for st in stats_all)
         results[f"{kind}_wand_ms"] = round(dt_wand * 1e3, 2)
         results[f"{kind}_pass2_tiles_med"] = int(np.median(p2))
         results[f"{kind}_fallbacks"] = fb
+        results[f"{kind}_early"] = early
+        results[f"{kind}_single_pass"] = single
         print(
             f"{kind}: wand          {dt_wand * 1e3:7.2f} ms/query "
             f"{1 / dt_wand:7.1f} QPS  pass2 tiles med {int(np.median(p2))}/"
-            f"{n_tiles}  fallbacks {fb}/{reps}",
+            f"{n_tiles}  fallbacks {fb}/{reps} (early {early})  "
+            f"single-pass {single}/{reps}",
             file=sys.stderr, flush=True,
         )
 

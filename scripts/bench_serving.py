@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--window-ms", type=float, default=5.0)
     ap.add_argument(
+        "--inflight", type=int, default=2,
+        help="max concurrently executing batches (pipelining depth; ~90%% "
+        "of a batch's cost is dispatch round-trip, so depth d can hide "
+        "d-1 RTTs)",
+    )
+    ap.add_argument(
         "--fast", action="store_true",
         help="vector_search_fast profile: approx_max_k + bf16 corpus",
     )
@@ -80,7 +86,8 @@ def main():
         cat, "dense_serve", embedding_model=emb, index_options=index_options
     )
     handle = ServingHandle(
-        cat, {"dense": pipe}, batch_window_ms=args.window_ms, include_contents=False
+        cat, {"dense": pipe}, batch_window_ms=args.window_ms,
+        include_contents=False, max_inflight=args.inflight,
     ).start(port=0)
     url = f"http://127.0.0.1:{handle.port}/search"
 

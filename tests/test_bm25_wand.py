@@ -252,3 +252,68 @@ class TestIndexRouting:
             assert [(h.doc_id, round(h.score, 5)) for h in a] == [
                 (h.doc_id, round(h.score, 5)) for h in b
             ], q
+
+
+class TestPredictorBranches:
+    def test_single_pass_on_single_term_query(self):
+        """A single-term query's est set (tiles whose bound reaches the
+        k-th best single-term attained score) is ~k tiles — the single-pass
+        shortcut must fire and match the oracle exactly."""
+        doc_ids, doc_w = _synthetic(seed=11)
+        trip = build_term_tile_maxw(doc_ids, doc_w, block_n=128)
+        q_ids = np.full((2, 4), -2, np.int32)
+        q_w = np.zeros((2, 4), np.float32)
+        q_ids[0, 0], q_w[0, 0] = 7, 1.0   # common term
+        q_ids[1, 0], q_w[1, 0] = 13, 0.8
+        s_o, i_o = _oracle(q_ids, q_w, doc_ids, doc_w, k=5)
+        s_w, i_w, stats = bm25_topk_wand(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(doc_ids),
+            jnp.asarray(doc_w), trip, k=5, block_n=128,
+            scan_fraction=1.1, interpret=True, return_stats=True,
+        )
+        assert stats["single_pass"] and not stats["fallback_full"]
+        _assert_positive_hits_equal(s_w, i_w, s_o, i_o)
+
+    def test_early_fallback_pays_no_dispatch(self):
+        """Uniform-weight corpus + many-term common query: the additive
+        bound cannot prune, and the predictor must route to the fallback
+        BEFORE any probe launch (fallback_early)."""
+        rng = np.random.default_rng(21)
+        n = 1024
+        doc_ids = rng.integers(0, 8, size=(n, 6)).astype(np.int32)
+        doc_w = np.ones((n, 6), np.float32)
+        trip = build_term_tile_maxw(doc_ids, doc_w, block_n=128)
+        q_ids = np.arange(6, dtype=np.int32).reshape(1, 6)
+        q_w = np.ones((1, 6), np.float32)
+        s_o, i_o = _oracle(q_ids, q_w, doc_ids, doc_w, k=5)
+        probes = []
+        s_w, i_w, stats = bm25_topk_wand(
+            jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(doc_ids),
+            jnp.asarray(doc_w), trip, k=5, block_n=128,
+            interpret=True, return_stats=True,
+            fallback=lambda: (probes.append(1), _oracle(q_ids, q_w, doc_ids, doc_w, 5))[1],
+        )
+        assert stats["fallback_early"] and probes
+        _assert_positive_hits_equal(s_w, i_w, s_o, i_o)
+
+    def test_theta_lower_bound_never_over_prunes(self):
+        """Randomized: across seeds and query shapes, whatever branch fires,
+        results equal the oracle (the theta_lb deflation must keep the
+        pre-dispatch bound below every true attained score)."""
+        for seed in range(6):
+            doc_ids, doc_w = _synthetic(seed=30 + seed, n_docs=500)
+            trip = build_term_tile_maxw(doc_ids, doc_w, block_n=128)
+            rng = np.random.default_rng(seed)
+            nt = int(rng.integers(1, 5))
+            q_ids = np.full((4, 6), -2, np.int32)
+            q_w = np.zeros((4, 6), np.float32)
+            for b in range(4):
+                q_ids[b, :nt] = rng.choice(50, size=nt, replace=False)
+                q_w[b, :nt] = rng.uniform(0.5, 1.5, size=nt)
+            s_o, i_o = _oracle(q_ids, q_w, doc_ids, doc_w, k=7)
+            s_w, i_w = bm25_topk_wand(
+                jnp.asarray(q_ids), jnp.asarray(q_w), jnp.asarray(doc_ids),
+                jnp.asarray(doc_w), trip, k=7, block_n=128,
+                scan_fraction=1.1, interpret=True,
+            )
+            _assert_positive_hits_equal(s_w, i_w, s_o, i_o)
