@@ -42,6 +42,11 @@ def main():
                     "— use <=8 at q=1024")
     ap.add_argument("--fast", action="store_true",
                     help="exact baseline + m=64 j=1 only (skip the sweeps)")
+    ap.add_argument("--skip-exact", action="store_true",
+                    help="skip the exact xla_full baseline + id-parity check "
+                    "— at q=1024 the baseline's [Q, N] top_k is a >15 min "
+                    "remote compile (the verified path never selects at "
+                    "corpus width; its parity is asserted by the q=256 runs)")
     args = ap.parse_args()
     n, q_sz = args.n, args.q
     REPS = args.reps
@@ -58,18 +63,20 @@ def main():
     lo_d = jax.device_put(jnp.asarray(side["corpus_lo"]))
     q_d = jnp.asarray(queries)
     q_lo = jnp.asarray(queries[0], dtype=jnp.bfloat16)
-    print("compiling exact baseline ...", file=sys.stderr, flush=True)
+    ids_exact = base_qps = None
+    if not args.skip_exact:
+        print("compiling exact baseline ...", file=sys.stderr, flush=True)
 
-    # exact baseline
-    @jax.jit
-    def run_exact(qs, c):
-        s, i = jax.lax.map(lambda q: dense_topk_xla_full(q, c, K), qs)
-        return s.sum(), i
+        # exact baseline
+        @jax.jit
+        def run_exact(qs, c):
+            s, i = jax.lax.map(lambda q: dense_topk_xla_full(q, c, K), qs)
+            return s.sum(), i
 
-    dt, (ids_exact,) = timed(run_exact, q_d, c_d)
-    ids_exact = np.asarray(ids_exact)
-    print(f"exact xla_full        {dt*1e3:7.2f} ms  {q_sz/dt:9.1f} QPS", file=sys.stderr, flush=True)
-    base_qps = q_sz / dt
+        dt, (ids_exact,) = timed(run_exact, q_d, c_d)
+        ids_exact = np.asarray(ids_exact)
+        print(f"exact xla_full        {dt*1e3:7.2f} ms  {q_sz/dt:9.1f} QPS", file=sys.stderr, flush=True)
+        base_qps = q_sz / dt
 
     # kernel-only sweep
     for sps, bq in [] if args.fast else [(8, 256), (16, 256), (32, 256), (16, 128), (64, 256)]:
@@ -101,15 +108,19 @@ def main():
 
         dt, (ids, nf, cov) = timed(run_v, q_d, c_d, lo_d)
         qps = q_sz / dt
-        match = (np.asarray(ids) == ids_exact).all()
+        match = None if ids_exact is None else bool(
+            (np.asarray(ids) == ids_exact).all()
+        )
+        vs = "" if base_qps is None else f"({qps/base_qps:4.2f}x)  "
         results[f"pallas_m{m}_j{j}"] = round(qps, 1)
         print(
             f"pallas m={m:3d} j={j}: {dt*1e3:7.2f} ms  {qps:9.1f} QPS "
-            f"({qps/base_qps:4.2f}x)  fails={int(np.asarray(nf).sum())}/{REPS*q_sz} "
-            f"fallbacks={REPS-int(np.asarray(cov).sum())}/{REPS} ids_match={bool(match)}",
+            f"{vs}fails={int(np.asarray(nf).sum())}/{REPS*q_sz} "
+            f"fallbacks={REPS-int(np.asarray(cov).sum())}/{REPS} ids_match={match}",
             file=sys.stderr,
         )
-    print({"metric": "verified_pallas", "n": n, "exact": round(base_qps, 1), **results})
+    print({"metric": "verified_pallas", "n": n,
+           "exact": None if base_qps is None else round(base_qps, 1), **results})
 
 
 if __name__ == "__main__":
