@@ -216,3 +216,113 @@ def test_probe_packed_agrees_on_tpu(rng):
         pos = s0[b] > 0
         np.testing.assert_array_equal(i1[b][: pos.sum()], i0[b][pos])
         np.testing.assert_allclose(s1[b][: pos.sum()], s0[b][pos], rtol=1e-5)
+
+
+def test_wand_agrees_on_tpu(rng):
+    """Tile-WAND (upper-bound-pruned probe + pre-dispatch predictor) vs the
+    packed full scan on the real chip: every exit (single-pass, two-pass,
+    early fallback) must return the scan's positive hits exactly."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.sparse import (
+        QUERY_PAD,
+        bm25_topk_pallas_packed,
+        bm25_topk_wand,
+        build_term_tile_maxw,
+        cluster_doc_order,
+        pack_slots,
+    )
+
+    n, width = 60000, 16
+    tid = np.where(
+        np.arange(width)[None, :] < rng.integers(4, width, size=(n, 1)),
+        rng.integers(0, 50000, size=(n, width)),
+        -1,
+    ).astype(np.int32)
+    tw = np.where(tid >= 0, rng.random(size=(n, width)), 0.0).astype(np.float32)
+    df = np.bincount(tid[tid >= 0], minlength=50000)
+    order = cluster_doc_order(tid, df)
+    tid, tw = tid[order], tw[order]
+    pids, pw, pack = pack_slots(tid, tw, width)
+    bn_rows = 256
+    trip = build_term_tile_maxw(tid, tw, bn_rows * pack)
+    # query classes: rare (single-pass/two-pass), common (early fallback)
+    qid = np.full((4, 8), QUERY_PAD, np.int32)
+    qw = np.zeros((4, 8), np.float32)
+    qid[0, 0] = int(np.argmax(df))          # most common single term
+    qid[1, :2] = np.argsort(-df)[:2]        # two most common terms
+    qid[2, :4] = rng.integers(40000, 50000, size=4)  # rare terms
+    qid[3, :3] = [int(np.argmax(df)), 40001, 40002]  # mixed
+    qw[0, 0] = 1.0
+    qw[1, :2] = (0.8, 1.2)
+    qw[2, :4] = rng.uniform(0.5, 1.5, size=4)
+    qw[3, :3] = (1.0, 1.0, 1.0)
+    s0, i0 = bm25_topk_pallas_packed(
+        jnp.asarray(qid), jnp.asarray(qw), jnp.asarray(pids), jnp.asarray(pw),
+        n, 10, pack,
+    )
+    s1, i1, stats = bm25_topk_wand(
+        jnp.asarray(qid), jnp.asarray(qw), None, None, trip, 10,
+        block_n=bn_rows, packed=(jnp.asarray(pids), jnp.asarray(pw), n, pack),
+        return_stats=True,
+    )
+    s0, i0, s1, i1 = map(np.asarray, (s0, i0, s1, i1))
+    for b in range(4):
+        pos = s0[b] > 0
+        np.testing.assert_array_equal(i1[b][: pos.sum()], i0[b][pos])
+        np.testing.assert_allclose(s1[b][: pos.sum()], s0[b][pos], rtol=1e-5)
+
+
+def test_maxsim_page_chunked_agrees_on_tpu(rng):
+    """Chunked-matmul Pallas v2 at page scale (td>=512, the mm_docs-chunked
+    compile path) vs the XLA scan: exact same ids, bf16 and f32."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.maxsim import (
+        maxsim_topk_pallas_v2,
+        maxsim_topk_xla,
+    )
+
+    docs = rng.normal(size=(2048, 512, 128)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=2, keepdims=True)
+    dl = rng.integers(256, 513, size=2048).astype(np.int32)
+    tok = np.arange(512)[None, :] < dl[:, None]
+    docs *= tok[:, :, None]
+    q = rng.normal(size=(8, 32, 128)).astype(np.float32)
+    ql = np.full(8, 32, np.int32)
+    for dt in (jnp.bfloat16, jnp.float32):
+        d_j = jnp.asarray(docs, dt)
+        q_j = jnp.asarray(q, dt)
+        s1, i1 = maxsim_topk_xla(q_j, jnp.asarray(ql), d_j, jnp.asarray(dl), 10)
+        s2, i2 = maxsim_topk_pallas_v2(
+            q_j, jnp.asarray(ql), d_j, jnp.asarray(dl), 10, block_n=16
+        )
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_maxsim_int8_agreement_on_tpu(rng):
+    """int8 MaxSim serving mode vs exact f32 on the real chip: high top-10
+    agreement (approximate by contract, never bit-parity)."""
+    import jax.numpy as jnp
+
+    from autorag_research_tpu.ops.maxsim import (
+        maxsim_topk_int8,
+        maxsim_topk_xla,
+        quantize_int8_tokens,
+    )
+
+    docs = rng.normal(size=(8192, 64, 128)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=2, keepdims=True)
+    dl = np.full(8192, 64, np.int32)
+    q = rng.normal(size=(8, 32, 128)).astype(np.float32)
+    ql = np.full(8, 32, np.int32)
+    dq, dscale = quantize_int8_tokens(jnp.asarray(docs))
+    s1, i1 = maxsim_topk_xla(
+        jnp.asarray(q), jnp.asarray(ql), jnp.asarray(docs), jnp.asarray(dl), 10
+    )
+    s2, i2 = maxsim_topk_int8(
+        jnp.asarray(q), jnp.asarray(ql), dq, dscale, jnp.asarray(dl), 10
+    )
+    i1, i2 = np.asarray(i1), np.asarray(i2)
+    agree = np.mean([len(set(i1[b]) & set(i2[b])) / 10 for b in range(8)])
+    assert agree >= 0.9, agree
