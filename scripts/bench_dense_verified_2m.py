@@ -53,15 +53,23 @@ def main():
     def gen(key):
         c = jax.random.normal(key, (n, D), dtype=jnp.float32)
         c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
-        lo = c.astype(jnp.bfloat16)
+        return c, c.astype(jnp.bfloat16)
+
+    # residuals in a SEPARATE jit: inside one jit XLA folds the
+    # f32->bf16->f32 round-trip to identity and r_max comes out 0,
+    # silently unbudgeting the doc-side prescreen error
+    @jax.jit
+    def stats(c, lo):
         resid = c - lo.astype(jnp.float32)
         r_max = jnp.sqrt((resid * resid).sum(axis=1)).max() * 1.01
         nd_max = jnp.sqrt((c * c).sum(axis=1)).max() * 1.01
-        return c, lo, r_max, nd_max
+        return r_max, nd_max
 
     t0 = time.perf_counter()
-    c_d, lo_d, r_dev, nd_dev = gen(jax.random.PRNGKey(0))
+    c_d, lo_d = gen(jax.random.PRNGKey(0))
+    r_dev, nd_dev = stats(c_d, lo_d)
     r_max, nd_max = float(r_dev), float(nd_dev)
+    assert r_max > 0.0, 'doc-side residual must be budgeted'
     print(
         f"device-gen {time.perf_counter() - t0:.0f}s: corpus "
         f"{n * D * 4 / 2**30:.2f} GB f32 + {n * D * 2 / 2**30:.2f} GB bf16 "

@@ -69,25 +69,33 @@ def main():
     ids = list(range(n))
     results = {"metric": "maxsim_ragged_bucketed", "n": n,
                "tmax_over_mean": round(float(lens.max() / lens.mean()), 1)}
-    out_flat, qps, mb = run(
-        MultiVectorIndex(ids, mats), queries, "flat (global Tmax pad)"
-    )
-    results["flat_qps"], results["flat_mib"] = qps, mb
+    out_flat = None
+    try:
+        out_flat, qps, mb = run(
+            MultiVectorIndex(ids, mats), queries, "flat (global Tmax pad)"
+        )
+        results["flat_qps"], results["flat_mib"] = qps, mb
+    except Exception as exc:  # noqa: BLE001
+        # the flat layout's global-Tmax padding can exceed HBM where the
+        # bucketed layout fits comfortably — that IS the capacity claim
+        results["flat_oom"] = True
+        print(f"flat layout FAILED (expected at large n): {str(exc)[:160]}",
+              file=sys.stderr, flush=True)
     out_b, qps, mb = run(
         MultiVectorIndex(ids, mats, bucketize=args.bucketize), queries,
         f"bucketed (bucketize={args.bucketize})",
     )
     results["bucketed_qps"], results["bucketed_mib"] = qps, mb
-    results["speedup"] = round(results["bucketed_qps"] / results["flat_qps"], 2)
-    results["mem_ratio"] = round(results["bucketed_mib"] / results["flat_mib"], 3)
-
-    ok = all(
-        [(h.doc_id, round(h.score, 5)) for h in a]
-        == [(h.doc_id, round(h.score, 5)) for h in b]
-        for a, b in zip(out_flat, out_b)
-    )
-    results["ids_identical"] = bool(ok)
-    print(f"flat == bucketed hits: {ok}", file=sys.stderr, flush=True)
+    if out_flat is not None:
+        results["speedup"] = round(results["bucketed_qps"] / results["flat_qps"], 2)
+        results["mem_ratio"] = round(results["bucketed_mib"] / results["flat_mib"], 3)
+        ok = all(
+            [(h.doc_id, round(h.score, 5)) for h in a]
+            == [(h.doc_id, round(h.score, 5)) for h in b]
+            for a, b in zip(out_flat, out_b)
+        )
+        results["ids_identical"] = bool(ok)
+        print(f"flat == bucketed hits: {ok}", file=sys.stderr, flush=True)
     print(results)
 
 

@@ -47,20 +47,56 @@ def main():
                     "— at q=1024 the baseline's [Q, N] top_k is a >15 min "
                     "remote compile (the verified path never selects at "
                     "corpus width; its parity is asserted by the q=256 runs)")
+    ap.add_argument("--device-gen", action="store_true",
+                    help="generate corpus + sidecar ON DEVICE (skips the "
+                    "~2.3 GB tunnel upload; maxima are f32 x 1.01 instead of "
+                    "host-f64 rounded up — measurement-only, a wider bound "
+                    "only raises the fail rate)")
     args = ap.parse_args()
     n, q_sz = args.n, args.q
     REPS = args.reps
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     rng = np.random.default_rng(0)
-    corpus = rng.standard_normal((n, D), dtype=np.float32)
-    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
     queries = rng.standard_normal((REPS, q_sz, D), dtype=np.float32)
     queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
-    print("building sidecar ...", file=sys.stderr, flush=True)
-    side = build_verified_sidecar(corpus, rep="bf16", pad_rows_to=4096)
-    print("transferring ...", file=sys.stderr, flush=True)
-    c_d = jax.device_put(jnp.asarray(corpus))
-    lo_d = jax.device_put(jnp.asarray(side["corpus_lo"]))
+    if args.device_gen:
+        from autorag_research_tpu.ops.dense import _round_up
+
+        n_pad = _round_up(n, 4096)
+
+        @jax.jit
+        def gen(key):
+            c = jax.random.normal(key, (n, D), dtype=jnp.float32)
+            c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
+            lo = jnp.zeros((n_pad, D), jnp.bfloat16).at[:n].set(
+                c.astype(jnp.bfloat16)
+            )
+            return c, lo
+
+        # residual stats in a SEPARATE jit or XLA folds f32->bf16->f32 to
+        # identity and r_max comes out 0 (unbudgeted doc-side error)
+        @jax.jit
+        def stats(c, lo):
+            resid = c - lo[:n].astype(jnp.float32)
+            r_max = jnp.sqrt((resid * resid).sum(axis=1)).max() * 1.01
+            nd_max = jnp.sqrt((c * c).sum(axis=1)).max() * 1.01
+            return r_max, nd_max
+
+        print("device-gen corpus + sidecar ...", file=sys.stderr, flush=True)
+        c_d, lo_d = gen(jax.random.PRNGKey(0))
+        r_dev, nd_dev = stats(c_d, lo_d)
+        side = {"r_max": float(r_dev), "nd_max": float(nd_dev)}
+        assert side["r_max"] > 0.0
+        print(f"r_max={side['r_max']:.6f} nd_max={side['nd_max']:.4f}",
+              file=sys.stderr, flush=True)
+    else:
+        corpus = rng.standard_normal((n, D), dtype=np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        print("building sidecar ...", file=sys.stderr, flush=True)
+        side = build_verified_sidecar(corpus, rep="bf16", pad_rows_to=4096)
+        print("transferring ...", file=sys.stderr, flush=True)
+        c_d = jax.device_put(jnp.asarray(corpus))
+        lo_d = jax.device_put(jnp.asarray(side["corpus_lo"]))
     q_d = jnp.asarray(queries)
     q_lo = jnp.asarray(queries[0], dtype=jnp.bfloat16)
     ids_exact = base_qps = None
