@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--window-ms", type=float, default=5.0)
     ap.add_argument(
+        "--sweep", type=str, default=None,
+        help="comma list of 'inflight:clients' configs measured in ONE "
+        "process (reuses the ingest + compiled index), e.g. "
+        "'2:32,3:32,4:32,2:128,3:128'; overrides --inflight/--clients",
+    )
+    ap.add_argument(
         "--inflight", type=int, default=2,
         help="max concurrently executing batches (pipelining depth; ~90%% "
         "of a batch's cost is dispatch round-trip, so depth d can hide "
@@ -85,11 +91,29 @@ def main():
     pipe = VectorSearchPipeline(
         cat, "dense_serve", embedding_model=emb, index_options=index_options
     )
+    configs = (
+        [tuple(map(int, c.split(":"))) for c in args.sweep.split(",")]
+        if args.sweep
+        else [(args.inflight, args.clients)]
+    )
+    for inflight, clients in configs:
+        _run_config(cat, pipe, args, profile, inflight, clients)
+
+
+def _run_config(cat, pipe, args, profile, inflight, clients):
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    from autorag_research_tpu.serving.server import ServingHandle
+
     handle = ServingHandle(
         cat, {"dense": pipe}, batch_window_ms=args.window_ms,
-        include_contents=False, max_inflight=args.inflight,
+        include_contents=False, max_inflight=inflight,
     ).start(port=0)
     url = f"http://127.0.0.1:{handle.port}/search"
+    requests_total = args.requests * max(1, clients // 32)
 
     def do_request(q, retries=3, timeout=120):
         req = urllib.request.Request(
@@ -111,13 +135,13 @@ def main():
     # the zero-wait backlog drain lets batches reach the client count, so
     # warm every bucket the traffic can hit (an unwarmed bucket recompiles
     # mid-traffic, seconds over the tunnel)
-    bucket_cap = 1 << (max(args.clients, 1) - 1).bit_length()
+    bucket_cap = 1 << (max(clients, 1) - 1).bit_length()
     handle.warmup(max_bucket=max(64, bucket_cap), top_k=args.top_k)
     print(f"first request (compile): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     latencies = []
     lat_lock = threading.Lock()
-    per_client = args.requests // args.clients
+    per_client = requests_total // clients
 
     def client(cid):
         for r in range(per_client):
@@ -128,7 +152,7 @@ def main():
                 latencies.append(time.perf_counter() - t)
 
     t0 = time.perf_counter()
-    threads = [threading.Thread(target=client, args=(c,)) for c in range(args.clients)]
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(clients)]
     for t in threads:
         t.start()
     for t in threads:
@@ -141,7 +165,8 @@ def main():
     p99 = latencies[int(n * 0.99)] * 1e3
     print(
         f"served {n} requests in {wall:.1f}s -> {qps:.1f} QPS end-to-end "
-        f"(p50 {p50:.0f}ms, p99 {p99:.0f}ms, {args.clients} clients)",
+        f"(p50 {p50:.0f}ms, p99 {p99:.0f}ms, {clients} clients, "
+        f"inflight {inflight})",
         file=sys.stderr,
     )
     print(
@@ -152,7 +177,8 @@ def main():
                 "p99_ms": round(p99),
                 "profile": profile,
                 "docs": args.docs,
-                "clients": args.clients,
+                "clients": clients,
+                "inflight": inflight,
             }
         )
     )
