@@ -62,7 +62,11 @@ class _Batcher:
     Up to ``max_inflight`` batches execute concurrently: the per-batch cost
     through the remote-TPU tunnel is dominated by dispatch + readback
     latency (profiled 67 ms of which ~60 is round-trip wait, embed 1.6 ms),
-    so overlapping a second in-flight batch hides most of it. Collection
+    so overlapping in-flight batches hides most of it. Depth swept on the
+    500k x 768 fast profile (scripts/bench_serving.py --sweep, 2026-08-20):
+    depth 3 = 392.6 QPS @32 clients vs depth 2's 289.1 (+36%, two RTTs
+    hidden) and 672.5 @128 vs 625.9; depth 4 adds nothing at 32 (387.7)
+    and +2% at 128 (688.2). Default 3. Collection
     stays single-threaded; jobs carry their own completion events so batch
     completion order is irrelevant."""
 
@@ -71,7 +75,7 @@ class _Batcher:
         search_batch_fn,
         batch_window_ms: float = 5.0,
         max_batch: int = 256,
-        max_inflight: int = 2,
+        max_inflight: int = 3,
         truncatable: bool = True,
         metrics=None,
         metrics_labels: dict | None = None,
@@ -222,7 +226,7 @@ class ServingHandle:
         default_pipeline: str | None = None,
         batch_window_ms: float = 5.0,
         include_contents: bool = True,
-        max_inflight: int = 2,
+        max_inflight: int = 3,
     ):
         if not retrieval_pipelines:
             raise ValueError("need at least one retrieval pipeline to serve")

@@ -31,7 +31,7 @@ def main():
         "'2:32,3:32,4:32,2:128,3:128'; overrides --inflight/--clients",
     )
     ap.add_argument(
-        "--inflight", type=int, default=2,
+        "--inflight", type=int, default=3,
         help="max concurrently executing batches (pipelining depth; ~90%% "
         "of a batch's cost is dispatch round-trip, so depth d can hide "
         "d-1 RTTs)",
