@@ -95,7 +95,10 @@ def main() -> None:
 
     from autorag_research_tpu.ops.dense import dense_topk
 
-    N, d, B, K, REPS = 500_000, 768, 256, 10, 20
+    # B=1024: the verified prescreen is corpus-traffic-bound, so larger query
+    # batches amortize the corpus read — measured 57.0k QPS @ Q=1024 m=64 j=2
+    # vs 54.9k @ Q=256 m=64 j=1 (/tmp sweep on this exact seed, 2026-08-20)
+    N, d, B, K, REPS = 500_000, 768, 1024, 10, 20
     rng = np.random.default_rng(0)
     log(f"building corpus {N}x{d} f32 ...")
     corpus = rng.normal(size=(N, d)).astype(np.float32)
@@ -157,15 +160,17 @@ def main() -> None:
         @jax.jit
         def run_v(qs, c, lo):
             def one(q):
-                # m=64 j=1: fastest measured config with 0 coverage fails on
-                # this corpus (54.9k vs 48.1k @ j=2, bench_verified_pallas.py);
-                # exactness never depends on the knobs — failures re-run
+                # m=64 j=2: fastest 0-fallback config at Q=1024 on this seed
+                # (57.0k; j=1 hits 3/20 batch fallbacks — each costs a full
+                # exact scan — and drops to 49.3k; raising m alone does NOT
+                # clear the fails, the second-chance segment leg does).
+                # Exactness never depends on the knobs — failures re-run
                 # exactly, and the ids-equality guard below reverts the
                 # flagship to the full-scan number on any real divergence.
                 s, i, n_fail, covered = _dense_topk_verified(
                     q, c, lo, None,
                     jnp.float32(side["nd_max"]), jnp.float32(side["r_max"]),
-                    K, 64, 1, 128, 0, "pallas",
+                    K, 64, 2, 128, 0, "pallas",
                 )
                 return s, i, n_fail, covered
 
